@@ -1,0 +1,177 @@
+"""CLI driver.
+
+Replaces the reference's hardcoded `main()` (reference: src/main.rs:9-55,
+where model selection is a compile-time comment edit, main.rs:10-24) with a
+real flag-driven driver:
+
+    oriet run --model m.onnx --input in.pb [--golden out.pb] [--batch N]
+              [--dtype float32|bfloat16] [--quantize int8] [--log-ops]
+    oriet bench --model m.onnx [--batch 64] [--steps 50] [--quantize int8]
+    oriet inspect --model m.onnx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _build_engine(args, graph=None):
+    from .engine import Engine
+    from .graph import import_onnx
+
+    graph = graph or import_onnx(args.model)
+    if getattr(args, "quantize", None) == "int8":
+        from .quant import quantize_graph
+
+        calib = None
+        if getattr(args, "input", None):
+            from . import onnx_io
+
+            calib = [{onnx_io.read_tensor_file(args.input).name or
+                      graph.input_names[0]:
+                      onnx_io.read_tensor_file(args.input).array}]
+        graph = quantize_graph(graph, calibration_inputs=calib)
+    return Engine(graph, dtype=getattr(args, "dtype", "float32"))
+
+
+def cmd_run(args) -> int:
+    from . import onnx_io
+    from .graph import import_onnx
+
+    graph = import_onnx(args.model)
+    engine = _build_engine(args, graph)
+    t = onnx_io.read_tensor_file(args.input)
+    name = args.input_name or t.name or graph.input_names[0]
+    x = t.array
+    if args.batch and args.batch > 1:
+        x = np.repeat(x, args.batch, axis=0)
+
+    if args.log_ops:
+        for i, n in enumerate(graph.nodes):
+            print(f"[node {i:3d}] {n.op_type:20s} {n.name} "
+                  f"{n.inputs} -> {n.outputs}", file=sys.stderr)
+
+    res = engine.run({name: x})
+    print(json.dumps({
+        "outputs": {k: v.reshape(v.shape[0], -1)[:, :16].tolist()
+                    for k, v in res.outputs.items()},
+        "output_shapes": {k: list(v.shape) for k, v in res.outputs.items()},
+        "top1": res.top1().tolist(),
+        "latency_s": res.latency_s,
+    }, indent=2))
+
+    if args.golden:
+        g = onnx_io.read_tensor_file(args.golden)
+        out_name = g.name if g.name in res.outputs else next(iter(res.outputs))
+        got = res.outputs[out_name][:1].reshape(g.array.shape)
+        ok = np.allclose(got, g.array, rtol=args.rtol, atol=args.atol)
+        err = float(np.max(np.abs(got - g.array)))
+        print(f"golden: {'MATCH' if ok else 'MISMATCH'} (max_abs_err={err:.3e})")
+        return 0 if ok else 1
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+
+    from .graph import import_onnx
+
+    graph = import_onnx(args.model)
+    engine = _build_engine(args, graph)
+    spec = graph.inputs[0]
+    shape = list(spec.concrete_shape(batch=args.batch))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(shape).astype(spec.dtype)
+    feed = {spec.name: x}
+
+    # warmup / compile
+    jax.block_until_ready(engine(feed))
+    times = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(engine(feed))
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    print(json.dumps({
+        "model": args.model,
+        "batch": args.batch,
+        "quantize": args.quantize,
+        "median_latency_s": med,
+        "p5_latency_s": float(np.percentile(times, 5)),
+        "images_per_sec": args.batch / med,
+        "steps": args.steps,
+        "device": str(jax.devices()[0]),
+    }))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from .graph import import_onnx
+    from .ops import supported_ops
+
+    graph = import_onnx(args.model)
+    counts = {}
+    for n in graph.nodes:
+        counts[n.op_type] = counts.get(n.op_type, 0) + 1
+    print(json.dumps({
+        "name": graph.name,
+        "opset": graph.opset,
+        "n_nodes": len(graph.nodes),
+        "op_histogram": counts,
+        "inputs": [{"name": i.name, "shape": list(i.shape),
+                    "dtype": str(i.dtype)} for i in graph.inputs],
+        "outputs": graph.outputs,
+        "n_weights": len(graph.weight_names),
+        "weight_bytes": int(sum(graph.constants[w].nbytes
+                                for w in graph.weight_names)),
+        "unsupported_ops": sorted(set(counts) - set(supported_ops())),
+    }, indent=2))
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(prog="oriet",
+                                description="TPU-native ONNX inference engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run a model on a TensorProto input")
+    pr.add_argument("--model", required=True)
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--golden")
+    pr.add_argument("--input-name", dest="input_name")
+    pr.add_argument("--batch", type=int, default=1)
+    pr.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    pr.add_argument("--quantize", choices=["int8"])
+    pr.add_argument("--rtol", type=float, default=1e-4)
+    pr.add_argument("--atol", type=float, default=1e-3)
+    pr.add_argument("--log-ops", action="store_true",
+                    help="per-node log (parity with reference debug_prints)")
+    pr.set_defaults(fn=cmd_run)
+
+    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb.add_argument("--model", required=True)
+    pb.add_argument("--batch", type=int, default=64)
+    pb.add_argument("--steps", type=int, default=50)
+    pb.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    pb.add_argument("--quantize", choices=["int8"])
+    pb.add_argument("--input")
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("inspect", help="print graph summary")
+    pi.add_argument("--model", required=True)
+    pi.set_defaults(fn=cmd_inspect)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

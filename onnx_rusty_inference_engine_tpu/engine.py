@@ -1,0 +1,169 @@
+"""Inference engine: lower a Graph to one pure JAX function and jit it.
+
+The TPU-native replacement for the reference's `inference()` orchestration
+loop + thread scheduler (reference: src/inference_engine/
+model_inference.rs:29-120 and multithreading/*): instead of walking nodes at
+runtime and synchronizing threads through a mutex-guarded HashMap, the whole
+graph is lowered once into a single pure function `f(params, *inputs)` and
+compiled by XLA, which owns scheduling, fusion, and (via shardings)
+multi-chip parallelism. Branch parallelism — the reference's headline
+feature — falls out for free: independent branches are independent HLO ops.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import Graph
+from .ops import registry as _registry
+from .ops.registry import LoweringContext, get_emitter
+
+__all__ = ["lower", "Engine", "InferenceResult"]
+
+
+def lower(graph: Graph):
+    """Build `f(params: dict[str, Array], inputs: dict[str, Array]) -> dict`.
+
+    `params` carries the graph's weights (so they can be device_put with
+    shardings and donated); non-weight folded constants are closed over as
+    literals.
+    """
+
+    def fn(params: Dict[str, jax.Array], inputs: Dict[str, jax.Array]):
+        env: Dict[str, jax.Array] = {}
+        env.update({k: jnp.asarray(v) for k, v in graph.constants.items()
+                    if k not in params})
+        env.update(params)
+        env.update(inputs)
+        ctx = LoweringContext(graph, env)
+        for node in graph.nodes:
+            emitter = get_emitter(node.op_type)
+            ins = [env[i] if i else None for i in node.inputs]
+            outs = emitter(ctx, node, ins)
+            for name, val in zip(node.outputs, outs):
+                if name:
+                    env[name] = val
+        return {o: env[o] for o in graph.outputs}
+
+    return fn
+
+
+class InferenceResult:
+    """Structured results (replaces the reference's print-from-inside-ops:
+    add_op.rs:104-105, softmax_op.rs:41)."""
+
+    def __init__(self, outputs: Dict[str, np.ndarray], latency_s: float):
+        self.outputs = outputs
+        self.latency_s = latency_s
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self.outputs[name]
+
+    def top_k(self, k: int = 1, output: Optional[str] = None) -> np.ndarray:
+        name = output or next(iter(self.outputs))
+        arr = self.outputs[name]
+        flat = arr.reshape(arr.shape[0], -1)
+        return np.argsort(flat, axis=-1)[:, ::-1][:, :k]
+
+    def top1(self, output: Optional[str] = None) -> np.ndarray:
+        return self.top_k(1, output)[:, 0]
+
+
+class Engine:
+    """Compiled executor for one ONNX graph.
+
+    Parameters
+    ----------
+    graph: imported Graph.
+    dtype: compute dtype policy for float tensors ("float32" or "bfloat16").
+    mesh / param_sharding / input_sharding: optional jax.sharding placement
+        (see parallel/), applied to weights at load and inputs per call.
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        *,
+        dtype: str = "float32",
+        mesh=None,
+        param_sharding_fn=None,
+        input_sharding_fn=None,
+        donate_inputs: bool = False,
+    ):
+        self.graph = graph
+        self.dtype = np.dtype(dtype)
+        self.mesh = mesh
+        self._input_sharding_fn = input_sharding_fn
+
+        params: Dict[str, jax.Array] = {}
+        for name in graph.weight_names:
+            arr = graph.constants[name]
+            if arr.dtype == np.float32 and self.dtype != np.float32:
+                arr = arr.astype(self.dtype)
+            if mesh is not None and param_sharding_fn is not None:
+                sharding = param_sharding_fn(name, arr)
+                params[name] = jax.device_put(jnp.asarray(arr), sharding)
+            else:
+                params[name] = jnp.asarray(arr)
+        self.params = params
+
+        raw = lower(graph)
+        if self.dtype != np.float32:
+            cast_dtype = self.dtype
+
+            def fn(params, inputs):
+                inputs = {
+                    k: (v.astype(cast_dtype) if v.dtype == jnp.float32 else v)
+                    for k, v in inputs.items()
+                }
+                out = raw(params, inputs)
+                return {k: (v.astype(jnp.float32)
+                            if v.dtype == jnp.dtype(cast_dtype) else v)
+                        for k, v in out.items()}
+        else:
+            fn = raw
+        self._fn = jax.jit(fn, donate_argnums=(1,) if donate_inputs else ())
+
+    # -- input handling ------------------------------------------------
+    def _canon_inputs(self, inputs) -> Dict[str, jax.Array]:
+        names = self.graph.input_names
+        if isinstance(inputs, (list, tuple)):
+            inputs = dict(zip(names, inputs))
+        elif isinstance(inputs, np.ndarray) or hasattr(inputs, "shape"):
+            inputs = {names[0]: inputs}
+        out = {}
+        for k, v in inputs.items():
+            v = jnp.asarray(v)
+            if self._input_sharding_fn is not None and self.mesh is not None:
+                v = jax.device_put(v, self._input_sharding_fn(k, v))
+            out[k] = v
+        return out
+
+    # -- API -----------------------------------------------------------
+    def __call__(self, inputs) -> Dict[str, jax.Array]:
+        return self._fn(self.params, self._canon_inputs(inputs))
+
+    def run(self, inputs) -> InferenceResult:
+        t0 = time.perf_counter()
+        out = self(inputs)
+        out = {k: np.asarray(v) for k, v in out.items()}  # blocks
+        return InferenceResult(out, time.perf_counter() - t0)
+
+    def compile(self, inputs):
+        """Ahead-of-time compile for the given example inputs; returns self."""
+        self._fn(self.params, self._canon_inputs(inputs))
+        return self
+
+    def output_shapes(self, inputs) -> Dict[str, Tuple[int, ...]]:
+        shapes = jax.eval_shape(self._fn, self.params, self._canon_inputs(inputs))
+        return {k: tuple(v.shape) for k, v in shapes.items()}
+
+    @property
+    def jitted(self):
+        return self._fn

@@ -1,0 +1,13 @@
+"""Model family builders + asset zoo.
+
+The reference bundles mnist-8.onnx and (nominally) squeezenet1.0-8.onnx; the
+SqueezeNet blob is missing from its checkout (.MISSING_LARGE_BLOBS). These
+builders synthesize ONNX ModelProtos for every north-star family offline —
+SqueezeNet 1.0 (opset 8), ResNet-50, GPT-2 decoder — using the framework's
+own protobuf writer, so the full ONNX ingest path is exercised end-to-end.
+"""
+
+from .squeezenet import build_squeezenet  # noqa: F401
+from .resnet import build_resnet50  # noqa: F401
+from .gpt2 import build_gpt2  # noqa: F401
+from .zoo import get_model_path, MODELS  # noqa: F401

@@ -1,0 +1,152 @@
+"""GPT-2 ONNX decoder builder (north-star config #5: INT4 weight-only +
+INT8 KV-cache, tensor-sharded over N≥2 hosts — BASELINE.json).
+
+Emits the standard GPT-2 ONNX-export graph shape: Gather token+position
+embeddings, per-block LayerNormalization → fused-QKV MatMul → Split →
+scaled-dot-product attention with additive causal mask → projection →
+Gelu MLP, final LayerNorm, tied lm_head MatMul. Optionally takes
+`past_key_i` / `past_value_i` inputs and emits `present_*` outputs
+([B, n_head, P(+T), head_dim]) — the decode-step graph. All shapes are
+static (P and T fixed per graph), XLA-friendly; the serving layer manages
+cache layout (serve/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import onnx_io
+from ._builder import GraphBuilder
+
+
+@dataclasses.dataclass
+class GPT2Config:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+TINY = GPT2Config(vocab_size=256, n_positions=64, n_embd=64, n_layer=2, n_head=4)
+SMALL = GPT2Config()
+
+
+def _linear(b: GraphBuilder, x: str, name: str, d_in: int, d_out: int) -> str:
+    w = b.init(f"{name}_w", (b.rng.standard_normal((d_in, d_out))
+                             * 0.02).astype(np.float32))
+    bias = b.zeros(f"{name}_b", (d_out,))
+    (y,) = b.node("MatMul", [x, w], [f"{name}_mm"])
+    (y,) = b.node("Add", [y, bias], [f"{name}_y"])
+    return y
+
+
+def _layernorm(b: GraphBuilder, x: str, name: str, d: int) -> str:
+    g = b.init(f"{name}_g", np.ones(d, np.float32))
+    bb = b.zeros(f"{name}_b", (d,))
+    (y,) = b.node("LayerNormalization", [x, g, bb], [f"{name}_y"],
+                  axis=-1, epsilon=1e-5)
+    return y
+
+
+def build_gpt2(
+    cfg: GPT2Config = TINY,
+    *,
+    batch: int = 1,
+    seq_len: int = 16,
+    past_len: int = 0,
+    with_presents: bool = True,
+    opset: int = 17,
+    seed: int = 0,
+) -> onnx_io.ModelProto:
+    b = GraphBuilder("gpt2", opset=opset, seed=seed)
+    B, T, P = batch, seq_len, past_len
+    D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
+
+    ids = b.input("input_ids", [B, T], dtype=np.int64)
+    pasts = []
+    for i in range(cfg.n_layer):
+        if P > 0:
+            pk = b.input(f"past_key_{i}", [B, H, P, hd])
+            pv = b.input(f"past_value_{i}", [B, H, P, hd])
+            pasts.append((pk, pv))
+        else:
+            pasts.append((None, None))
+
+    wte = b.init("wte", (b.rng.standard_normal((cfg.vocab_size, D))
+                         * 0.02).astype(np.float32))
+    wpe = b.init("wpe", (b.rng.standard_normal((cfg.n_positions, D))
+                         * 0.01).astype(np.float32))
+    pos = b.init("positions", np.arange(P, P + T, dtype=np.int64))
+
+    (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)
+    (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)
+    (x,) = b.node("Add", [tok, pe], ["h0"])
+
+    # additive causal mask over the concatenated [P+T] key axis
+    total = P + T
+    mask = np.zeros((1, 1, T, total), np.float32)
+    q_idx = np.arange(T)[:, None] + P
+    k_idx = np.arange(total)[None, :]
+    mask[0, 0] = np.where(k_idx <= q_idx, 0.0, -1e9).astype(np.float32)
+    mask_name = b.init("causal_mask", mask)
+    scale = b.init("attn_scale", np.float32(1.0 / np.sqrt(hd)))
+
+    shape_split = b.init("shape_bthd", np.array([B, T, H, hd], np.int64))
+    shape_merge = b.init("shape_btd", np.array([B, T, D], np.int64))
+
+    for i in range(cfg.n_layer):
+        ln1 = _layernorm(b, x, f"blk{i}_ln1", D)
+        qkv = _linear(b, ln1, f"blk{i}_attn_qkv", D, 3 * D)
+        q, k, v = b.node("Split", [qkv], [f"blk{i}_q", f"blk{i}_k", f"blk{i}_v"],
+                         axis=-1, split=[D, D, D])
+
+        def _heads(t: str, tag: str) -> str:
+            (r,) = b.node("Reshape", [t, shape_split], [f"blk{i}_{tag}_r"])
+            (tr,) = b.node("Transpose", [r], [f"blk{i}_{tag}_t"],
+                           perm=[0, 2, 1, 3])
+            return tr
+
+        qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
+        pk, pv = pasts[i]
+        if pk is not None:
+            (kh,) = b.node("Concat", [pk, kh], [f"blk{i}_k_cat"], axis=2)
+            (vh,) = b.node("Concat", [pv, vh], [f"blk{i}_v_cat"], axis=2)
+        if with_presents:
+            b.node("Identity", [kh], [f"present_key_{i}"])
+            b.node("Identity", [vh], [f"present_value_{i}"])
+
+        (kt,) = b.node("Transpose", [kh], [f"blk{i}_kT"], perm=[0, 1, 3, 2])
+        (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])
+        (att,) = b.node("Mul", [att, scale], [f"blk{i}_scaled"])
+        (att,) = b.node("Add", [att, mask_name], [f"blk{i}_masked"])
+        (att,) = b.node("Softmax", [att], [f"blk{i}_probs"], axis=-1)
+        (ctxt,) = b.node("MatMul", [att, vh], [f"blk{i}_ctx"])
+        (ctxt,) = b.node("Transpose", [ctxt], [f"blk{i}_ctx_t"], perm=[0, 2, 1, 3])
+        (ctxt,) = b.node("Reshape", [ctxt, shape_merge], [f"blk{i}_ctx_m"])
+        proj = _linear(b, ctxt, f"blk{i}_attn_proj", D, D)
+        (x,) = b.node("Add", [x, proj], [f"blk{i}_res1"])
+
+        ln2 = _layernorm(b, x, f"blk{i}_ln2", D)
+        h = _linear(b, ln2, f"blk{i}_mlp_fc", D, 4 * D)
+        (h,) = b.node("Gelu", [h], [f"blk{i}_gelu"], approximate="tanh")
+        h = _linear(b, h, f"blk{i}_mlp_proj", 4 * D, D)
+        (x,) = b.node("Add", [x, h], [f"blk{i}_res2"])
+
+    x = _layernorm(b, x, "ln_f", D)
+    wte_t = b.init("wte_T", np.ascontiguousarray(
+        b.g.initializers["wte"].T))
+    (logits,) = b.node("MatMul", [x, wte_t], ["logits"])
+
+    b.output(logits, [B, T, cfg.vocab_size])
+    if with_presents:
+        for i in range(cfg.n_layer):
+            b.output(f"present_key_{i}", [B, H, total, hd])
+            b.output(f"present_value_{i}", [B, H, total, hd])
+    return b.model()

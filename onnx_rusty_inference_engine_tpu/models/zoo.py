@@ -1,0 +1,64 @@
+"""Model zoo: resolve a model name to an on-disk .onnx path.
+
+Bundled reference models are used directly; missing blobs (SqueezeNet — see
+.MISSING_LARGE_BLOBS in the reference checkout — plus ResNet-50 and GPT-2,
+which the reference never shipped) are synthesized on first use with seeded
+weights and cached under assets/.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from .. import onnx_io
+
+_REFERENCE = "/root/reference"
+_ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "assets")
+
+
+def _synth(name: str, build: Callable) -> str:
+    os.makedirs(_ASSETS, exist_ok=True)
+    path = os.path.join(_ASSETS, f"{name}.onnx")
+    if not os.path.exists(path):
+        onnx_io.save_model(path, build())
+    return path
+
+
+def _squeezenet_path() -> str:
+    ref = f"{_REFERENCE}/models/squeezenet1.0-8.onnx"
+    if os.path.exists(ref):
+        return ref
+    from .squeezenet import build_squeezenet
+
+    return _synth("squeezenet1.0-8.synth", build_squeezenet)
+
+
+def _resnet50_path() -> str:
+    from .resnet import build_resnet50
+
+    return _synth("resnet50.synth", build_resnet50)
+
+
+def _gpt2_path() -> str:
+    from .gpt2 import SMALL, build_gpt2
+
+    return _synth("gpt2-prefill.synth",
+                  lambda: build_gpt2(SMALL, batch=1, seq_len=64,
+                                     with_presents=False))
+
+
+MODELS: Dict[str, Callable[[], str]] = {
+    "mnist": lambda: f"{_REFERENCE}/models/mnist-8.onnx",
+    "matmul_2d": lambda: f"{_REFERENCE}/models/model.onnx",
+    "squeezenet": _squeezenet_path,
+    "resnet50": _resnet50_path,
+    "gpt2": _gpt2_path,
+}
+
+
+def get_model_path(name: str) -> str:
+    if name not in MODELS:
+        raise KeyError(f"unknown model {name!r}; have {sorted(MODELS)}")
+    return MODELS[name]()

@@ -1,0 +1,440 @@
+"""ONNX protobuf I/O: parse / serialize ModelProto and TensorProto.
+
+Replaces the reference's `onnx-protobuf` crate + `read_input_data`
+(reference: src/main.rs:30, src/main.rs:44-53) with a pure-Python layer over
+the hand-rolled wire codec in utils/protowire.py. Unlike the reference —
+which only reads fp32 `raw_data` (src/inference_engine/utils.rs:128-142) —
+this reader handles every tensor dtype the framework supports (fp32/fp16/
+bf16/int8/uint8/int32/int64/bool/double), both `raw_data` and the typed
+repeated fields, and also *writes* models so missing reference blobs
+(SqueezeNet, ResNet-50, GPT-2) can be synthesized offline.
+
+Field numbers follow the public ONNX schema (vendored in the reference at
+models/onnx.proto); this file is an independent implementation of that spec.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Union
+
+import ml_dtypes
+import numpy as np
+
+from .utils.protowire import WireReader, WireWriter
+
+# --------------------------------------------------------------------------
+# ONNX TensorProto.DataType enum (public spec constants)
+# --------------------------------------------------------------------------
+FLOAT, UINT8, INT8, UINT16, INT16, INT32, INT64, STRING, BOOL = range(1, 10)
+FLOAT16, DOUBLE, UINT32, UINT64 = 10, 11, 12, 13
+BFLOAT16 = 16
+INT4, UINT4 = 22, 21
+
+DTYPE_TO_NUMPY = {
+    FLOAT: np.dtype(np.float32),
+    UINT8: np.dtype(np.uint8),
+    INT8: np.dtype(np.int8),
+    UINT16: np.dtype(np.uint16),
+    INT16: np.dtype(np.int16),
+    INT32: np.dtype(np.int32),
+    INT64: np.dtype(np.int64),
+    BOOL: np.dtype(np.bool_),
+    FLOAT16: np.dtype(np.float16),
+    DOUBLE: np.dtype(np.float64),
+    UINT32: np.dtype(np.uint32),
+    UINT64: np.dtype(np.uint64),
+    BFLOAT16: np.dtype(ml_dtypes.bfloat16),
+}
+NUMPY_TO_DTYPE = {v: k for k, v in DTYPE_TO_NUMPY.items()}
+
+
+# --------------------------------------------------------------------------
+# Proto-level dataclasses (faithful subset of the ONNX message graph)
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class Attribute:
+    name: str
+    # exactly one of these is set
+    f: Optional[float] = None
+    i: Optional[int] = None
+    s: Optional[bytes] = None
+    t: Optional["TensorData"] = None
+    floats: Optional[List[float]] = None
+    ints: Optional[List[int]] = None
+    strings: Optional[List[bytes]] = None
+
+    @property
+    def value(self):
+        for v in (self.f, self.i, self.s, self.t, self.floats, self.ints, self.strings):
+            if v is not None:
+                return v
+        return None
+
+
+@dataclasses.dataclass
+class NodeProto:
+    op_type: str
+    input: List[str]
+    output: List[str]
+    name: str = ""
+    domain: str = ""
+    attributes: Dict[str, Attribute] = dataclasses.field(default_factory=dict)
+
+    def attr(self, name: str, default=None):
+        a = self.attributes.get(name)
+        return default if a is None else a.value
+
+
+@dataclasses.dataclass
+class TensorData:
+    """Decoded TensorProto: name + numpy array."""
+
+    name: str
+    array: np.ndarray
+
+
+@dataclasses.dataclass
+class ValueInfo:
+    name: str
+    elem_type: Optional[int] = None
+    shape: Optional[List[Union[int, str, None]]] = None  # str = symbolic dim_param
+
+
+@dataclasses.dataclass
+class GraphProto:
+    name: str = ""
+    nodes: List[NodeProto] = dataclasses.field(default_factory=list)
+    initializers: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    inputs: List[ValueInfo] = dataclasses.field(default_factory=list)
+    outputs: List[ValueInfo] = dataclasses.field(default_factory=list)
+    value_infos: List[ValueInfo] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class ModelProto:
+    graph: GraphProto
+    ir_version: int = 8
+    opset_version: int = 13
+    opset_domain: str = ""
+    producer_name: str = ""
+    producer_version: str = ""
+    domain: str = ""
+    model_version: int = 0
+
+
+# --------------------------------------------------------------------------
+# TensorProto decode / encode
+# --------------------------------------------------------------------------
+def parse_tensor_proto(buf: bytes) -> TensorData:
+    dims: List[int] = []
+    data_type = FLOAT
+    name = ""
+    raw: Optional[bytes] = None
+    float_data: List[float] = []
+    int_data: List[int] = []
+    double_data: List[float] = []
+    for field, wire, value in WireReader(buf):
+        if field == 1:  # dims (repeated int64; may be packed or unpacked)
+            if wire == 0:
+                dims.append(WireReader.as_int64(value))
+            else:
+                dims.extend(WireReader.packed_varints(value))
+        elif field == 2:
+            data_type = int(value)  # type: ignore[arg-type]
+        elif field == 4:  # float_data, packed
+            b = bytes(value) if wire == 2 else bytes(value)
+            float_data.extend(np.frombuffer(b, dtype="<f4").tolist())
+        elif field in (5, 7):  # int32_data / int64_data
+            if wire == 0:
+                int_data.append(WireReader.as_int64(value))
+            else:
+                int_data.extend(WireReader.packed_varints(value))
+        elif field == 8:
+            name = WireReader.as_string(value)
+        elif field == 9:
+            raw = bytes(value)  # type: ignore[arg-type]
+        elif field == 10:  # double_data, packed
+            double_data.extend(np.frombuffer(bytes(value), dtype="<f8").tolist())
+        elif field == 13:
+            raise NotImplementedError("external_data tensors are not supported")
+
+    np_dtype = DTYPE_TO_NUMPY.get(data_type)
+    if np_dtype is None:
+        raise NotImplementedError(f"TensorProto data_type {data_type} ({name!r})")
+    shape = tuple(dims)
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=np_dtype.newbyteorder("<")).astype(np_dtype)
+    elif float_data:
+        arr = np.asarray(float_data, dtype=np_dtype)
+    elif double_data:
+        arr = np.asarray(double_data, dtype=np_dtype)
+    elif int_data:
+        arr = np.asarray(int_data, dtype=np_dtype)
+    else:
+        arr = np.zeros(shape, dtype=np_dtype)
+    return TensorData(name=name, array=arr.reshape(shape))
+
+
+def encode_tensor_proto(name: str, array: np.ndarray) -> bytes:
+    dtype = NUMPY_TO_DTYPE.get(array.dtype)
+    if dtype is None:
+        raise NotImplementedError(f"cannot encode numpy dtype {array.dtype}")
+    w = WireWriter()
+    w.packed_varints(1, list(array.shape))
+    w.varint(2, dtype)
+    w.string(8, name)
+    w.bytes_field(9, np.ascontiguousarray(array).astype(array.dtype, copy=False).tobytes())
+    return w.getvalue()
+
+
+def read_tensor_file(path: str) -> TensorData:
+    """Read a serialized TensorProto .pb file (the bundled golden I/O pairs)."""
+    with open(path, "rb") as f:
+        return parse_tensor_proto(f.read())
+
+
+def write_tensor_file(path: str, name: str, array: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_tensor_proto(name, array))
+
+
+# --------------------------------------------------------------------------
+# Attribute / Node / ValueInfo / Graph / Model decode
+# --------------------------------------------------------------------------
+# AttributeProto.AttributeType constants
+_ATTR_FLOAT, _ATTR_INT, _ATTR_STRING, _ATTR_TENSOR = 1, 2, 3, 4
+_ATTR_FLOATS, _ATTR_INTS, _ATTR_STRINGS = 6, 7, 8
+
+
+def _parse_attribute(buf: bytes) -> Attribute:
+    a = Attribute(name="")
+    for field, wire, value in WireReader(buf):
+        if field == 1:
+            a.name = WireReader.as_string(value)
+        elif field == 2:
+            a.f = WireReader.as_float32(value)
+        elif field == 3:
+            a.i = WireReader.as_int64(value)
+        elif field == 4:
+            a.s = bytes(value)  # type: ignore[arg-type]
+        elif field == 5:
+            a.t = parse_tensor_proto(bytes(value))  # type: ignore[arg-type]
+        elif field == 7:
+            a.floats = (a.floats or [])
+            a.floats.extend(
+                np.frombuffer(bytes(value), dtype="<f4").tolist()
+                if wire == 2
+                else [WireReader.as_float32(value)]
+            )
+        elif field == 8:
+            a.ints = (a.ints or [])
+            if wire == 0:
+                a.ints.append(WireReader.as_int64(value))
+            else:
+                a.ints.extend(WireReader.packed_varints(value))
+        elif field == 9:
+            a.strings = (a.strings or [])
+            a.strings.append(bytes(value))  # type: ignore[arg-type]
+        # field 20 (type) is redundant with which member is set; ignored.
+    return a
+
+
+def _parse_node(buf: bytes) -> NodeProto:
+    n = NodeProto(op_type="", input=[], output=[])
+    for field, wire, value in WireReader(buf):
+        if field == 1:
+            n.input.append(WireReader.as_string(value))
+        elif field == 2:
+            n.output.append(WireReader.as_string(value))
+        elif field == 3:
+            n.name = WireReader.as_string(value)
+        elif field == 4:
+            n.op_type = WireReader.as_string(value)
+        elif field == 5:
+            a = _parse_attribute(bytes(value))  # type: ignore[arg-type]
+            n.attributes[a.name] = a
+        elif field == 7:
+            n.domain = WireReader.as_string(value)
+    return n
+
+
+def _parse_value_info(buf: bytes) -> ValueInfo:
+    vi = ValueInfo(name="")
+    for field, wire, value in WireReader(buf):
+        if field == 1:
+            vi.name = WireReader.as_string(value)
+        elif field == 2:  # TypeProto
+            for f2, w2, v2 in WireReader(bytes(value)):  # type: ignore[arg-type]
+                if f2 == 1:  # tensor_type
+                    for f3, w3, v3 in WireReader(bytes(v2)):  # type: ignore[arg-type]
+                        if f3 == 1:
+                            vi.elem_type = int(v3)  # type: ignore[arg-type]
+                        elif f3 == 2:  # TensorShapeProto
+                            dims: List[Union[int, str, None]] = []
+                            for f4, w4, v4 in WireReader(bytes(v3)):  # type: ignore[arg-type]
+                                if f4 == 1:  # Dimension
+                                    dim: Union[int, str, None] = None
+                                    for f5, w5, v5 in WireReader(bytes(v4)):  # type: ignore[arg-type]
+                                        if f5 == 1:
+                                            dim = WireReader.as_int64(v5)
+                                        elif f5 == 2:
+                                            dim = WireReader.as_string(v5)
+                                    dims.append(dim)
+                            vi.shape = dims
+    return vi
+
+
+def _parse_graph(buf: bytes) -> GraphProto:
+    g = GraphProto()
+    for field, wire, value in WireReader(buf):
+        if field == 1:
+            g.nodes.append(_parse_node(bytes(value)))  # type: ignore[arg-type]
+        elif field == 2:
+            g.name = WireReader.as_string(value)
+        elif field == 5:
+            t = parse_tensor_proto(bytes(value))  # type: ignore[arg-type]
+            g.initializers[t.name] = t.array
+        elif field == 11:
+            g.inputs.append(_parse_value_info(bytes(value)))  # type: ignore[arg-type]
+        elif field == 12:
+            g.outputs.append(_parse_value_info(bytes(value)))  # type: ignore[arg-type]
+        elif field == 13:
+            g.value_infos.append(_parse_value_info(bytes(value)))  # type: ignore[arg-type]
+    return g
+
+
+def parse_model(buf: bytes) -> ModelProto:
+    graph: Optional[GraphProto] = None
+    m_kwargs: Dict[str, object] = {}
+    for field, wire, value in WireReader(buf):
+        if field == 1:
+            m_kwargs["ir_version"] = WireReader.as_int64(value)
+        elif field == 2:
+            m_kwargs["producer_name"] = WireReader.as_string(value)
+        elif field == 3:
+            m_kwargs["producer_version"] = WireReader.as_string(value)
+        elif field == 4:
+            m_kwargs["domain"] = WireReader.as_string(value)
+        elif field == 5:
+            m_kwargs["model_version"] = WireReader.as_int64(value)
+        elif field == 7:
+            graph = _parse_graph(bytes(value))  # type: ignore[arg-type]
+        elif field == 8:  # opset_import
+            for f2, w2, v2 in WireReader(bytes(value)):  # type: ignore[arg-type]
+                if f2 == 1:
+                    m_kwargs["opset_domain"] = WireReader.as_string(v2)
+                elif f2 == 2:
+                    m_kwargs["opset_version"] = WireReader.as_int64(v2)
+    if graph is None:
+        raise ValueError("ModelProto has no graph")
+    return ModelProto(graph=graph, **m_kwargs)  # type: ignore[arg-type]
+
+
+def load_model(path: str) -> ModelProto:
+    with open(path, "rb") as f:
+        return parse_model(f.read())
+
+
+# --------------------------------------------------------------------------
+# Encode (for synthesizing models)
+# --------------------------------------------------------------------------
+def _encode_attribute(a: Attribute) -> bytes:
+    w = WireWriter()
+    w.string(1, a.name)
+    if a.f is not None:
+        w.float32(2, a.f).varint(20, _ATTR_FLOAT)
+    elif a.i is not None:
+        w.varint(3, a.i).varint(20, _ATTR_INT)
+    elif a.s is not None:
+        w.bytes_field(4, a.s).varint(20, _ATTR_STRING)
+    elif a.t is not None:
+        w.bytes_field(5, encode_tensor_proto(a.t.name, a.t.array)).varint(20, _ATTR_TENSOR)
+    elif a.floats is not None:
+        payload = np.asarray(a.floats, dtype="<f4").tobytes()
+        w.bytes_field(7, payload).varint(20, _ATTR_FLOATS)
+    elif a.ints is not None:
+        w.packed_varints(8, a.ints).varint(20, _ATTR_INTS)
+    elif a.strings is not None:
+        for s in a.strings:
+            w.bytes_field(9, s)
+        w.varint(20, _ATTR_STRINGS)
+    return w.getvalue()
+
+
+def _encode_node(n: NodeProto) -> bytes:
+    w = WireWriter()
+    for s in n.input:
+        w.string(1, s)
+    for s in n.output:
+        w.string(2, s)
+    if n.name:
+        w.string(3, n.name)
+    w.string(4, n.op_type)
+    for a in n.attributes.values():
+        w.bytes_field(5, _encode_attribute(a))
+    if n.domain:
+        w.string(7, n.domain)
+    return w.getvalue()
+
+
+def _encode_value_info(vi: ValueInfo) -> bytes:
+    shape_w = WireWriter()
+    for d in vi.shape or []:
+        dim_w = WireWriter()
+        if isinstance(d, int):
+            dim_w.varint(1, d)
+        elif isinstance(d, str):
+            dim_w.string(2, d)
+        shape_w.bytes_field(1, dim_w.getvalue())
+    tt = WireWriter()
+    tt.varint(1, vi.elem_type or FLOAT)
+    tt.bytes_field(2, shape_w.getvalue())
+    tp = WireWriter()
+    tp.bytes_field(1, tt.getvalue())
+    w = WireWriter()
+    w.string(1, vi.name)
+    w.bytes_field(2, tp.getvalue())
+    return w.getvalue()
+
+
+def _encode_graph(g: GraphProto) -> bytes:
+    w = WireWriter()
+    for n in g.nodes:
+        w.bytes_field(1, _encode_node(n))
+    if g.name:
+        w.string(2, g.name)
+    for name, arr in g.initializers.items():
+        w.bytes_field(5, encode_tensor_proto(name, arr))
+    for vi in g.inputs:
+        w.bytes_field(11, _encode_value_info(vi))
+    for vi in g.outputs:
+        w.bytes_field(12, _encode_value_info(vi))
+    for vi in g.value_infos:
+        w.bytes_field(13, _encode_value_info(vi))
+    return w.getvalue()
+
+
+def serialize_model(m: ModelProto) -> bytes:
+    w = WireWriter()
+    w.varint(1, m.ir_version)
+    if m.producer_name:
+        w.string(2, m.producer_name)
+    if m.producer_version:
+        w.string(3, m.producer_version)
+    if m.domain:
+        w.string(4, m.domain)
+    if m.model_version:
+        w.varint(5, m.model_version)
+    w.bytes_field(7, _encode_graph(m.graph))
+    op = WireWriter()
+    if m.opset_domain:
+        op.string(1, m.opset_domain)
+    op.varint(2, m.opset_version)
+    w.bytes_field(8, op.getvalue())
+    return w.getvalue()
+
+
+def save_model(path: str, m: ModelProto) -> None:
+    with open(path, "wb") as f:
+        f.write(serialize_model(m))

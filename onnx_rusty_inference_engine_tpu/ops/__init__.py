@@ -1,0 +1,13 @@
+"""Operator lowering rules (op_type → JAX emitter) and Pallas kernels."""
+
+from .registry import (  # noqa: F401
+    LoweringContext,
+    UnsupportedOpError,
+    get_emitter,
+    register,
+    supported_ops,
+)
+
+# Importing these modules populates the registry.
+from . import standard  # noqa: F401,E402
+from . import quantized  # noqa: F401,E402

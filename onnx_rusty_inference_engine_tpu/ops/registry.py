@@ -1,0 +1,64 @@
+"""Lowering-rule registry: ONNX op_type → JAX emitter.
+
+The TPU-native replacement for the reference's `node_inference` match-dispatch
+(reference: src/inference_engine/model_inference.rs:138-161). Instead of
+executing eagerly against a mutex-guarded value store, each emitter *builds*
+part of a single pure JAX computation; XLA compiles and schedules the whole
+graph at once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..graph import Graph, Node
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+class UnsupportedOpError(NotImplementedError):
+    """Clean error for unknown ops (the reference panics: model_inference.rs:158-160)."""
+
+
+def register(*op_types: str):
+    def deco(fn):
+        for op in op_types:
+            _REGISTRY[op] = fn
+        return fn
+    return deco
+
+
+def get_emitter(op_type: str) -> Callable:
+    fn = _REGISTRY.get(op_type)
+    if fn is None:
+        raise UnsupportedOpError(
+            f"op '{op_type}' has no lowering rule; supported: {sorted(_REGISTRY)}"
+        )
+    return fn
+
+
+def supported_ops():
+    return sorted(_REGISTRY)
+
+
+class LoweringContext:
+    """Static context handed to emitters: constants + opset + value env."""
+
+    def __init__(self, graph: Graph, env: dict):
+        self.graph = graph
+        self.env = env  # tensor name -> traced jax value
+        self.opset = graph.opset
+
+    def constant(self, name: str) -> Optional[np.ndarray]:
+        """Static (trace-time) value of a tensor if known, else None."""
+        return self.graph.constants.get(name)
+
+    def require_constant(self, name: str, what: str) -> np.ndarray:
+        v = self.constant(name)
+        if v is None:
+            raise UnsupportedOpError(
+                f"{what} must be statically known (tensor {name!r}) for XLA lowering"
+            )
+        return v

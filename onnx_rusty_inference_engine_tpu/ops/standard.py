@@ -1,0 +1,806 @@
+"""fp32/generic ONNX op emitters → jax.numpy / jax.lax.
+
+Covers the reference's whole 10-op set (reference: src/inference_engine/
+model_inference.rs:138-161 — Conv, Relu, MaxPool, Concat, Dropout,
+GlobalAveragePool, Softmax, Reshape, Add, MatMul) plus the broader op set
+needed for the north-star model families (ResNet-50, GPT-2 decoder) and for
+real ONNX exports (Gemm, BatchNormalization, LRN, Transpose, Split, Gather,
+elementwise/reduction families, …). Each emitter is rank-general and
+batch-general, unlike the reference ops which hardcode batch index 0
+(e.g. convolution_op.rs:480) and cap ranks at 4 (utils.rs:117-121).
+
+Convs/matmuls lower to `lax.conv_general_dilated` / `jnp.matmul` so XLA tiles
+them onto the MXU; elementwise ops fuse into their producers.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import onnx_io
+from ..graph import Node, _resolve_reshape
+from .registry import LoweringContext, UnsupportedOpError, register
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+def _fp32_precision(x):
+    """fp32 inputs contract at full precision (TPU otherwise defaults to a
+    bf16-based matmul pass, breaking golden parity); bf16/int inputs keep the
+    fast path."""
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
+def _onnx_pads_to_lax(pads: Sequence[int], spatial: int) -> List[Tuple[int, int]]:
+    """ONNX pads = [x1_begin, x2_begin, ..., x1_end, x2_end, ...] → [(lo, hi)]."""
+    return [(int(pads[i]), int(pads[i + spatial])) for i in range(spatial)]
+
+
+def _auto_pad(
+    auto_pad: str,
+    in_spatial: Sequence[int],
+    kernel: Sequence[int],
+    strides: Sequence[int],
+    dilations: Sequence[int],
+) -> List[Tuple[int, int]]:
+    """SAME_UPPER / SAME_LOWER / VALID padding per the ONNX spec.
+
+    (Reference equivalent: get_padding_size, src/inference_fp32_ops/
+    convolution_op.rs:519-557.)
+    """
+    if auto_pad == "VALID":
+        return [(0, 0)] * len(in_spatial)
+    out = []
+    for size, k, s, d in zip(in_spatial, kernel, strides, dilations):
+        eff_k = (k - 1) * d + 1
+        out_size = -(-size // s)  # ceil
+        total = max(0, (out_size - 1) * s + eff_k - size)
+        lo = total // 2
+        hi = total - lo
+        if auto_pad == "SAME_LOWER":
+            lo, hi = hi, lo
+        out.append((lo, hi))
+    return out
+
+
+def _conv_padding(node: Node, in_spatial, kernel, strides, dilations):
+    pads = node.attr("pads")
+    auto_pad = node.attr("auto_pad", "NOTSET")
+    # Per ONNX spec pads and auto_pad are mutually exclusive; some exporters
+    # set both — explicit nonzero pads win (reference mirrors this:
+    # convolution_op.rs:169-173).
+    if pads is not None and (auto_pad in ("NOTSET", "") or any(pads)):
+        return _onnx_pads_to_lax(pads, len(in_spatial))
+    if auto_pad in ("NOTSET", "", None):
+        return [(0, 0)] * len(in_spatial)
+    return _auto_pad(auto_pad, in_spatial, kernel, strides, dilations)
+
+
+def _conv_dimension_numbers(spatial: int) -> lax.ConvDimensionNumbers:
+    # ONNX layout is channels-first: N C *spatial; kernels O I *spatial.
+    lhs = (0, 1) + tuple(range(2, 2 + spatial))
+    rhs = (0, 1) + tuple(range(2, 2 + spatial))
+    return lax.ConvDimensionNumbers(lhs_spec=lhs, rhs_spec=rhs, out_spec=lhs)
+
+
+# --------------------------------------------------------------------------
+# Convolution family
+# --------------------------------------------------------------------------
+@register("Conv")
+def conv(ctx: LoweringContext, node: Node, ins):
+    x, w = ins[0], ins[1]
+    b = ins[2] if len(ins) > 2 else None
+    spatial = x.ndim - 2
+    kernel = node.attr("kernel_shape", w.shape[2:])
+    strides = [int(s) for s in node.attr("strides", [1] * spatial)]
+    dilations = [int(d) for d in node.attr("dilations", [1] * spatial)]
+    group = int(node.attr("group", 1))
+    padding = _conv_padding(node, x.shape[2:], kernel, strides, dilations)
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=dilations,
+        dimension_numbers=_conv_dimension_numbers(spatial),
+        feature_group_count=group,
+        precision=_fp32_precision(x),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    )
+    if b is not None:
+        out = out + b.reshape((1, -1) + (1,) * spatial)
+    return (out,)
+
+
+@register("ConvTranspose")
+def conv_transpose(ctx: LoweringContext, node: Node, ins):
+    x, w = ins[0], ins[1]
+    b = ins[2] if len(ins) > 2 else None
+    spatial = x.ndim - 2
+    kernel = node.attr("kernel_shape", w.shape[2:])
+    strides = [int(s) for s in node.attr("strides", [1] * spatial)]
+    dilations = [int(d) for d in node.attr("dilations", [1] * spatial)]
+    group = int(node.attr("group", 1))
+    if group != 1:
+        raise UnsupportedOpError("grouped ConvTranspose not supported yet")
+    pads = node.attr("pads", [0] * (2 * spatial))
+    out_pads = node.attr("output_padding", [0] * spatial)
+    # ONNX ConvTranspose == gradient of Conv: lhs-dilate input by stride,
+    # pad with (eff_k - 1 - pad) on both sides, then stride-1 conv with
+    # the kernel flipped and its I/O axes swapped (kernel layout is I O *k).
+    eff_k = [(int(k) - 1) * d + 1 for k, d in zip(kernel, dilations)]
+    padding = [
+        (ek - 1 - int(pads[i]), ek - 1 - int(pads[i + spatial]) + int(out_pads[i]))
+        for i, ek in enumerate(eff_k)
+    ]
+    w_flip = jnp.flip(w, axis=tuple(range(2, 2 + spatial)))
+    w_t = jnp.swapaxes(w_flip, 0, 1)
+    out = lax.conv_general_dilated(
+        x,
+        w_t,
+        window_strides=[1] * spatial,
+        padding=padding,
+        lhs_dilation=strides,
+        rhs_dilation=dilations,
+        dimension_numbers=_conv_dimension_numbers(spatial),
+        precision=_fp32_precision(x),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    )
+    if b is not None:
+        out = out + b.reshape((1, -1) + (1,) * spatial)
+    return (out,)
+
+
+# --------------------------------------------------------------------------
+# Pooling
+# --------------------------------------------------------------------------
+def _pool(node: Node, x, init, reduce_fn, is_avg=False):
+    spatial = x.ndim - 2
+    kernel = [int(k) for k in node.attr("kernel_shape")]
+    strides = [int(s) for s in node.attr("strides", [1] * spatial)]
+    dilations = [int(d) for d in node.attr("dilations", [1] * spatial)]
+    ceil_mode = int(node.attr("ceil_mode", 0))
+    padding = _conv_padding(node, x.shape[2:], kernel, strides, dilations)
+    if ceil_mode:
+        # extend end-padding so the last partial window is included
+        new_pad = []
+        for i, (lo, hi) in enumerate(padding):
+            size = x.shape[2 + i]
+            eff_k = (kernel[i] - 1) * dilations[i] + 1
+            out_ceil = -(-(size + lo + hi - eff_k) // strides[i]) + 1
+            needed = (out_ceil - 1) * strides[i] + eff_k - (size + lo)
+            new_pad.append((lo, max(hi, needed)))
+        padding = new_pad
+    window = (1, 1) + tuple(kernel)
+    w_strides = (1, 1) + tuple(strides)
+    w_dil = (1, 1) + tuple(dilations)
+    full_pad = [(0, 0), (0, 0)] + padding
+    out = lax.reduce_window(
+        x, init, reduce_fn, window, w_strides, full_pad, window_dilation=w_dil
+    )
+    return out, padding, kernel, strides
+
+
+@register("MaxPool")
+def max_pool(ctx: LoweringContext, node: Node, ins):
+    # (Reference equivalent: max_pool2d, src/inference_fp32_ops/max_pool_op.rs:157-360.)
+    x = ins[0]
+    dtype_min = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    out, _, _, _ = _pool(node, x, dtype_min, lax.max)
+    return (out,)
+
+
+@register("AveragePool")
+def average_pool(ctx: LoweringContext, node: Node, ins):
+    x = ins[0]
+    count_include_pad = int(node.attr("count_include_pad", 0))
+    out, padding, kernel, strides = _pool(node, x, 0.0, lax.add, is_avg=True)
+    if count_include_pad or not any(lo or hi for lo, hi in padding):
+        out = out / math.prod(kernel)
+    else:
+        ones = jnp.ones((1, 1) + x.shape[2:], dtype=x.dtype)
+        counts = lax.reduce_window(
+            ones, 0.0, lax.add,
+            (1, 1) + tuple(kernel), (1, 1) + tuple(strides),
+            [(0, 0), (0, 0)] + padding,
+        )
+        out = out / counts
+    return (out,)
+
+
+@register("GlobalAveragePool")
+def global_average_pool(ctx: LoweringContext, node: Node, ins):
+    # (Reference: src/inference_fp32_ops/global_average_pool_op.rs:33-52.)
+    x = ins[0]
+    return (jnp.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True),)
+
+
+@register("GlobalMaxPool")
+def global_max_pool(ctx: LoweringContext, node: Node, ins):
+    x = ins[0]
+    return (jnp.max(x, axis=tuple(range(2, x.ndim)), keepdims=True),)
+
+
+# --------------------------------------------------------------------------
+# Matmul / Gemm
+# --------------------------------------------------------------------------
+@register("MatMul")
+def matmul(ctx: LoweringContext, node: Node, ins):
+    # (Reference: src/inference_fp32_ops/mul_op.rs — 2-D only; this is N-D.)
+    a, b = ins
+    return (jnp.matmul(a, b, precision=_fp32_precision(a),
+                       preferred_element_type=_accum_dtype(a)),)
+
+
+def _accum_dtype(a):
+    return jnp.float32 if a.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) else None
+
+
+@register("Gemm")
+def gemm(ctx: LoweringContext, node: Node, ins):
+    a, b = ins[0], ins[1]
+    c = ins[2] if len(ins) > 2 else None
+    alpha = float(node.attr("alpha", 1.0))
+    beta = float(node.attr("beta", 1.0))
+    if int(node.attr("transA", 0)):
+        a = a.T
+    if int(node.attr("transB", 0)):
+        b = b.T
+    out = alpha * jnp.matmul(a, b, precision=_fp32_precision(a),
+                             preferred_element_type=_accum_dtype(a))
+    if c is not None and beta != 0.0:
+        out = out + beta * c
+    return (out.astype(a.dtype),)
+
+
+@register("Einsum")
+def einsum(ctx: LoweringContext, node: Node, ins):
+    eq = node.attr("equation")
+    return (jnp.einsum(eq, *ins),)
+
+
+# --------------------------------------------------------------------------
+# Elementwise (binary, with numpy broadcasting)
+# --------------------------------------------------------------------------
+def _binary(fn):
+    def emit(ctx, node, ins):
+        return (fn(ins[0], ins[1]),)
+    return emit
+
+
+register("Add")(_binary(jnp.add))        # reference: add_op.rs
+register("Sub")(_binary(jnp.subtract))
+register("Mul")(_binary(jnp.multiply))
+register("Div")(_binary(jnp.divide))
+register("Pow")(_binary(jnp.power))
+register("Equal")(_binary(jnp.equal))
+register("Greater")(_binary(jnp.greater))
+register("GreaterOrEqual")(_binary(jnp.greater_equal))
+register("Less")(_binary(jnp.less))
+register("LessOrEqual")(_binary(jnp.less_equal))
+register("And")(_binary(jnp.logical_and))
+register("Or")(_binary(jnp.logical_or))
+register("Xor")(_binary(jnp.logical_xor))
+register("BitwiseAnd")(_binary(jnp.bitwise_and))
+register("BitwiseOr")(_binary(jnp.bitwise_or))
+register("Mod")(_binary(jnp.mod))
+
+
+@register("Min")
+def op_min(ctx, node, ins):
+    out = ins[0]
+    for x in ins[1:]:
+        out = jnp.minimum(out, x)
+    return (out,)
+
+
+@register("Max")
+def op_max(ctx, node, ins):
+    out = ins[0]
+    for x in ins[1:]:
+        out = jnp.maximum(out, x)
+    return (out,)
+
+
+@register("Sum")
+def op_sum(ctx, node, ins):
+    out = ins[0]
+    for x in ins[1:]:
+        out = out + x
+    return (out,)
+
+
+@register("Mean")
+def op_mean(ctx, node, ins):
+    return (sum(ins[1:], start=ins[0]) / len(ins),)
+
+
+# --------------------------------------------------------------------------
+# Elementwise (unary)
+# --------------------------------------------------------------------------
+def _unary(fn):
+    def emit(ctx, node, ins):
+        return (fn(ins[0]),)
+    return emit
+
+
+register("Relu")(_unary(lambda x: jnp.maximum(x, 0)))  # reference: relu_op.rs:31-33
+register("Sigmoid")(_unary(jax.nn.sigmoid))
+register("Tanh")(_unary(jnp.tanh))
+register("Exp")(_unary(jnp.exp))
+register("Log")(_unary(jnp.log))
+register("Sqrt")(_unary(jnp.sqrt))
+register("Reciprocal")(_unary(lambda x: 1.0 / x))
+register("Neg")(_unary(jnp.negative))
+register("Abs")(_unary(jnp.abs))
+register("Floor")(_unary(jnp.floor))
+register("Ceil")(_unary(jnp.ceil))
+register("Round")(_unary(jnp.round))
+register("Sign")(_unary(jnp.sign))
+register("Erf")(_unary(jax.scipy.special.erf))
+register("Not")(_unary(jnp.logical_not))
+register("Softplus")(_unary(jax.nn.softplus))
+register("Softsign")(_unary(jax.nn.soft_sign))
+register("Sin")(_unary(jnp.sin))
+register("Cos")(_unary(jnp.cos))
+register("IsNaN")(_unary(jnp.isnan))
+register("IsInf")(_unary(jnp.isinf))
+
+
+@register("LeakyRelu")
+def leaky_relu(ctx, node, ins):
+    alpha = float(node.attr("alpha", 0.01))
+    return (jax.nn.leaky_relu(ins[0], alpha),)
+
+
+@register("Elu")
+def elu(ctx, node, ins):
+    alpha = float(node.attr("alpha", 1.0))
+    return (jax.nn.elu(ins[0], alpha),)
+
+
+@register("Selu")
+def selu(ctx, node, ins):
+    return (jax.nn.selu(ins[0]),)
+
+
+@register("HardSigmoid")
+def hard_sigmoid(ctx, node, ins):
+    alpha = float(node.attr("alpha", 0.2))
+    beta = float(node.attr("beta", 0.5))
+    return (jnp.clip(alpha * ins[0] + beta, 0.0, 1.0),)
+
+
+@register("Gelu")
+def gelu(ctx, node, ins):
+    approx = node.attr("approximate", "none") == "tanh"
+    return (jax.nn.gelu(ins[0], approximate=approx),)
+
+
+@register("Clip")
+def clip(ctx, node, ins):
+    x = ins[0]
+    lo = node.attr("min")
+    hi = node.attr("max")
+    if lo is None and len(ins) > 1 and ins[1] is not None:
+        lo = ins[1]
+    if hi is None and len(ins) > 2 and ins[2] is not None:
+        hi = ins[2]
+    return (jnp.clip(x, lo, hi),)
+
+
+@register("PRelu")
+def prelu(ctx, node, ins):
+    x, slope = ins
+    return (jnp.where(x >= 0, x, x * slope),)
+
+
+@register("Where")
+def where(ctx, node, ins):
+    return (jnp.where(ins[0], ins[1], ins[2]),)
+
+
+@register("Cast")
+def cast(ctx, node, ins):
+    to = onnx_io.DTYPE_TO_NUMPY[int(node.attr("to"))]
+    return (ins[0].astype(to),)
+
+
+@register("CastLike")
+def cast_like(ctx, node, ins):
+    return (ins[0].astype(ins[1].dtype),)
+
+
+# --------------------------------------------------------------------------
+# Softmax family
+# --------------------------------------------------------------------------
+def _softmax_axis(ctx, node, x):
+    default = 1 if ctx.opset < 13 else -1
+    return int(node.attr("axis", default))
+
+
+@register("Softmax")
+def softmax(ctx: LoweringContext, node: Node, ins):
+    # Opset <13 semantics: flatten to 2-D at `axis`, softmax over the tail.
+    # (The reference hardcodes the flatten-all-trailing form:
+    # src/inference_fp32_ops/softmax_op.rs:46-56.)
+    x = ins[0]
+    axis = _softmax_axis(ctx, node, x)
+    if ctx.opset < 13:
+        ax = axis % x.ndim
+        lead = math.prod(x.shape[:ax]) if ax else 1
+        flat = x.reshape(lead, -1)
+        out = jax.nn.softmax(flat, axis=-1).reshape(x.shape)
+        return (out,)
+    return (jax.nn.softmax(x, axis=axis),)
+
+
+@register("LogSoftmax")
+def log_softmax(ctx, node, ins):
+    x = ins[0]
+    axis = _softmax_axis(ctx, node, x)
+    if ctx.opset < 13:
+        ax = axis % x.ndim
+        lead = math.prod(x.shape[:ax]) if ax else 1
+        flat = x.reshape(lead, -1)
+        return (jax.nn.log_softmax(flat, axis=-1).reshape(x.shape),)
+    return (jax.nn.log_softmax(x, axis=axis),)
+
+
+# --------------------------------------------------------------------------
+# Shape manipulation
+# --------------------------------------------------------------------------
+@register("Reshape")
+def reshape(ctx: LoweringContext, node: Node, ins):
+    # (Reference: src/inference_fp32_ops/reshape_op.rs — 4D→2D only; this is full spec.)
+    x = ins[0]
+    shape = ctx.require_constant(node.inputs[1], "Reshape shape")
+    tgt = list(_resolve_reshape(x.shape, shape, allowzero=int(node.attr("allowzero", 0))))
+    # Batch polymorphism: ONNX exports bake the batch size into Reshape
+    # targets (e.g. MNIST's [1, 256]). When the element counts disagree and
+    # the tail divides evenly, treat the leading dim as the batch dim.
+    total = math.prod(x.shape)
+    if math.prod(tgt) != total and -1 not in tgt:
+        tail = math.prod(tgt[1:])
+        if tail > 0 and total % tail == 0:
+            tgt[0] = total // tail
+    return (jnp.reshape(x, tuple(tgt)),)
+
+
+@register("Flatten")
+def flatten(ctx, node, ins):
+    x = ins[0]
+    ax = int(node.attr("axis", 1)) % (x.ndim + 1)
+    return (jnp.reshape(x, (math.prod(x.shape[:ax]) if ax else 1, -1)),)
+
+
+@register("Transpose")
+def transpose(ctx, node, ins):
+    x = ins[0]
+    perm = node.attr("perm", list(reversed(range(x.ndim))))
+    return (jnp.transpose(x, perm),)
+
+
+@register("Concat")
+def concat(ctx, node, ins):
+    # N-ary per spec (reference caps at 2 inputs: concatenate_op.rs:15-18).
+    return (jnp.concatenate(ins, axis=int(node.attr("axis", 1))),)
+
+
+@register("Split")
+def split(ctx: LoweringContext, node: Node, ins):
+    x = ins[0]
+    axis = int(node.attr("axis", 0))
+    sizes = node.attr("split")
+    if sizes is None and len(ins) > 1 and ins[1] is not None:
+        sizes = ctx.require_constant(node.inputs[1], "Split sizes").tolist()
+    n_out = len(node.outputs)
+    if sizes is None:
+        sizes = [x.shape[axis] // n_out] * n_out
+    bounds = np.cumsum(sizes)[:-1].tolist()
+    return tuple(jnp.split(x, bounds, axis=axis))
+
+
+@register("Squeeze")
+def squeeze(ctx: LoweringContext, node: Node, ins):
+    x = ins[0]
+    axes = node.attr("axes")
+    if axes is None and len(ins) > 1 and node.inputs[1]:
+        axes = ctx.require_constant(node.inputs[1], "Squeeze axes").tolist()
+    if axes is None:
+        return (jnp.squeeze(x),)
+    return (jnp.squeeze(x, axis=tuple(int(a) % x.ndim for a in axes)),)
+
+
+@register("Unsqueeze")
+def unsqueeze(ctx: LoweringContext, node: Node, ins):
+    x = ins[0]
+    axes = node.attr("axes")
+    if axes is None:
+        axes = ctx.require_constant(node.inputs[1], "Unsqueeze axes").tolist()
+    out = x
+    for ax in sorted(int(a) for a in axes):
+        out = jnp.expand_dims(out, ax if ax >= 0 else ax + out.ndim + 1)
+    return (out,)
+
+
+@register("Expand")
+def expand(ctx: LoweringContext, node: Node, ins):
+    from ..graph import _broadcast_expand
+    x = ins[0]
+    shape = ctx.require_constant(node.inputs[1], "Expand shape")
+    return (jnp.broadcast_to(x, _broadcast_expand(x.shape, shape)),)
+
+
+@register("Tile")
+def tile(ctx: LoweringContext, node: Node, ins):
+    reps = ctx.require_constant(node.inputs[1], "Tile repeats")
+    return (jnp.tile(ins[0], tuple(int(r) for r in reps)),)
+
+
+@register("Slice")
+def slice_op(ctx: LoweringContext, node: Node, ins):
+    x = ins[0]
+    if ctx.opset >= 10 or len(node.inputs) > 1:
+        starts = ctx.require_constant(node.inputs[1], "Slice starts").tolist()
+        ends = ctx.require_constant(node.inputs[2], "Slice ends").tolist()
+        axes = (ctx.require_constant(node.inputs[3], "Slice axes").tolist()
+                if len(node.inputs) > 3 and node.inputs[3] else list(range(len(starts))))
+        steps = (ctx.require_constant(node.inputs[4], "Slice steps").tolist()
+                 if len(node.inputs) > 4 and node.inputs[4] else [1] * len(starts))
+    else:
+        starts = [int(v) for v in node.attr("starts")]
+        ends = [int(v) for v in node.attr("ends")]
+        axes = [int(v) for v in (node.attr("axes") or range(len(starts)))]
+        steps = [1] * len(starts)
+    sl = [slice(None)] * x.ndim
+    for ax, st, en, sp in zip(axes, starts, ends, steps):
+        sl[int(ax)] = slice(int(st), int(en), int(sp))
+    return (x[tuple(sl)],)
+
+
+@register("Gather")
+def gather(ctx, node, ins):
+    x, idx = ins
+    axis = int(node.attr("axis", 0))
+    return (jnp.take(x, idx.astype(jnp.int32), axis=axis),)
+
+
+@register("GatherElements")
+def gather_elements(ctx, node, ins):
+    x, idx = ins
+    axis = int(node.attr("axis", 0))
+    return (jnp.take_along_axis(x, idx.astype(jnp.int32), axis=axis),)
+
+
+@register("ScatterND")
+def scatter_nd(ctx, node, ins):
+    data, indices, updates = ins
+    return (data.at[tuple(jnp.moveaxis(indices, -1, 0))].set(updates),)
+
+
+@register("Shape")
+def shape_op(ctx, node, ins):
+    return (jnp.asarray(ins[0].shape, dtype=jnp.int64),)
+
+
+@register("Size")
+def size_op(ctx, node, ins):
+    return (jnp.asarray(ins[0].size, dtype=jnp.int64),)
+
+
+@register("Identity")
+def identity(ctx, node, ins):
+    return (ins[0],)
+
+
+@register("Dropout")
+def dropout(ctx, node, ins):
+    # Inference mode: identity; mask output (if requested) is all-true.
+    # (Reference: src/inference_fp32_ops/dropout_op.rs:66-71 — same no-op,
+    # but its mask output is an unimplemented TODO, dropout_op.rs:35-41.)
+    outs = [ins[0]]
+    if len(node.outputs) > 1 and node.outputs[1]:
+        outs.append(jnp.ones(ins[0].shape, dtype=jnp.bool_))
+    return tuple(outs)
+
+
+@register("Constant")
+def constant_node(ctx: LoweringContext, node: Node, ins):
+    for key in ("value", "value_float", "value_int", "value_floats", "value_ints"):
+        if key in node.attrs:
+            return (jnp.asarray(node.attrs[key]),)
+    raise UnsupportedOpError("Constant node without a supported value attribute")
+
+
+@register("ConstantOfShape")
+def constant_of_shape(ctx: LoweringContext, node: Node, ins):
+    shape = ctx.require_constant(node.inputs[0], "ConstantOfShape shape")
+    val = node.attr("value")
+    fill = val.reshape(-1)[0] if isinstance(val, np.ndarray) else np.float32(0)
+    return (jnp.full(tuple(int(d) for d in shape), fill),)
+
+
+@register("Pad")
+def pad(ctx: LoweringContext, node: Node, ins):
+    x = ins[0]
+    mode = node.attr("mode", "constant")
+    if ctx.opset >= 11 or len(node.inputs) > 1:
+        pads = ctx.require_constant(node.inputs[1], "Pad pads").tolist()
+        cval = ins[2] if len(ins) > 2 and ins[2] is not None else 0.0
+    else:
+        pads = [int(p) for p in node.attr("pads")]
+        cval = float(node.attr("value", 0.0))
+    n = x.ndim
+    pad_width = [(int(pads[i]), int(pads[i + n])) for i in range(n)]
+    if mode == "constant":
+        return (jnp.pad(x, pad_width, constant_values=cval),)
+    jmode = {"reflect": "reflect", "edge": "edge", "wrap": "wrap"}[mode]
+    return (jnp.pad(x, pad_width, mode=jmode),)
+
+
+# --------------------------------------------------------------------------
+# Reductions / argmax
+# --------------------------------------------------------------------------
+def _reduce(fn):
+    def emit(ctx: LoweringContext, node: Node, ins):
+        x = ins[0]
+        axes = node.attr("axes")
+        if axes is None and len(ins) > 1 and ins[1] is not None:
+            axes = ctx.require_constant(node.inputs[1], "Reduce axes").tolist()
+        keepdims = bool(int(node.attr("keepdims", 1)))
+        if axes is None:
+            if int(node.attr("noop_with_empty_axes", 0)):
+                return (x,)
+            axes_t = None
+        else:
+            axes_t = tuple(int(a) % x.ndim for a in axes)
+        return (fn(x, axis=axes_t, keepdims=keepdims),)
+    return emit
+
+
+register("ReduceMean")(_reduce(jnp.mean))
+register("ReduceSum")(_reduce(jnp.sum))
+register("ReduceMax")(_reduce(jnp.max))
+register("ReduceMin")(_reduce(jnp.min))
+register("ReduceProd")(_reduce(jnp.prod))
+register("ReduceL2")(_reduce(lambda x, axis, keepdims: jnp.sqrt(
+    jnp.sum(x * x, axis=axis, keepdims=keepdims))))
+register("ReduceL1")(_reduce(lambda x, axis, keepdims: jnp.sum(
+    jnp.abs(x), axis=axis, keepdims=keepdims)))
+register("ReduceLogSumExp")(_reduce(lambda x, axis, keepdims: jax.scipy.special.logsumexp(
+    x, axis=axis, keepdims=keepdims)))
+register("ReduceSumSquare")(_reduce(lambda x, axis, keepdims: jnp.sum(
+    x * x, axis=axis, keepdims=keepdims)))
+
+
+@register("ArgMax")
+def argmax(ctx, node, ins):
+    x = ins[0]
+    axis = int(node.attr("axis", 0))
+    keepdims = bool(int(node.attr("keepdims", 1)))
+    out = jnp.argmax(x, axis=axis).astype(jnp.int64)
+    if keepdims:
+        out = jnp.expand_dims(out, axis)
+    return (out,)
+
+
+@register("ArgMin")
+def argmin(ctx, node, ins):
+    x = ins[0]
+    axis = int(node.attr("axis", 0))
+    keepdims = bool(int(node.attr("keepdims", 1)))
+    out = jnp.argmin(x, axis=axis).astype(jnp.int64)
+    if keepdims:
+        out = jnp.expand_dims(out, axis)
+    return (out,)
+
+
+@register("TopK")
+def topk(ctx: LoweringContext, node: Node, ins):
+    x = ins[0]
+    if len(ins) > 1 and ins[1] is not None:
+        k = int(ctx.require_constant(node.inputs[1], "TopK k").reshape(-1)[0])
+    else:
+        k = int(node.attr("k"))
+    axis = int(node.attr("axis", -1))
+    if axis not in (-1, x.ndim - 1):
+        x_m = jnp.moveaxis(x, axis, -1)
+        v, i = lax.top_k(x_m, k)
+        return (jnp.moveaxis(v, -1, axis), jnp.moveaxis(i, -1, axis).astype(jnp.int64))
+    v, i = lax.top_k(x, k)
+    return (v, i.astype(jnp.int64))
+
+
+# --------------------------------------------------------------------------
+# Normalization
+# --------------------------------------------------------------------------
+@register("BatchNormalization")
+def batch_norm(ctx, node, ins):
+    x, scale, bias, mean, var = ins[:5]
+    eps = float(node.attr("epsilon", 1e-5))
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    inv = lax.rsqrt(var.astype(jnp.float32) + eps).astype(x.dtype)
+    return ((x - mean.reshape(shape)) * (scale * inv).reshape(shape) + bias.reshape(shape),)
+
+
+@register("LayerNormalization")
+def layer_norm(ctx, node, ins):
+    x = ins[0]
+    scale = ins[1]
+    bias = ins[2] if len(ins) > 2 else None
+    axis = int(node.attr("axis", -1))
+    eps = float(node.attr("epsilon", 1e-5))
+    axes = tuple(range(axis % x.ndim, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    out = (x - mean) * lax.rsqrt(var + eps) * scale
+    if bias is not None:
+        out = out + bias
+    return (out,)
+
+
+@register("InstanceNormalization")
+def instance_norm(ctx, node, ins):
+    x, scale, bias = ins
+    eps = float(node.attr("epsilon", 1e-5))
+    axes = tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return ((x - mean) * lax.rsqrt(var + eps) * scale.reshape(shape) + bias.reshape(shape),)
+
+
+@register("LRN")
+def lrn(ctx, node, ins):
+    x = ins[0]
+    size = int(node.attr("size"))
+    alpha = float(node.attr("alpha", 1e-4))
+    beta = float(node.attr("beta", 0.75))
+    bias = float(node.attr("bias", 1.0))
+    sq = jnp.square(x)
+    lo = (size - 1) // 2
+    hi = size - 1 - lo
+    window = (1, size) + (1,) * (x.ndim - 2)
+    sums = lax.reduce_window(
+        sq, 0.0, lax.add, window, (1,) * x.ndim,
+        [(0, 0), (lo, hi)] + [(0, 0)] * (x.ndim - 2),
+    )
+    return (x / jnp.power(bias + (alpha / size) * sums, beta),)
+
+
+# --------------------------------------------------------------------------
+# Misc
+# --------------------------------------------------------------------------
+@register("Range")
+def range_op(ctx: LoweringContext, node: Node, ins):
+    start = ctx.require_constant(node.inputs[0], "Range start").item()
+    limit = ctx.require_constant(node.inputs[1], "Range limit").item()
+    delta = ctx.require_constant(node.inputs[2], "Range delta").item()
+    return (jnp.arange(start, limit, delta),)
+
+
+@register("Trilu")
+def trilu(ctx, node, ins):
+    x = ins[0]
+    k = int(ins[1]) if len(ins) > 1 and ins[1] is not None else 0
+    upper = int(node.attr("upper", 1))
+    return ((jnp.triu(x, k) if upper else jnp.tril(x, k)),)
+
+
+@register("OneHot")
+def one_hot(ctx: LoweringContext, node: Node, ins):
+    indices, depth, values = ins
+    d = int(ctx.require_constant(node.inputs[1], "OneHot depth").reshape(-1)[0])
+    axis = int(node.attr("axis", -1))
+    off, on = values[0], values[1]
+    oh = jax.nn.one_hot(indices.astype(jnp.int32), d, axis=axis)
+    return ((oh * (on - off) + off).astype(values.dtype),)

@@ -1,0 +1,82 @@
+"""Wire-codec and ONNX I/O tests against the bundled reference assets."""
+
+import numpy as np
+import pytest
+
+from onnx_rusty_inference_engine_tpu import onnx_io
+from onnx_rusty_inference_engine_tpu.utils import protowire
+
+REFERENCE = "/root/reference"
+
+
+def test_varint_roundtrip():
+    for v in [0, 1, 127, 128, 300, 2**32, 2**63 - 1, -1, -(2**31)]:
+        enc = protowire.encode_varint(v)
+        dec, pos = protowire.decode_varint(enc, 0)
+        assert pos == len(enc)
+        assert protowire.WireReader.as_int64(dec) == v
+
+
+def test_parse_mnist_model():
+    m = onnx_io.load_model(f"{REFERENCE}/models/mnist-8.onnx")
+    assert m.ir_version == 3
+    assert m.opset_version == 8
+    assert m.producer_name == "CNTK"
+    ops = [n.op_type for n in m.graph.nodes]
+    assert ops == [
+        "Reshape", "Conv", "Add", "Relu", "MaxPool", "Conv", "Add", "Relu",
+        "MaxPool", "Reshape", "MatMul", "Add",
+    ]
+    assert m.graph.initializers["Parameter5"].shape == (8, 1, 5, 5)
+    assert m.graph.initializers["Parameter5"].dtype == np.float32
+    conv = m.graph.nodes[1]
+    assert conv.attr("auto_pad") == b"SAME_UPPER"
+    assert conv.attr("kernel_shape") == [5, 5]
+
+
+def test_parse_matmul_backend_test_model():
+    m = onnx_io.load_model(f"{REFERENCE}/models/model.onnx")
+    (n,) = m.graph.nodes
+    assert n.op_type == "MatMul"
+    assert n.input == ["a", "b"]
+
+
+def test_golden_tensor_files():
+    x = onnx_io.read_tensor_file(f"{REFERENCE}/mnist_data_0.pb")
+    assert x.name == "Input3"
+    assert x.array.shape == (1, 1, 28, 28)
+    assert x.array.dtype == np.float32
+    y = onnx_io.read_tensor_file(f"{REFERENCE}/mnist_output_0.pb")
+    assert y.array.shape == (1, 10)
+    sx = onnx_io.read_tensor_file(f"{REFERENCE}/squeezenet_data_0.pb")
+    assert sx.name == "data_0"
+    assert sx.array.shape == (1, 3, 224, 224)
+    sy = onnx_io.read_tensor_file(f"{REFERENCE}/squeezenet_output_0.pb")
+    assert sy.array.shape == (1, 1000, 1, 1)
+    assert np.isclose(np.sum(sy.array), 1.0, atol=1e-3)  # post-softmax
+
+
+def test_model_roundtrip():
+    m = onnx_io.load_model(f"{REFERENCE}/models/mnist-8.onnx")
+    m2 = onnx_io.parse_model(onnx_io.serialize_model(m))
+    assert [n.op_type for n in m2.graph.nodes] == [n.op_type for n in m.graph.nodes]
+    for k, v in m.graph.initializers.items():
+        assert np.array_equal(m2.graph.initializers[k], v)
+    for vi, vi2 in zip(m.graph.inputs, m2.graph.inputs):
+        assert (vi.name, vi.elem_type, vi.shape) == (vi2.name, vi2.elem_type, vi2.shape)
+
+
+def test_tensor_roundtrip_dtypes(tmp_path):
+    rng = np.random.default_rng(0)
+    for arr in [
+        rng.standard_normal((3, 4)).astype(np.float32),
+        rng.integers(-128, 127, (5, 2), dtype=np.int8),
+        rng.integers(0, 255, (7,), dtype=np.uint8),
+        rng.integers(-(2**31), 2**31 - 1, (2, 2, 2), dtype=np.int64),
+        rng.standard_normal((4,)).astype(np.float16),
+    ]:
+        p = tmp_path / "t.pb"
+        onnx_io.write_tensor_file(str(p), "t", arr)
+        back = onnx_io.read_tensor_file(str(p))
+        assert back.array.dtype == arr.dtype
+        assert np.array_equal(back.array, arr)
