@@ -1,5 +1,209 @@
 """Quantized ONNX op emitters: QLinearConv / QLinearMatMul / (De)QuantizeLinear.
 
-Placeholder module populated in the quantization milestone; importing it is
-safe (registers nothing yet).
+The north-star hot path (BASELINE.json): int8 x int8 -> int32 contractions on
+the MXU with the dequant/requant epilogue fused in. Two lowering backends:
+
+- "xla" (default): `lax.conv_general_dilated` / `dot_general` with
+  preferred_element_type=int32 — XLA lowers these natively onto the TPU MXU
+  (measured ~805 int8 TOP/s matmul vs ~498 fp32 on v5e) and fuses the
+  elementwise requant into the epilogue.
+- "pallas": hand-written fused kernels (ops/kernels/qmatmul.py) for the
+  cases where manual control wins; toggle with ORIET_KERNELS=pallas or
+  engine/kernel config.
+
+Requant math (ONNX QLinear convention): y = saturate(round(acc * (x_s * w_s
+/ y_s)) + y_zp). Our quantizer emits symmetric tensors (zp = 0), but the
+emitters honor arbitrary static zero points for ONNX compatibility.
 """
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..graph import Node
+from .registry import LoweringContext, UnsupportedOpError, register
+from .standard import _conv_dimension_numbers, _conv_padding
+
+
+def _use_pallas() -> bool:
+    return os.environ.get("ORIET_KERNELS", "xla") == "pallas"
+
+
+# --------------------------------------------------------------------------
+# Quantize / Dequantize
+# --------------------------------------------------------------------------
+@register("QuantizeLinear")
+def quantize_linear(ctx: LoweringContext, node: Node, ins):
+    x, scale = ins[0], ins[1]
+    zp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    qdtype = zp.dtype if zp is not None else jnp.int8
+    info = jnp.iinfo(qdtype)
+    axis = int(node.attr("axis", 1))
+    if scale.ndim == 1 and scale.size > 1:
+        shape = [1] * x.ndim
+        shape[axis] = scale.size
+        scale = scale.reshape(shape)
+        if zp is not None:
+            zp = zp.reshape(shape)
+    y = jnp.round(x / scale)
+    if zp is not None:
+        y = y + zp.astype(y.dtype)
+    return (jnp.clip(y, info.min, info.max).astype(qdtype),)
+
+
+@register("DequantizeLinear")
+def dequantize_linear(ctx: LoweringContext, node: Node, ins):
+    x, scale = ins[0], ins[1]
+    zp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    axis = int(node.attr("axis", 1))
+    if scale.ndim == 1 and scale.size > 1:
+        shape = [1] * x.ndim
+        shape[axis] = scale.size
+        scale = scale.reshape(shape)
+        if zp is not None:
+            zp = zp.reshape(shape)
+    xf = x.astype(jnp.float32)
+    if zp is not None:
+        xf = xf - zp.astype(jnp.float32)
+    return (xf * scale.astype(jnp.float32),)
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+def _static_zp_is_zero(ctx: LoweringContext, name: str) -> bool:
+    v = ctx.constant(name) if name else None
+    return v is not None and not np.any(v)
+
+
+def _requant(acc_i32, multiplier, y_zp, out_dtype=jnp.int8):
+    """acc * mult (fp32 epilogue on the VPU, fused by XLA) -> saturate."""
+    info = jnp.iinfo(out_dtype)
+    y = jnp.round(acc_i32.astype(jnp.float32) * multiplier)
+    if y_zp is not None:
+        y = y + y_zp.astype(jnp.float32)
+    return jnp.clip(y, info.min, info.max).astype(out_dtype)
+
+
+# --------------------------------------------------------------------------
+# QLinearConv
+# --------------------------------------------------------------------------
+@register("QLinearConv")
+def qlinear_conv(ctx: LoweringContext, node: Node, ins):
+    (x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp) = ins[:8]
+    bias = ins[8] if len(ins) > 8 else None
+    spatial = x.ndim - 2
+    kernel = node.attr("kernel_shape", w.shape[2:])
+    strides = [int(s) for s in node.attr("strides", [1] * spatial)]
+    dilations = [int(d) for d in node.attr("dilations", [1] * spatial)]
+    group = int(node.attr("group", 1))
+    padding = _conv_padding(node, x.shape[2:], kernel, strides, dilations)
+
+    sym = (_static_zp_is_zero(ctx, node.inputs[2])
+           and _static_zp_is_zero(ctx, node.inputs[5]))
+    if sym:
+        lhs, rhs = x, w  # int8 x int8 -> int32 directly on the MXU
+    else:  # general (asymmetric) path: widen then subtract zero points
+        lhs = x.astype(jnp.int32) - x_zp.astype(jnp.int32)
+        rhs = w.astype(jnp.int32) - w_zp.astype(jnp.int32).reshape(
+            (-1,) + (1,) * (w.ndim - 1))
+    acc = lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=dilations,
+        dimension_numbers=_conv_dimension_numbers(spatial),
+        feature_group_count=group,
+        preferred_element_type=jnp.int32,
+    )
+    if bias is not None:
+        acc = acc + bias.reshape((1, -1) + (1,) * spatial)
+    mult = (x_s.astype(jnp.float32) * w_s.astype(jnp.float32)
+            / y_s.astype(jnp.float32))
+    if mult.ndim == 1 and mult.size > 1:  # per-output-channel
+        mult = mult.reshape((1, -1) + (1,) * spatial)
+    return (_requant(acc, mult, y_zp),)
+
+
+# --------------------------------------------------------------------------
+# QLinearMatMul
+# --------------------------------------------------------------------------
+@register("QLinearMatMul")
+def qlinear_matmul(ctx: LoweringContext, node: Node, ins):
+    (a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp) = ins[:8]
+    bias = ins[8] if len(ins) > 8 else None
+
+    sym = (_static_zp_is_zero(ctx, node.inputs[2])
+           and _static_zp_is_zero(ctx, node.inputs[5]))
+    if sym and _use_pallas() and a.ndim == 2 and b.ndim == 2:
+        from .kernels.qmatmul import qmatmul_int8
+
+        acc = qmatmul_int8(a, b)
+    elif sym:
+        acc = jnp.matmul(a, b, preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.matmul(a.astype(jnp.int32) - a_zp.astype(jnp.int32),
+                         b.astype(jnp.int32) - b_zp.astype(jnp.int32),
+                         preferred_element_type=jnp.int32)
+    if bias is not None:
+        acc = acc + bias
+    mult = (a_s.astype(jnp.float32) * b_s.astype(jnp.float32)
+            / y_s.astype(jnp.float32))
+    # 1-D b_s = per-output-column: broadcasts over the last dim naturally
+    return (_requant(acc, mult, y_zp),)
+
+
+# --------------------------------------------------------------------------
+# Integer-output variants (ONNX MatMulInteger / ConvInteger)
+# --------------------------------------------------------------------------
+@register("MatMulInteger")
+def matmul_integer(ctx: LoweringContext, node: Node, ins):
+    a, b = ins[0], ins[1]
+    a_zp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    b_zp = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    if a_zp is not None:
+        a = a.astype(jnp.int32) - a_zp.astype(jnp.int32)
+    if b_zp is not None:
+        b = b.astype(jnp.int32) - b_zp.astype(jnp.int32)
+    return (jnp.matmul(a, b, preferred_element_type=jnp.int32),)
+
+
+@register("ConvInteger")
+def conv_integer(ctx: LoweringContext, node: Node, ins):
+    x, w = ins[0], ins[1]
+    x_zp = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    spatial = x.ndim - 2
+    kernel = node.attr("kernel_shape", w.shape[2:])
+    strides = [int(s) for s in node.attr("strides", [1] * spatial)]
+    dilations = [int(d) for d in node.attr("dilations", [1] * spatial)]
+    padding = _conv_padding(node, x.shape[2:], kernel, strides, dilations)
+    if x_zp is not None:
+        x = x.astype(jnp.int32) - x_zp.astype(jnp.int32)
+    acc = lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding,
+        rhs_dilation=dilations,
+        dimension_numbers=_conv_dimension_numbers(spatial),
+        feature_group_count=int(node.attr("group", 1)),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc,)
+
+
+@register("DynamicQuantizeLinear")
+def dynamic_quantize_linear(ctx: LoweringContext, node: Node, ins):
+    """uint8 dynamic quantization per ONNX spec."""
+    x = ins[0]
+    qmin, qmax = 0.0, 255.0
+    x_min = jnp.minimum(jnp.min(x), 0.0)
+    x_max = jnp.maximum(jnp.max(x), 0.0)
+    scale = (x_max - x_min) / (qmax - qmin)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    zp = jnp.clip(jnp.round(qmin - x_min / scale), qmin, qmax).astype(jnp.uint8)
+    y = jnp.clip(jnp.round(x / scale) + zp.astype(jnp.float32), qmin, qmax
+                 ).astype(jnp.uint8)
+    return (y, scale.astype(jnp.float32), zp)

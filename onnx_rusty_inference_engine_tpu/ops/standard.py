@@ -193,7 +193,10 @@ def _pool(node: Node, x, init, reduce_fn, is_avg=False):
 def max_pool(ctx: LoweringContext, node: Node, ins):
     # (Reference equivalent: max_pool2d, src/inference_fp32_ops/max_pool_op.rs:157-360.)
     x = ins[0]
-    dtype_min = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        dtype_min = jnp.array(-jnp.inf, dtype=x.dtype)
+    else:
+        dtype_min = jnp.array(jnp.iinfo(x.dtype).min, dtype=x.dtype)
     out, _, _, _ = _pool(node, x, dtype_min, lax.max)
     return (out,)
 

@@ -1,0 +1,320 @@
+"""Post-training INT8 quantization: calibration + QDQ graph transform.
+
+North-star component (BASELINE.json): replace the reference's fp32 ndarray
+ops with fused INT8 per-tensor-quantized QLinearConv/QLinearMatMul-style
+kernels. The reference has no quantization at all (fp32 only,
+src/inference_fp32_ops/*); this subsystem is pure addition.
+
+Scheme
+------
+- activations: per-tensor symmetric int8 (zero_point = 0) — symmetric keeps
+  Relu/MaxPool/Concat exact in the int8 domain and requant epilogues cheap
+  on the VPU.
+- weights: per-output-channel symmetric int8 (ONNX QLinearConv allows 1-D
+  w_scale), which recovers most of the asymmetric-activation accuracy gap.
+- biases: int32 at scale x_scale * w_scale (ONNX convention).
+- compute: int8 x int8 -> int32 on the MXU (XLA lowers this natively on
+  TPU; see ops/quantized.py and ops/kernels/ for the Pallas path), then a
+  single fp32 multiply requant epilogue fused by XLA.
+
+Graph transform
+---------------
+Conv/MatMul/Gemm become QLinearConv/QLinearMatMul. Relu stays as an int8
+max(0, x) (exact under symmetric quant). MaxPool is order-preserving ->
+stays int8. Concat inputs are forced to a unified output scale at
+calibration time so it is a plain int8 concat. Everything else (Softmax,
+GlobalAveragePool, ...) runs fp32 behind a DequantizeLinear.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .graph import Graph, Node
+from .engine import lower
+
+__all__ = ["calibrate", "quantize_graph", "QuantConfig"]
+
+
+@dataclasses.dataclass
+class QuantConfig:
+    per_channel_weights: bool = True
+    # ops converted to QLinear form
+    quantize_ops: Tuple[str, ...] = ("Conv", "MatMul", "Gemm")
+    # ops that pass int8 through unchanged (symmetric scheme keeps them exact)
+    int8_transparent: Tuple[str, ...] = ("Relu", "MaxPool", "Reshape",
+                                         "Flatten", "Transpose", "Identity")
+
+
+# --------------------------------------------------------------------------
+# Calibration
+# --------------------------------------------------------------------------
+def calibrate(
+    graph: Graph,
+    calibration_inputs: Optional[Sequence[Dict[str, np.ndarray]]] = None,
+    max_tensors: int = 4096,
+) -> Dict[str, Tuple[float, float]]:
+    """Run the fp32 graph on calibration batches and record per-tensor
+    (min, max) for every intermediate value (the bundled golden inputs are
+    the offline calibration set, per SURVEY.md §7 hard-part #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    if calibration_inputs is None:
+        rng = np.random.default_rng(0)
+        feed = {
+            spec.name: rng.standard_normal(spec.concrete_shape(batch=1)).astype(
+                spec.dtype
+            )
+            for spec in graph.inputs
+        }
+        calibration_inputs = [feed]
+
+    # Build a probe graph whose outputs are every floating intermediate.
+    names: List[str] = []
+    seen = set(graph.constants)
+    for spec in graph.inputs:
+        names.append(spec.name)
+        seen.add(spec.name)
+    for node in graph.nodes:
+        for o in node.outputs:
+            if o and o not in seen:
+                names.append(o)
+                seen.add(o)
+    names = names[:max_tensors]
+
+    probe = Graph(
+        name=graph.name,
+        nodes=graph.nodes,
+        constants=graph.constants,
+        inputs=graph.inputs,
+        outputs=list(names),
+        opset=graph.opset,
+        weight_names=graph.weight_names,
+    )
+    fn = jax.jit(lower(probe))
+    params = {k: jnp.asarray(graph.constants[k]) for k in graph.weight_names}
+
+    ranges: Dict[str, Tuple[float, float]] = {}
+    for feed in calibration_inputs:
+        out = fn(params, {k: jnp.asarray(v) for k, v in feed.items()})
+        for name, val in out.items():
+            if not np.issubdtype(np.asarray(val).dtype, np.floating):
+                continue
+            lo = float(jnp.min(val))
+            hi = float(jnp.max(val))
+            if name in ranges:
+                plo, phi = ranges[name]
+                ranges[name] = (min(plo, lo), max(phi, hi))
+            else:
+                ranges[name] = (lo, hi)
+    return ranges
+
+
+def _act_scale(ranges: Dict[str, Tuple[float, float]], name: str) -> float:
+    lo, hi = ranges.get(name, (-1.0, 1.0))
+    amax = max(abs(lo), abs(hi), 1e-8)
+    return amax / 127.0
+
+
+def _quantize_weight(w: np.ndarray, per_channel: bool
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric int8; per-channel along axis 0 (conv O) when requested."""
+    if per_channel and w.ndim >= 2:
+        axes = tuple(range(1, w.ndim))
+        amax = np.maximum(np.max(np.abs(w), axis=axes), 1e-8)
+    else:
+        amax = np.maximum(np.max(np.abs(w)), 1e-8)
+    scale = (amax / 127.0).astype(np.float32)
+    q = np.clip(np.round(w / np.reshape(scale, (-1,) + (1,) * (w.ndim - 1))
+                         if np.ndim(scale) else w / scale),
+                -127, 127).astype(np.int8)
+    return q, np.atleast_1d(scale)
+
+
+# --------------------------------------------------------------------------
+# Transform
+# --------------------------------------------------------------------------
+def quantize_graph(
+    graph: Graph,
+    calibration_inputs: Optional[Sequence[Dict[str, np.ndarray]]] = None,
+    ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    config: QuantConfig = QuantConfig(),
+) -> Graph:
+    """Return a new Graph in QLinear form (fp32 Graph is unmodified)."""
+    if ranges is None:
+        ranges = calibrate(graph, calibration_inputs)
+
+    consumers: Dict[str, List[Node]] = {}
+    for n in graph.nodes:
+        for i in n.inputs:
+            consumers.setdefault(i, []).append(n)
+
+    # --- unify scales across Concat inputs (one pass; SqueezeNet fires) ----
+    scale_override: Dict[str, float] = {}
+    for n in graph.nodes:
+        if n.op_type == "Concat":
+            s = max(_act_scale(ranges, i) for i in n.inputs)
+            for i in n.inputs:
+                scale_override[i] = s
+            scale_override[n.outputs[0]] = s
+    # Relu output shares its input scale only if we fold; we keep Relu in
+    # int8 domain, so give Relu output its own (post-relu) range — but its
+    # *input* must use the same scale as its output for exactness:
+    for n in graph.nodes:
+        if n.op_type == "Relu":
+            out_s = scale_override.get(n.outputs[0], _act_scale(ranges, n.outputs[0]))
+            scale_override[n.inputs[0]] = out_s
+
+    def act_scale(name: str) -> float:
+        return scale_override.get(name, _act_scale(ranges, name))
+
+    new_nodes: List[Node] = []
+    new_consts: Dict[str, np.ndarray] = dict(graph.constants)
+    new_weights: List[str] = []
+    # tensor name -> ("int8", scale) for values materialized in int8 domain
+    qdomain: Dict[str, float] = {}
+
+    def add_const(name: str, arr: np.ndarray, is_weight=True) -> str:
+        new_consts[name] = arr
+        if is_weight:
+            new_weights.append(name)
+        return name
+
+    def scale_const(qname: str) -> str:
+        s_name = f"{qname}__s"
+        if s_name not in new_consts:
+            add_const(s_name, np.float32(qdomain[qname]), is_weight=False)
+        return s_name
+
+    def ensure_int8(name: str) -> Tuple[str, str]:
+        """Return (int8_tensor_name, scale_const_name) for a value, inserting
+        QuantizeLinear if it currently lives in fp32."""
+        if name in qdomain:
+            return name, scale_const(name)
+        q_name = f"{name}__q8"
+        if q_name not in qdomain:
+            s = act_scale(name)
+            s_name = add_const(f"{name}__scale", np.float32(s), is_weight=False)
+            zp_name = add_const(f"{name}__zp", np.int8(0), is_weight=False)
+            new_nodes.append(Node("QuantizeLinear", [name, s_name, zp_name],
+                                  [q_name], name=f"quant_{name}"))
+            qdomain[q_name] = s
+        return q_name, scale_const(q_name)
+
+    def ensure_fp32(name: str) -> str:
+        """Dequantize an int8-domain tensor back to fp32."""
+        if name not in qdomain:
+            return name
+        d_name = f"{name}__dq"
+        s = qdomain[name]
+        s_name = add_const(f"{name}__dqs", np.float32(s), is_weight=False)
+        zp_name = add_const(f"{name}__dqzp", np.int8(0), is_weight=False)
+        new_nodes.append(Node("DequantizeLinear", [name, s_name, zp_name],
+                              [d_name], name=f"dequant_{name}"))
+        return d_name
+
+    for node in graph.nodes:
+        op = node.op_type
+        if op in config.quantize_ops:
+            w_name = node.inputs[1]
+            w = new_consts.get(w_name)
+            # dynamic weights (e.g. activation x activation matmul) stay fp32
+            if w is None or not np.issubdtype(w.dtype, np.floating):
+                new_nodes.append(Node(op, [ensure_fp32(i) for i in node.inputs],
+                                      node.outputs, node.name, dict(node.attrs)))
+                continue
+            if op == "Gemm" and (int(node.attr("transA", 0))):
+                new_nodes.append(Node(op, [ensure_fp32(i) for i in node.inputs],
+                                      node.outputs, node.name, dict(node.attrs)))
+                continue
+
+            x_q, x_s = ensure_int8(node.inputs[0])
+            w_mat = w
+            attrs = dict(node.attrs)
+            if op == "Gemm" and int(node.attr("transB", 0)):
+                w_mat = np.ascontiguousarray(w_mat.T)
+                attrs.pop("transB", None)
+            per_ch = config.per_channel_weights and op == "Conv"
+            if op in ("MatMul", "Gemm") and config.per_channel_weights \
+                    and w_mat.ndim == 2:
+                # per-output-column scales: quantize along axis 1
+                amax = np.maximum(np.max(np.abs(w_mat), axis=0), 1e-8)
+                w_scale = (amax / 127.0).astype(np.float32)
+                w_q = np.clip(np.round(w_mat / w_scale), -127, 127).astype(np.int8)
+            else:
+                w_q, w_scale = _quantize_weight(w_mat, per_ch)
+
+            wq_name = add_const(f"{w_name}__w8", w_q)
+            ws_name = add_const(f"{w_name}__ws", w_scale, is_weight=False)
+            wzp_name = add_const(f"{w_name}__wzp",
+                                 np.zeros_like(w_scale, dtype=np.int8),
+                                 is_weight=False)
+
+            y_name = node.outputs[0]
+            y_s = act_scale(y_name)
+            ys_name = add_const(f"{y_name}__ys", np.float32(y_s), is_weight=False)
+            yzp_name = add_const(f"{y_name}__yzp", np.int8(0), is_weight=False)
+
+            qop = "QLinearConv" if op == "Conv" else "QLinearMatMul"
+            x_scale_val = qdomain[x_q]
+            x_zp = add_const(f"{x_q}__xzp", np.int8(0), is_weight=False)
+            inputs = [x_q, x_s, x_zp, wq_name, ws_name, wzp_name,
+                      ys_name, yzp_name]
+            # bias -> int32 at scale x_s * w_s
+            if len(node.inputs) > 2 and node.inputs[2]:
+                b = new_consts.get(node.inputs[2])
+                if b is not None:
+                    b32 = np.round(
+                        b / (x_scale_val * w_scale.reshape(-1)[: b.size]
+                             if w_scale.size > 1 else x_scale_val * w_scale)
+                    ).astype(np.int32)
+                    inputs.append(add_const(f"{node.inputs[2]}__b32", b32))
+            new_nodes.append(Node(qop, inputs, node.outputs, node.name, attrs))
+            qdomain[y_name] = y_s
+
+        elif op in config.int8_transparent and node.inputs[0] in qdomain:
+            # stays in int8 domain
+            new_nodes.append(Node(op, list(node.inputs), node.outputs,
+                                  node.name, dict(node.attrs)))
+            qdomain[node.outputs[0]] = qdomain[node.inputs[0]]
+
+        elif op == "Concat" and all(i in qdomain for i in node.inputs):
+            scales = {round(qdomain[i], 12) for i in node.inputs}
+            if len(scales) == 1:
+                new_nodes.append(Node(op, list(node.inputs), node.outputs,
+                                      node.name, dict(node.attrs)))
+                qdomain[node.outputs[0]] = qdomain[node.inputs[0]]
+            else:  # scales diverged — fall back to fp32 concat
+                new_nodes.append(Node(op, [ensure_fp32(i) for i in node.inputs],
+                                      node.outputs, node.name, dict(node.attrs)))
+
+        else:
+            # fp32 island: dequantize any int8 inputs
+            new_nodes.append(Node(op, [ensure_fp32(i) for i in node.inputs],
+                                  node.outputs, node.name, dict(node.attrs)))
+
+    # graph outputs must come back to fp32
+    final_outputs: List[str] = []
+    for o in graph.outputs:
+        final_outputs.append(ensure_fp32(o))
+
+    qgraph = Graph(
+        name=f"{graph.name}_int8",
+        nodes=new_nodes,
+        constants=new_consts,
+        inputs=graph.inputs,
+        outputs=final_outputs,
+        opset=max(graph.opset, 10),
+        weight_names=[w for w in dict.fromkeys(graph.weight_names + new_weights)
+                      if w in new_consts],
+    )
+    from .graph import prune_dead, topo_sort
+
+    avail = set(qgraph.constants) | {i.name for i in qgraph.inputs}
+    qgraph.nodes = topo_sort(qgraph.nodes, avail)
+    prune_dead(qgraph)
+    return qgraph

@@ -1,0 +1,129 @@
+"""INT8 quantization tests (SURVEY.md §4 plan (c): top-1 delta checks)."""
+
+import numpy as np
+import pytest
+
+import onnx_rusty_inference_engine_tpu as oriet
+from onnx_rusty_inference_engine_tpu.engine import Engine
+from onnx_rusty_inference_engine_tpu.graph import import_model
+from onnx_rusty_inference_engine_tpu.quant import calibrate, quantize_graph
+
+from util import make_model, node, run_op
+
+rng = np.random.default_rng(7)
+
+
+def test_quantize_dequantize_roundtrip():
+    x = rng.standard_normal((4, 8)).astype(np.float32)
+    scale = np.float32(np.abs(x).max() / 127.0)
+    zp = np.int8(0)
+    (q,) = run_op("QuantizeLinear", {"x": x}, {"s": scale, "zp": zp})
+    assert q.dtype == np.int8
+    (dq,) = run_op("DequantizeLinear", {"q": q}, {"s": scale, "zp": zp})
+    np.testing.assert_allclose(dq, x, atol=float(scale) * 0.51)
+
+
+def test_qlinear_matmul_matches_fp32():
+    a = rng.standard_normal((16, 64)).astype(np.float32)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    a_s = np.float32(np.abs(a).max() / 127)
+    w_s = np.float32(np.abs(w).max() / 127)
+    ref = a @ w
+    y_s = np.float32(np.abs(ref).max() / 127)
+    a_q = np.clip(np.round(a / a_s), -127, 127).astype(np.int8)
+    w_q = np.clip(np.round(w / w_s), -127, 127).astype(np.int8)
+    (y_q,) = run_op(
+        "QLinearMatMul",
+        {"a": a_q},
+        {"a_s": a_s, "a_zp": np.int8(0), "w": w_q, "w_s": w_s,
+         "w_zp": np.int8(0), "y_s": y_s, "y_zp": np.int8(0)},
+    )
+    got = y_q.astype(np.float32) * y_s
+    # int8 quantization error bound: should track fp32 closely in relative terms
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.05
+
+
+def test_qlinear_conv_matches_fp32():
+    x = rng.standard_normal((2, 8, 12, 12)).astype(np.float32)
+    w = rng.standard_normal((16, 8, 3, 3)).astype(np.float32)
+    b = rng.standard_normal(16).astype(np.float32)
+    x_s = np.float32(np.abs(x).max() / 127)
+    w_amax = np.abs(w).reshape(16, -1).max(axis=1)
+    w_s = (w_amax / 127).astype(np.float32)  # per-channel
+    x_q = np.clip(np.round(x / x_s), -127, 127).astype(np.int8)
+    w_q = np.clip(np.round(w / w_s[:, None, None, None]), -127, 127).astype(np.int8)
+    b_q = np.round(b / (x_s * w_s)).astype(np.int32)
+
+    # fp32 reference via our own fp32 Conv op
+    (ref,) = run_op("Conv", {"x": x}, {"w": w, "b": b}, pads=[1, 1, 1, 1])
+    y_s = np.float32(np.abs(ref).max() / 127)
+
+    (y_q,) = run_op(
+        "QLinearConv",
+        {"x": x_q},
+        {"x_s": x_s, "x_zp": np.int8(0), "w": w_q, "w_s": w_s,
+         "w_zp": np.zeros(16, np.int8), "y_s": y_s, "y_zp": np.int8(0),
+         "b": b_q},
+        pads=[1, 1, 1, 1],
+    )
+    got = y_q.astype(np.float32) * y_s
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.05
+
+
+def test_calibrate_collects_ranges(mnist_model_path, mnist_golden):
+    x, _ = mnist_golden
+    graph = oriet.import_onnx(mnist_model_path)
+    ranges = calibrate(graph, [{"Input3": x.array}])
+    assert "Input3" in ranges
+    assert "Plus214_Output_0" in ranges
+    lo, hi = ranges["Plus214_Output_0"]
+    assert lo < 0 < hi
+
+
+def test_quantized_mnist_top1_matches(mnist_model_path, mnist_golden):
+    """INT8 top-1 must match fp32 on the golden input + random batch
+    (north-star: top-1 delta <= 0.5%)."""
+    x, y = mnist_golden
+    graph = oriet.import_onnx(mnist_model_path)
+
+    # golden input is CNTK-normalized to roughly [-35, 29]; draw the random
+    # calibration/eval images from a matching scale so int8 levels are used
+    batch = np.concatenate(
+        [x.array] + [(rng.standard_normal((1, 1, 28, 28)) * 12).astype(np.float32)
+                     for _ in range(15)],
+        axis=0)
+    qgraph = quantize_graph(graph, calibration_inputs=[{"Input3": batch}])
+    ops = {n.op_type for n in qgraph.nodes}
+    assert "QLinearConv" in ops
+    assert "QLinearMatMul" in ops
+    assert "Conv" not in ops and "MatMul" not in ops
+
+    fp32_eng = Engine(graph)
+    int8_eng = Engine(qgraph)
+    fp32_out = fp32_eng.run({"Input3": batch})
+    int8_out = int8_eng.run({"Input3": batch})
+    agree = np.mean(fp32_out.top1() == int8_out.top1())
+    assert agree >= 0.9375  # <= 1/16 disagreement on random digits
+    # and on the actual golden digit the class must hold
+    assert int8_out.top1()[0] == int(np.argmax(y.array))
+
+
+def test_quantized_squeezenet_runs_and_agrees():
+    from onnx_rusty_inference_engine_tpu.models import build_squeezenet
+
+    graph = import_model(build_squeezenet())
+    batch = rng.random((4, 3, 64, 64), np.float32)  # small spatial for CPU test
+    qgraph = quantize_graph(graph, calibration_inputs=[{"data_0": batch}])
+    qops = [n.op_type for n in qgraph.nodes]
+    assert qops.count("QLinearConv") == 26  # all SqueezeNet convs quantized
+    fp32_eng = Engine(graph)
+    int8_eng = Engine(qgraph)
+    f = fp32_eng.run({"data_0": batch})
+    q = int8_eng.run({"data_0": batch})
+    # same top-1 on most of the batch (random weights -> flat logits, so
+    # just require the int8 output to be a valid prob dist close to fp32)
+    fo = next(iter(f.outputs.values()))
+    qo = next(iter(q.outputs.values()))
+    assert qo.shape == fo.shape
+    np.testing.assert_allclose(qo.sum(axis=1).ravel(), 1.0, atol=1e-3)
+    assert np.abs(qo - fo).max() < 0.05
