@@ -1,0 +1,113 @@
+"""Autoregressive generation driver for ONNX decoder models (GPT-2 family).
+
+Two compiled XLA programs per model: a prefill graph (prompt at once,
+returns presents) and a fixed-cache decode graph (one token per step,
+static shapes → zero recompiles across the whole generation). The KV cache
+lives on device between steps; optionally INT8-quantized (north-star
+config #5) and sharded over the mesh's "model" axis by head
+(parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .engine import Engine
+from .graph import import_model
+from .models.gpt2 import GPT2Config, build_gpt2, build_gpt2_decode
+
+__all__ = ["Generator"]
+
+
+class Generator:
+    def __init__(
+        self,
+        cfg: GPT2Config,
+        *,
+        batch: int = 1,
+        prompt_len: int = 8,
+        max_len: int = 32,
+        seed: int = 0,
+        mesh=None,
+        param_sharding_fn=None,
+        kv_dtype: str = "float32",
+    ):
+        assert max_len >= prompt_len
+        self.cfg = cfg
+        self.batch = batch
+        self.prompt_len = prompt_len
+        self.max_len = max_len
+        self.kv_dtype = np.dtype(kv_dtype)
+
+        prefill_graph = import_model(
+            build_gpt2(cfg, batch=batch, seq_len=prompt_len, past_len=0,
+                       with_presents=True, seed=seed))
+        decode_graph = import_model(
+            build_gpt2_decode(cfg, batch=batch, max_len=max_len, seed=seed))
+        ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
+        self.prefill = Engine(prefill_graph, **ekw)
+        self.decode = Engine(decode_graph, **ekw)
+        self._kv_scale: Optional[float] = None
+
+    # -- cache quantization (INT8 KV) -----------------------------------
+    def _store(self, kv: jax.Array) -> jax.Array:
+        if self.kv_dtype == np.int8:
+            if self._kv_scale is None:
+                amax = float(jnp.max(jnp.abs(kv)))
+                self._kv_scale = max(amax, 1e-6) / 127.0
+            return jnp.clip(jnp.round(kv / self._kv_scale), -127, 127
+                            ).astype(jnp.int8)
+        return kv.astype(self.kv_dtype)
+
+    def _load(self, kv: jax.Array) -> jax.Array:
+        if self.kv_dtype == np.int8:
+            return kv.astype(jnp.float32) * self._kv_scale
+        return kv.astype(jnp.float32)
+
+    # -- generation ------------------------------------------------------
+    def generate(self, input_ids: np.ndarray, n_new: int,
+                 return_logits: bool = False
+                 ) -> Tuple[np.ndarray, Optional[list]]:
+        """Greedy decode. input_ids: [batch, prompt_len] int64."""
+        B, P = input_ids.shape
+        assert (B, P) == (self.batch, self.prompt_len)
+        assert P + n_new <= self.max_len
+
+        out = self.prefill({"input_ids": input_ids.astype(np.int64)})
+        logits = out["logits"]
+        next_tok = jnp.argmax(logits[:, -1, :], axis=-1)
+
+        # seed the fixed-size cache with the prefill presents
+        cache: Dict[str, jax.Array] = {}
+        L = self.cfg.n_layer
+        for i in range(L):
+            for kind in ("key", "value"):
+                kv = out[f"present_{kind}_{i}"]  # [B,H,P,hd]
+                pad = self.max_len - kv.shape[2]
+                kv_full = jnp.pad(kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                cache[f"past_{kind}_{i}"] = self._store(kv_full)
+
+        tokens = [np.asarray(next_tok)]
+        all_logits = [np.asarray(logits)] if return_logits else None
+        for t in range(n_new - 1):
+            pos = np.asarray([P + t], dtype=np.int64)
+            feed = {"input_ids": np.asarray(next_tok)[:, None].astype(np.int64),
+                    "pos": pos}
+            feed.update({k: self._load(v) for k, v in cache.items()})
+            step = self.decode(feed)
+            step_logits = step["logits"]
+            next_tok = jnp.argmax(step_logits[:, -1, :], axis=-1)
+            for i in range(L):
+                for kind in ("key", "value"):
+                    cache[f"past_{kind}_{i}"] = self._store(
+                        step[f"present_{kind}_{i}"])
+            tokens.append(np.asarray(next_tok))
+            if return_logits:
+                all_logits.append(np.asarray(step_logits))
+
+        return np.stack(tokens, axis=1), all_logits

@@ -150,3 +150,104 @@ def build_gpt2(
             b.output(f"present_key_{i}", [B, H, total, hd])
             b.output(f"present_value_{i}", [B, H, total, hd])
     return b.model()
+
+
+def build_gpt2_decode(
+    cfg: GPT2Config = TINY,
+    *,
+    batch: int = 1,
+    max_len: int = 64,
+    opset: int = 17,
+    seed: int = 0,
+) -> onnx_io.ModelProto:
+    """Single-token decode step with a FIXED-size KV cache (TPU-native:
+    static shapes, one XLA compile for the whole generation loop).
+
+    Inputs: input_ids [B,1] int64, pos [1] int64 (current position),
+    past_key_i / past_value_i [B,H,max_len,hd].
+    Outputs: logits [B,1,vocab], updated present_key_i / present_value_i
+    [B,H,max_len,hd] (in-place-style update at `pos` via a one-hot Where —
+    pure ONNX ops, no dynamic shapes).
+
+    Weights are seeded identically to build_gpt2(), so prefill and decode
+    graphs share parameters.
+    """
+    b = GraphBuilder("gpt2_decode", opset=opset, seed=seed)
+    B, T = batch, 1
+    D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
+
+    ids = b.input("input_ids", [B, T], dtype=np.int64)
+    pos = b.input("pos", [1], dtype=np.int64)
+    pasts = [(b.input(f"past_key_{i}", [B, H, max_len, hd]),
+              b.input(f"past_value_{i}", [B, H, max_len, hd]))
+             for i in range(cfg.n_layer)]
+
+    wte = b.init("wte", (b.rng.standard_normal((cfg.vocab_size, D))
+                         * 0.02).astype(np.float32))
+    wpe = b.init("wpe", (b.rng.standard_normal((cfg.n_positions, D))
+                         * 0.01).astype(np.float32))
+
+    (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)
+    (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)
+    (x,) = b.node("Add", [tok, pe], ["h0"])
+
+    # position bookkeeping (shared by all layers)
+    arange = b.init("cache_positions", np.arange(max_len, dtype=np.int64))
+    (is_now,) = b.node("Equal", [arange, pos], ["is_now"])       # [max_len]
+    (is_now4,) = b.node("Reshape", [is_now, b.init(
+        "shape_1_1_L_1", np.array([1, 1, max_len, 1], np.int64))], ["is_now4"])
+    (valid,) = b.node("LessOrEqual", [arange, pos], ["valid"])   # k_idx <= pos
+    neg = b.init("neg_inf", np.float32(-1e9))
+    zero = b.init("zero_f", np.float32(0.0))
+    (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])  # [max_len]
+    (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
+        "shape_1_1_1_L", np.array([1, 1, 1, max_len], np.int64))], ["attn_bias4"])
+
+    scale = b.init("attn_scale", np.float32(1.0 / np.sqrt(hd)))
+    shape_split = b.init("shape_bthd", np.array([B, T, H, hd], np.int64))
+    shape_merge = b.init("shape_btd", np.array([B, T, D], np.int64))
+
+    for i in range(cfg.n_layer):
+        ln1 = _layernorm(b, x, f"blk{i}_ln1", D)
+        qkv = _linear(b, ln1, f"blk{i}_attn_qkv", D, 3 * D)
+        q, k, v = b.node("Split", [qkv], [f"blk{i}_q", f"blk{i}_k", f"blk{i}_v"],
+                         axis=-1, split=[D, D, D])
+
+        def _heads(t: str, tag: str) -> str:
+            (r,) = b.node("Reshape", [t, shape_split], [f"blk{i}_{tag}_r"])
+            (tr,) = b.node("Transpose", [r], [f"blk{i}_{tag}_t"],
+                           perm=[0, 2, 1, 3])
+            return tr  # [B,H,1,hd]
+
+        qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
+        pk, pv = pasts[i]
+        # scatter new k/v into the fixed cache at `pos`
+        (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
+        (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
+
+        (kt,) = b.node("Transpose", [kc], [f"blk{i}_kT"], perm=[0, 1, 3, 2])
+        (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])  # [B,H,1,L]
+        (att,) = b.node("Mul", [att, scale], [f"blk{i}_scaled"])
+        (att,) = b.node("Add", [att, attn_bias4], [f"blk{i}_masked"])
+        (att,) = b.node("Softmax", [att], [f"blk{i}_probs"], axis=-1)
+        (ctxt,) = b.node("MatMul", [att, vc], [f"blk{i}_ctx"])   # [B,H,1,hd]
+        (ctxt,) = b.node("Transpose", [ctxt], [f"blk{i}_ctx_t"], perm=[0, 2, 1, 3])
+        (ctxt,) = b.node("Reshape", [ctxt, shape_merge], [f"blk{i}_ctx_m"])
+        proj = _linear(b, ctxt, f"blk{i}_attn_proj", D, D)
+        (x,) = b.node("Add", [x, proj], [f"blk{i}_res1"])
+
+        ln2 = _layernorm(b, x, f"blk{i}_ln2", D)
+        h = _linear(b, ln2, f"blk{i}_mlp_fc", D, 4 * D)
+        (h,) = b.node("Gelu", [h], [f"blk{i}_gelu"], approximate="tanh")
+        h = _linear(b, h, f"blk{i}_mlp_proj", 4 * D, D)
+        (x,) = b.node("Add", [x, h], [f"blk{i}_res2"])
+
+    x = _layernorm(b, x, "ln_f", D)
+    wte_t = b.init("wte_T", np.ascontiguousarray(b.g.initializers["wte"].T))
+    (logits,) = b.node("MatMul", [x, wte_t], ["logits"])
+
+    b.output(logits, [B, T, cfg.vocab_size])
+    for i in range(cfg.n_layer):
+        b.output(f"present_key_{i}", [B, H, max_len, hd])
+        b.output(f"present_value_{i}", [B, H, max_len, hd])
+    return b.model()
