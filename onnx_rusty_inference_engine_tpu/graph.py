@@ -360,4 +360,12 @@ def import_model(model: ModelProto) -> Graph:
 
 
 def import_onnx(path: str) -> Graph:
-    return import_model(onnx_io.load_model(path))
+    """Load + import an ONNX file. Prefers the native C++ parser
+    (native_loader.py / native/onnx_loader.cc); falls back to the pure-Python
+    wire codec transparently."""
+    from .native_loader import load_model_native
+
+    model = load_model_native(path)
+    if model is None:
+        model = onnx_io.load_model(path)
+    return import_model(model)
