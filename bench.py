@@ -1,38 +1,25 @@
-"""Headline benchmark: SqueezeNet 1.0 images/sec/chip (BASELINE.json metric).
+"""Headline benchmark: SqueezeNet 1.0 INT8 images/sec/chip (BASELINE.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports
 the north-star ratio: INT8 throughput / fp32 throughput on the same chip
-(target >= 2.0). Until the INT8 path lands, it falls back to 1.0 (fp32/fp32).
+(target >= 2.0). Measurement is device-resident and chained on-device
+(utils/timing.py) so tunnel dispatch and H2D don't pollute the number.
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
-
-
-def _throughput(engine, feed, steps: int = 30, warmup: int = 3) -> float:
-    import jax
-
-    for _ in range(warmup):
-        jax.block_until_ready(engine(feed))
-    times = []
-    for _ in range(steps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(engine(feed))
-        times.append(time.perf_counter() - t0)
-    batch = next(iter(feed.values())).shape[0]
-    return batch / float(np.median(times))
 
 
 def main() -> None:
     from onnx_rusty_inference_engine_tpu.engine import Engine
     from onnx_rusty_inference_engine_tpu.graph import import_model
     from onnx_rusty_inference_engine_tpu.models import build_squeezenet
+    from onnx_rusty_inference_engine_tpu.utils.timing import engine_throughput
 
     batch = 64
     rng = np.random.default_rng(0)
@@ -40,16 +27,14 @@ def main() -> None:
     graph = import_model(build_squeezenet())
     feed = {"data_0": x}
 
-    fp32_engine = Engine(graph)
-    fp32_ips = _throughput(fp32_engine, feed)
+    fp32_ips = engine_throughput(Engine(graph), feed)
 
     int8_ips = None
     try:
         from onnx_rusty_inference_engine_tpu.quant import quantize_graph
 
-        qgraph = quantize_graph(graph, calibration_inputs=[feed])
-        q_engine = Engine(qgraph)
-        int8_ips = _throughput(q_engine, feed)
+        qgraph = quantize_graph(graph, calibration_inputs=[{"data_0": x[:8]}])
+        int8_ips = engine_throughput(Engine(qgraph), feed)
     except Exception:
         pass
 

@@ -135,6 +135,24 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_quantize(args) -> int:
+    from . import onnx_io
+    from .graph import import_onnx, save_graph
+    from .quant import quantize_graph
+
+    graph = import_onnx(args.model)
+    calib = None
+    if args.calib_input:
+        t = onnx_io.read_tensor_file(args.calib_input)
+        calib = [{t.name or graph.input_names[0]: t.array}]
+    qgraph = quantize_graph(graph, calibration_inputs=calib)
+    save_graph(args.out, qgraph)
+    n_q = sum(1 for n in qgraph.nodes if n.op_type.startswith("QLinear"))
+    print(json.dumps({"out": args.out, "qlinear_nodes": n_q,
+                      "total_nodes": len(qgraph.nodes)}))
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(prog="oriet",
                                 description="TPU-native ONNX inference engine")
@@ -168,6 +186,14 @@ def main(argv: Optional[list] = None) -> int:
     pi = sub.add_parser("inspect", help="print graph summary")
     pi.add_argument("--model", required=True)
     pi.set_defaults(fn=cmd_inspect)
+
+    pq = sub.add_parser("quantize",
+                        help="offline INT8 PTQ: write a QLinear ONNX file")
+    pq.add_argument("--model", required=True)
+    pq.add_argument("--out", required=True)
+    pq.add_argument("--calib-input", dest="calib_input",
+                    help="TensorProto .pb used for range calibration")
+    pq.set_defaults(fn=cmd_quantize)
 
     args = p.parse_args(argv)
     return args.fn(args)

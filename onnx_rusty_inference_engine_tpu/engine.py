@@ -45,7 +45,12 @@ def lower(graph: Graph):
         for node in graph.nodes:
             emitter = get_emitter(node.op_type)
             ins = [env[i] if i else None for i in node.inputs]
-            outs = emitter(ctx, node, ins)
+            # named_scope threads the ONNX node identity into XLA/HLO
+            # metadata, so profiler traces map back to graph nodes (the
+            # structured analog of the reference's per-node execution log,
+            # model_inference.rs:132-135).
+            with jax.named_scope(f"{node.op_type}.{node.name or node.outputs[0]}"):
+                outs = emitter(ctx, node, ins)
             for name, val in zip(node.outputs, outs):
                 if name:
                     env[name] = val

@@ -359,6 +359,38 @@ def import_model(model: ModelProto) -> Graph:
     return g
 
 
+def export_model(g: Graph) -> ModelProto:
+    """Graph -> ModelProto (inverse of import_model), e.g. to persist a
+    quantized graph as a standard ONNX file (QDQ/QLinear form) so the
+    offline quantize step runs once — the framework's checkpoint story
+    (the reference never persists anything, SURVEY.md §5)."""
+    from .models._builder import _attr
+
+    gp = onnx_io.GraphProto(name=g.name)
+    for n in g.nodes:
+        proto = onnx_io.NodeProto(op_type=n.op_type, input=list(n.inputs),
+                                  output=list(n.outputs), name=n.name)
+        for k, v in n.attrs.items():
+            proto.attributes[k] = _attr(k, v)
+        gp.nodes.append(proto)
+    gp.initializers = {k: np.ascontiguousarray(v)
+                       for k, v in g.constants.items()}
+    for spec in g.inputs:
+        gp.inputs.append(onnx_io.ValueInfo(
+            name=spec.name,
+            elem_type=onnx_io.NUMPY_TO_DTYPE[spec.dtype],
+            shape=[d if isinstance(d, int) else str(d) for d in spec.shape],
+        ))
+    for o in g.outputs:
+        gp.outputs.append(onnx_io.ValueInfo(name=o))
+    return ModelProto(graph=gp, ir_version=8, opset_version=max(g.opset, 13),
+                      producer_name="oriet")
+
+
+def save_graph(path: str, g: Graph) -> None:
+    onnx_io.save_model(path, export_model(g))
+
+
 def import_onnx(path: str) -> Graph:
     """Load + import an ONNX file. Prefers the native C++ parser
     (native_loader.py / native/onnx_loader.cc); falls back to the pure-Python

@@ -194,6 +194,31 @@ def conv_integer(ctx: LoweringContext, node: Node, ins):
     return (acc,)
 
 
+@register("MatMulNBits")
+def matmul_nbits(ctx: LoweringContext, node: Node, ins):
+    """Weight-only INT4 matmul (quant.pack_int4 layout): activations stay
+    floating; packed nibbles are expanded + block-dequantized on the fly and
+    the contraction runs in bf16 on the MXU. Unpack/dequant is elementwise,
+    so XLA fuses it into the matmul's weight operand read."""
+    a, packed, scales = ins[0], ins[1], ins[2]
+    K = int(node.attr("K"))
+    N = int(node.attr("N"))
+    bits = int(node.attr("bits", 4))
+    if bits != 4:
+        raise UnsupportedOpError("MatMulNBits: only bits=4 supported")
+    block = int(node.attr("block_size", K))
+    n_blocks = K // block
+
+    lo = (packed & 0xF).astype(jnp.int8) - 8          # [N, K//2] (even k)
+    hi = (packed >> 4).astype(jnp.int8) - 8           # [N, K//2] (odd k)
+    q = jnp.stack([lo, hi], axis=-1).reshape(N, K)     # interleave -> [N, K]
+    wq = q.reshape(N, n_blocks, block).astype(jnp.bfloat16)
+    w = (wq * scales.astype(jnp.bfloat16)[:, :, None]).reshape(N, K)
+    out = jnp.matmul(a.astype(jnp.bfloat16), w.T,
+                     preferred_element_type=jnp.float32)
+    return (out.astype(a.dtype),)
+
+
 @register("DynamicQuantizeLinear")
 def dynamic_quantize_linear(ctx: LoweringContext, node: Node, ins):
     """uint8 dynamic quantization per ONNX spec."""

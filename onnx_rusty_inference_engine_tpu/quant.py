@@ -33,10 +33,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .graph import Graph, Node
+from .graph import Graph, Node, prune_dead, topo_sort
 from .engine import lower
 
-__all__ = ["calibrate", "quantize_graph", "QuantConfig"]
+__all__ = ["calibrate", "quantize_graph", "QuantConfig",
+           "quantize_weights_int4", "pack_int4"]
 
 
 @dataclasses.dataclass
@@ -312,9 +313,81 @@ def quantize_graph(
         weight_names=[w for w in dict.fromkeys(graph.weight_names + new_weights)
                       if w in new_consts],
     )
-    from .graph import prune_dead, topo_sort
-
     avail = set(qgraph.constants) | {i.name for i in qgraph.inputs}
     qgraph.nodes = topo_sort(qgraph.nodes, avail)
     prune_dead(qgraph)
     return qgraph
+
+
+# --------------------------------------------------------------------------
+# INT4 weight-only (GPT-2 north-star config: BASELINE.json configs[4])
+# --------------------------------------------------------------------------
+def pack_int4(w: np.ndarray, block_size: int = 128
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-block INT4 packing of a [K, N] matmul weight.
+
+    Returns (packed uint8 [N, K//2] — two nibbles per byte, k-major, value
+    stored as q+8 in [0,15]; scales fp32 [N, K//block_size])."""
+    K, N = w.shape
+    assert K % 2 == 0, "K must be even for nibble packing"
+    bs = min(block_size, K)
+    while K % bs:
+        bs //= 2
+    n_blocks = K // bs
+    wt = np.ascontiguousarray(w.T)  # [N, K]
+    blocks = wt.reshape(N, n_blocks, bs)
+    amax = np.maximum(np.abs(blocks).max(axis=2), 1e-8)
+    scales = (amax / 7.0).astype(np.float32)  # [N, n_blocks]
+    q = np.clip(np.round(blocks / scales[:, :, None]), -8, 7).astype(np.int8)
+    q = q.reshape(N, K) + 8  # -> [0, 15]
+    packed = (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)  # [N, K//2]
+    return packed, scales
+
+
+def quantize_weights_int4(
+    graph: Graph,
+    min_elems: int = 4096,
+    block_size: int = 128,
+) -> Graph:
+    """Rewrite MatMul nodes with large constant 2-D weights into
+    MatMulNBits(bits=4) nodes (weight-only; activations stay floating).
+    Embedding Gathers and small weights are untouched."""
+    new_nodes: List[Node] = []
+    consts = dict(graph.constants)
+    weights = list(graph.weight_names)
+    for node in graph.nodes:
+        if node.op_type == "MatMul" and len(node.inputs) == 2:
+            w = consts.get(node.inputs[1])
+            if (w is not None and w.ndim == 2 and w.size >= min_elems
+                    and np.issubdtype(w.dtype, np.floating)
+                    and w.shape[0] % 2 == 0):
+                K, N = w.shape
+                packed, scales = pack_int4(w.astype(np.float32), block_size)
+                pname = f"{node.inputs[1]}__w4"
+                sname = f"{node.inputs[1]}__w4s"
+                consts[pname] = packed
+                consts[sname] = scales
+                weights.append(pname)
+                weights.append(sname)
+                new_nodes.append(Node(
+                    "MatMulNBits",
+                    [node.inputs[0], pname, sname],
+                    list(node.outputs),
+                    node.name,
+                    {"K": K, "N": N, "bits": 4,
+                     "block_size": K // scales.shape[1]},
+                ))
+                continue
+        new_nodes.append(node)
+
+    g4 = Graph(
+        name=f"{graph.name}_w4",
+        nodes=new_nodes,
+        constants=consts,
+        inputs=graph.inputs,
+        outputs=list(graph.outputs),
+        opset=graph.opset,
+        weight_names=weights,
+    )
+    prune_dead(g4)
+    return g4

@@ -1,0 +1,60 @@
+"""Honest device-side timing.
+
+Per-call wall timing over the remote-compile tunnel is unreliable (async
+dispatch can overlap; block_until_ready returns optimistically fast for
+cached buffers). This harness chains N iterations inside one jitted
+lax.fori_loop — each iteration's input depends on the previous output — so
+the device executes strictly sequentially and one dispatch covers the whole
+measurement.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["device_loop_timer", "engine_throughput"]
+
+
+def device_loop_timer(step_fn: Callable, init_carry, iters: int = 50) -> float:
+    """Return seconds per iteration of step_fn (carry -> carry), measured as
+    one on-device loop."""
+
+    @jax.jit
+    def loop(carry):
+        return jax.lax.fori_loop(0, iters, lambda _, c: step_fn(c), carry)
+
+    out = loop(init_carry)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = loop(init_carry)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return dt / iters
+
+
+def engine_throughput(engine, feed: Dict[str, jnp.ndarray], iters: int = 30
+                      ) -> float:
+    """Steady-state examples/sec of a compiled engine, device-resident I/O,
+    sequential on-device iterations."""
+    feed = {k: jax.device_put(jnp.asarray(v)) for k, v in feed.items()}
+    params = engine.params
+    fn = engine._fn
+    names = list(feed.keys())
+    first = names[0]
+
+    def step(carry):
+        out = fn(params, carry)
+        # inject a scalar dependency so iterations serialize without
+        # changing the input's value (x + 0 * f(out))
+        dep = jnp.sum(next(iter(out.values())).astype(jnp.float32).ravel()[:1]) * 0
+        new = dict(carry)
+        new[first] = carry[first] + dep.astype(carry[first].dtype)
+        return new
+
+    sec = device_loop_timer(step, feed, iters)
+    batch = int(next(iter(feed.values())).shape[0])
+    return batch / sec

@@ -1,0 +1,54 @@
+"""INT4 weight-only quantization tests (GPT-2 north-star config)."""
+
+import numpy as np
+
+from onnx_rusty_inference_engine_tpu.engine import Engine
+from onnx_rusty_inference_engine_tpu.graph import import_model
+from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY, build_gpt2
+from onnx_rusty_inference_engine_tpu.quant import pack_int4, quantize_weights_int4
+
+rng = np.random.default_rng(13)
+
+
+def test_pack_int4_roundtrip():
+    w = rng.standard_normal((256, 64)).astype(np.float32)
+    packed, scales = pack_int4(w, block_size=128)
+    assert packed.shape == (64, 128)
+    assert scales.shape == (64, 2)
+    # manual unpack
+    lo = (packed & 0xF).astype(np.int8) - 8
+    hi = (packed >> 4).astype(np.int8) - 8
+    q = np.stack([lo, hi], axis=-1).reshape(64, 256)
+    deq = (q.reshape(64, 2, 128) * scales[:, :, None]).reshape(64, 256).T
+    err = np.abs(deq - w).max()
+    step = scales.max() * 1.01
+    assert err <= step  # within one quantization step
+
+
+
+def test_gpt2_int4_close_to_fp32():
+    m = build_gpt2(TINY, batch=1, seq_len=8, with_presents=False)
+    g = import_model(m)
+    g4 = quantize_weights_int4(g, min_elems=1024)
+    n4 = sum(1 for n in g4.nodes if n.op_type == "MatMulNBits")
+    assert n4 >= 2 * TINY.n_layer  # qkv/proj/mlp matmuls converted
+
+    ids = np.random.default_rng(0).integers(
+        0, TINY.vocab_size, (1, 8)).astype(np.int64)
+    ref = Engine(g).run({"input_ids": ids})["logits"]
+    got = Engine(g4).run({"input_ids": ids})["logits"]
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.25  # int4 weight-only on a random-weight tiny model (flat logits)
+    # greedy choice stays in the int4 model's top-3 (tiny random weights ->
+    # near-flat logits; real GPT-2 weights separate far more)
+    top3 = np.argsort(got[0, -1])[::-1][:3]
+    assert np.argmax(ref[0, -1]) in top3
+
+
+def test_int4_memory_shrinks():
+    m = build_gpt2(TINY, batch=1, seq_len=8, with_presents=False)
+    g = import_model(m)
+    g4 = quantize_weights_int4(g, min_elems=1024)
+    size = sum(g.constants[w].nbytes for w in g.weight_names)
+    size4 = sum(g4.constants[w].nbytes for w in g4.weight_names)
+    assert size4 < 0.45 * size  # ~8x on converted mats; embeddings stay fp32
