@@ -298,10 +298,21 @@ def quantize_graph(
             new_nodes.append(Node(op, [ensure_fp32(i) for i in node.inputs],
                                   node.outputs, node.name, dict(node.attrs)))
 
-    # graph outputs must come back to fp32
+    # graph outputs must come back to fp32 — keeping their original names
     final_outputs: List[str] = []
     for o in graph.outputs:
-        final_outputs.append(ensure_fp32(o))
+        if o in qdomain:
+            raw = f"{o}__qraw"
+            for n in new_nodes:  # rename the int8 producer's output
+                n.outputs = [raw if x == o else x for x in n.outputs]
+                n.inputs = [raw if x == o else x for x in n.inputs]
+            qdomain[raw] = qdomain.pop(o)
+            s_name = add_const(f"{raw}__dqs", np.float32(qdomain[raw]),
+                               is_weight=False)
+            zp_name = add_const(f"{raw}__dqzp", np.int8(0), is_weight=False)
+            new_nodes.append(Node("DequantizeLinear", [raw, s_name, zp_name],
+                                  [o], name=f"dequant_{o}"))
+        final_outputs.append(o)
 
     qgraph = Graph(
         name=f"{graph.name}_int8",
