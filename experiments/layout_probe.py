@@ -50,8 +50,8 @@ def probe(name, ci, h, w, co, k, s):
         dep = y8.ravel()[0] * 0
         return c + dep
 
-    t1 = device_loop_timer(step_nchw, x, iters=30)
-    t2 = device_loop_timer(step_nhwc, x_nhwc, iters=30)
+    t1 = device_loop_timer(step_nchw, x, iters=300)
+    t2 = device_loop_timer(step_nhwc, x_nhwc, iters=300)
     ho, wo = (h + 2 * pad - k) // s + 1, (w + 2 * pad - k) // s + 1
     gops = 2 * B * co * ci * k * k * ho * wo / 1e9
     print(f"{name:8s} NCHW {t1*1e3:7.3f}ms ({gops/t1/1e3:6.1f} TOP/s)   "

@@ -36,6 +36,7 @@ class Generator:
         mesh=None,
         param_sharding_fn=None,
         kv_dtype: str = "float32",
+        int4_weights: bool = False,
     ):
         assert max_len >= prompt_len
         self.cfg = cfg
@@ -49,6 +50,11 @@ class Generator:
                        with_presents=True, seed=seed))
         decode_graph = import_model(
             build_gpt2_decode(cfg, batch=batch, max_len=max_len, seed=seed))
+        if int4_weights:
+            from .quant import quantize_weights_int4
+
+            prefill_graph = quantize_weights_int4(prefill_graph)
+            decode_graph = quantize_weights_int4(decode_graph)
         ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
         self.prefill = Engine(prefill_graph, **ekw)
         self.decode = Engine(decode_graph, **ekw)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 __all__ = ["device_loop_timer", "engine_throughput"]
 
 
-def device_loop_timer(step_fn: Callable, init_carry, iters: int = 50) -> float:
+def device_loop_timer(step_fn: Callable, init_carry, iters: int = 200) -> float:
     """Return seconds per iteration of step_fn (carry -> carry), measured as
     one on-device loop."""
 
@@ -36,7 +36,7 @@ def device_loop_timer(step_fn: Callable, init_carry, iters: int = 50) -> float:
     return dt / iters
 
 
-def engine_throughput(engine, feed: Dict[str, jnp.ndarray], iters: int = 30
+def engine_throughput(engine, feed: Dict[str, jnp.ndarray], iters: int = 100
                       ) -> float:
     """Steady-state examples/sec of a compiled engine, device-resident I/O,
     sequential on-device iterations."""

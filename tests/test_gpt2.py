@@ -100,3 +100,35 @@ def test_gpt2_sharded_decode():
     tok_r, log_r = gen_ref.generate(ids, 3, return_logits=True)
     np.testing.assert_array_equal(tok_s, tok_r)
     np.testing.assert_allclose(log_s[0], log_r[0], rtol=1e-3, atol=1e-3)
+
+
+def test_gpt2_north_star_config():
+    """Full north-star config #5: INT4 weight-only + INT8 KV cache +
+    tensor-sharded over a multi-device mesh (stand-in for N>=2 hosts)."""
+    from onnx_rusty_inference_engine_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    mesh = make_mesh({"data": 2, "model": 4})
+
+    def shard(name, arr):
+        if name.endswith("__w4") and arr.ndim == 2:   # packed int4 [N, K//2]
+            return NamedSharding(mesh, P_("model", None))
+        if name.endswith("__w4s"):                    # scales [N, n_blocks]
+            return NamedSharding(mesh, P_("model", None))
+        if arr.ndim == 2 and arr.shape[-1] % 4 == 0:
+            return NamedSharding(mesh, P_(None, "model"))
+        return NamedSharding(mesh, P_())
+
+    gen = Generator(TINY, batch=2, prompt_len=4, max_len=12, mesh=mesh,
+                    param_sharding_fn=shard, kv_dtype="int8",
+                    int4_weights=True)
+    gen_ref = Generator(TINY, batch=2, prompt_len=4, max_len=12)
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    with mesh:
+        tok, logs = gen.generate(ids, 4, return_logits=True)
+    tok_r, logs_r = gen_ref.generate(ids, 4, return_logits=True)
+    assert tok.shape == (2, 4)
+    assert np.all(np.isfinite(logs[0]))
+    # int4+int8kv vs fp32: prefill logits stay within quantization drift
+    rel = np.abs(logs[0] - logs_r[0]).max() / np.abs(logs_r[0]).max()
+    assert rel < 0.3
