@@ -356,6 +356,9 @@ def import_model(model: ModelProto) -> Graph:
     fold_constants(g)
     eliminate_identities(g)
     prune_dead(g)
+    from .passes import optimize  # late import (passes depends on this module)
+
+    optimize(g)
     return g
 
 

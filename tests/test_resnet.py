@@ -22,7 +22,8 @@ def test_resnet50_topology(resnet_graph):
     for n in resnet_graph.nodes:
         ops[n.op_type] = ops.get(n.op_type, 0) + 1
     assert ops["Conv"] == 53  # 1 stem + 16 blocks x 3 + 4 downsamples
-    assert ops["BatchNormalization"] == 53
+    # all 53 BNs fold into their convs at import (passes.fold_batchnorm)
+    assert "BatchNormalization" not in ops
     assert ops["Gemm"] == 1
     assert resnet_graph.outputs == ["logits"]
 
