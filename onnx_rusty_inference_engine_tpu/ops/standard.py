@@ -783,6 +783,58 @@ def lrn(ctx, node, ins):
 # --------------------------------------------------------------------------
 # Misc
 # --------------------------------------------------------------------------
+@register("Resize", "Upsample")
+def resize(ctx: LoweringContext, node: Node, ins):
+    """Resize (opset 10+) / Upsample (opset 7-9): nearest + linear modes with
+    the common coordinate transforms (asymmetric, half_pixel, align_corners)."""
+    x = ins[0]
+    mode = node.attr("mode", "nearest")
+    coord = node.attr("coordinate_transformation_mode", "half_pixel")
+
+    out_shape = None
+    if node.op_type == "Upsample":
+        scales = (node.attr("scales")
+                  or ctx.require_constant(node.inputs[1], "Upsample scales"))
+        scales = np.asarray(scales, dtype=np.float64).reshape(-1)
+        coord = "asymmetric"
+    else:
+        scales = None
+        if len(node.inputs) > 2 and node.inputs[2]:
+            s = ctx.constant(node.inputs[2])
+            if s is not None and s.size:
+                scales = np.asarray(s, np.float64).reshape(-1)
+        if scales is None and len(node.inputs) > 3 and node.inputs[3]:
+            sizes = ctx.require_constant(node.inputs[3], "Resize sizes")
+            out_shape = tuple(int(v) for v in sizes.reshape(-1))
+    if out_shape is None:
+        if scales is None:
+            raise UnsupportedOpError("Resize needs static scales or sizes")
+        out_shape = tuple(int(np.floor(d * s))
+                          for d, s in zip(x.shape, scales))
+
+    if mode in (b"nearest", "nearest"):
+        method = "nearest"
+    elif mode in (b"linear", "linear"):
+        method = "linear"
+    elif mode in (b"cubic", "cubic"):
+        method = "cubic"
+    else:
+        raise UnsupportedOpError(f"Resize mode {mode!r}")
+
+    if method == "nearest" and coord in ("asymmetric",):
+        # exact ONNX asymmetric+floor nearest via integer gather
+        out = x
+        for ax, (do, di) in enumerate(zip(out_shape, x.shape)):
+            if do == di:
+                continue
+            idx = np.floor(np.arange(do) * (di / do)).astype(np.int32)
+            out = jnp.take(out, jnp.asarray(idx), axis=ax)
+        return (out,)
+    # general path: jax.image.resize (half_pixel semantics)
+    out = jax.image.resize(x, out_shape, method=method)
+    return (out.astype(x.dtype),)
+
+
 @register("Range")
 def range_op(ctx: LoweringContext, node: Node, ins):
     start = ctx.require_constant(node.inputs[0], "Range start").item()

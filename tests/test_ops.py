@@ -301,3 +301,36 @@ def test_conv_transpose():
     # spot check corner: out[0,o,0,0] = sum_i x[0,i,0,0]*w[i,o,0,0]
     want = np.einsum("i,io->o", x[0, :, 0, 0], w[:, :, 0, 0])
     np.testing.assert_allclose(out[0, :, 0, 0], want, rtol=1e-4)
+
+
+def test_resize_nearest_asymmetric():
+    x = f32(1, 2, 4, 4)
+    (out,) = run_op(
+        "Resize", {"x": x},
+        {"roi": np.array([], np.float32),
+         "scales": np.array([1.0, 1.0, 2.0, 2.0], np.float32)},
+        mode="nearest", coordinate_transformation_mode="asymmetric",
+        opset=13)
+    assert out.shape == (1, 2, 8, 8)
+    np.testing.assert_array_equal(out, x.repeat(2, axis=2).repeat(2, axis=3))
+
+
+def test_upsample_opset9():
+    x = f32(1, 1, 3, 3)
+    (out,) = run_op("Upsample", {"x": x},
+                    {"scales": np.array([1.0, 1.0, 3.0, 3.0], np.float32)},
+                    mode="nearest", opset=9)
+    assert out.shape == (1, 1, 9, 9)
+    np.testing.assert_array_equal(out, x.repeat(3, axis=2).repeat(3, axis=3))
+
+
+def test_resize_linear_sizes():
+    x = f32(1, 1, 4, 4)
+    (out,) = run_op(
+        "Resize", {"x": x},
+        {"roi": np.array([], np.float32),
+         "scales": np.array([], np.float32),
+         "sizes": np.array([1, 1, 8, 8], np.int64)},
+        mode="linear", opset=13)
+    assert out.shape == (1, 1, 8, 8)
+    assert np.isfinite(out).all()
