@@ -1,0 +1,95 @@
+"""GPT-2 decode throughput benchmark (tokens/s) — fp32 vs INT4 weights.
+
+The decode step is memory-bandwidth-bound by weight reads; INT4 weight-only
+cuts that traffic ~8x for the matmuls. Measures the fixed-cache decode
+graph's steady-state step latency with the on-device chained harness.
+
+Run: python benchmarks/gpt2_decode.py [--layers 12 --d 768 --batch 8]
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=12)
+    p.add_argument("--d", type=int, default=768)
+    p.add_argument("--heads", type=int, default=12)
+    p.add_argument("--vocab", type=int, default=50257)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=256)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import (
+        GPT2Config, build_gpt2_decode)
+    from onnx_rusty_inference_engine_tpu.quant import quantize_weights_int4
+    from onnx_rusty_inference_engine_tpu.utils.timing import device_loop_timer
+
+    cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
+                     n_embd=args.d, n_layer=args.layers, n_head=args.heads)
+    g = import_model(build_gpt2_decode(cfg, batch=args.batch,
+                                       max_len=args.max_len))
+
+    rng = np.random.default_rng(0)
+    B, H, L, hd = args.batch, cfg.n_head, args.max_len, cfg.head_dim
+    feed = {"input_ids": jnp.asarray(
+                rng.integers(0, cfg.vocab_size, (B, 1)).astype(np.int64)),
+            "pos": jnp.asarray([L // 2], dtype=np.int64)}
+    for i in range(cfg.n_layer):
+        for kind in ("key", "value"):
+            feed[f"past_{kind}_{i}"] = jnp.asarray(
+                rng.standard_normal((B, H, L, hd)).astype(np.float32))
+
+    def bench(graph, label):
+        eng = Engine(graph)
+
+        def step(carry):
+            out = eng._fn(eng.params, carry)
+            new = dict(carry)
+            # feed presents back in (the real decode loop does exactly this)
+            for i in range(cfg.n_layer):
+                for kind in ("key", "value"):
+                    new[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
+            tok = jnp.argmax(out["logits"][:, -1, :], axis=-1)
+            new["input_ids"] = tok[:, None].astype(jnp.int64)
+            return new
+
+        sec = device_loop_timer(step, feed, iters=args.iters)
+        print(json.dumps({
+            "metric": f"gpt2_decode_{label}",
+            "layers": cfg.n_layer, "d_model": cfg.n_embd, "batch": B,
+            "cache_len": L,
+            "step_ms": round(sec * 1e3, 3),
+            "tokens_per_sec": round(B / sec, 1),
+        }))
+        return sec
+
+    t_f = bench(g, "fp32")
+    g4 = quantize_weights_int4(g)
+    t_4 = bench(g4, "int4_weights")
+    print(json.dumps({"metric": "gpt2_decode_int4_speedup",
+                      "value": round(t_f / t_4, 3)}))
+
+
+if __name__ == "__main__":
+    main()

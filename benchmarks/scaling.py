@@ -9,7 +9,11 @@ Run: python benchmarks/scaling.py [--devices 1 2 4 8] [--cpu]
 Prints one JSON line per mesh size.
 """
 
-from __future__ import annotations
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 
 import argparse
 import json

@@ -4,6 +4,11 @@ Decides whether the quantized path should carry an NHWC layout pass.
 Run: PYTHONPATH=/root/repo python experiments/layout_probe.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,11 @@
 Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/pallas_probe.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax
 import jax.numpy as jnp

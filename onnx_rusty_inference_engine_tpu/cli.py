@@ -135,6 +135,15 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .http_serve import serve_http
+
+    engine = _build_engine(args)
+    print(f"serving on :{args.port} (POST /v1/infer)", file=sys.stderr)
+    serve_http(engine, port=args.port)
+    return 0
+
+
 def cmd_quantize(args) -> int:
     from . import onnx_io
     from .graph import import_onnx, save_graph
@@ -186,6 +195,16 @@ def main(argv: Optional[list] = None) -> int:
     pi = sub.add_parser("inspect", help="print graph summary")
     pi.add_argument("--model", required=True)
     pi.set_defaults(fn=cmd_inspect)
+
+    ps = sub.add_parser("serve", help="HTTP inference server "
+                                      "(continuous batching)")
+    ps.add_argument("--model", required=True)
+    ps.add_argument("--port", type=int, default=8000)
+    ps.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ps.add_argument("--quantize", choices=["int8"])
+    ps.add_argument("--input")
+    ps.set_defaults(fn=cmd_serve)
 
     pq = sub.add_parser("quantize",
                         help="offline INT8 PTQ: write a QLinear ONNX file")

@@ -1,0 +1,88 @@
+"""Minimal HTTP front end over the continuous-batching server.
+
+`oriet serve --model m.onnx --port 8000` exposes:
+
+  POST /v1/infer     body: {"input": [[...]], "name": "data_0"?}
+                     -> {"outputs": {name: [...]}, "top1": [...]}
+  GET  /v1/stats     -> ServerStats summary
+  GET  /healthz      -> ok
+
+Requests from concurrent clients are packed into shared device batches by
+serve.InferenceServer. Multi-host deployments run one of these per host over
+a sharded engine (parallel/).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from .serve import InferenceServer
+
+__all__ = ["serve_http"]
+
+
+def _make_handler(server: InferenceServer, input_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/v1/stats":
+                self._send(200, server.stats.summary())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/infer":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                x = np.asarray(req["input"], dtype=np.float32)
+                out = server.infer(x, timeout=float(req.get("timeout", 300)))
+                resp = {
+                    "outputs": {k: v.tolist() for k, v in out.items()},
+                    "top1": [int(np.argmax(v.reshape(v.shape[0], -1), axis=-1)[0])
+                             for v in out.values()][:1],
+                }
+                self._send(200, resp)
+            except Exception as e:  # request-level failure isolation
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve_http(engine, port: int = 8000, input_name: Optional[str] = None,
+               batch_buckets=(1, 2, 4, 8, 16), max_delay_s: float = 0.003,
+               block: bool = True):
+    """Start the HTTP server; returns (httpd, batching_server)."""
+    batcher = InferenceServer(engine, input_name=input_name,
+                              batch_buckets=batch_buckets,
+                              max_delay_s=max_delay_s)
+    name = input_name or engine.graph.input_names[0]
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(batcher, name))
+    if block:
+        try:
+            httpd.serve_forever()
+        finally:
+            batcher.stop()
+    else:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+    return httpd, batcher

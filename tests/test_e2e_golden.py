@@ -72,3 +72,19 @@ def test_squeezenet_fp32_golden(squeezenet_golden):
     res = eng.run({x.name: x.array})
     got = res.outputs[y.name].reshape(y.array.shape)
     np.testing.assert_allclose(got, y.array, rtol=1e-3, atol=1e-4)
+
+
+def test_bfloat16_engine_mode():
+    """dtype policy: bf16 compute, fp32 I/O; logits stay close enough for
+    identical top-1 on the golden digit."""
+    from onnx_rusty_inference_engine_tpu import onnx_io
+
+    graph = oriet.import_onnx(f"{REFERENCE}/models/mnist-8.onnx")
+    eng = oriet.Engine(graph, dtype="bfloat16")
+    x = onnx_io.read_tensor_file(f"{REFERENCE}/mnist_data_0.pb")
+    y = onnx_io.read_tensor_file(f"{REFERENCE}/mnist_output_0.pb")
+    res = eng.run({x.name: x.array})
+    out = res.outputs["Plus214_Output_0"]
+    assert out.dtype == np.float32  # cast back at the boundary
+    assert res.top1()[0] == int(np.argmax(y.array))
+    assert np.abs(out - y.array).max() < 1.0  # bf16 drift, same ranking

@@ -1,0 +1,58 @@
+"""HTTP serving front end tests."""
+
+import json
+import urllib.request
+
+import numpy as np
+
+import onnx_rusty_inference_engine_tpu as oriet
+from onnx_rusty_inference_engine_tpu.http_serve import serve_http
+
+rng = np.random.default_rng(31)
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_infer_roundtrip():
+    graph = oriet.import_onnx("/root/reference/models/mnist-8.onnx")
+    eng = oriet.Engine(graph)
+    httpd, batcher = serve_http(eng, port=18231, block=False,
+                                batch_buckets=(1, 2, 4))
+    try:
+        port = httpd.server_address[1]
+        status, health = _get(port, "/healthz")
+        assert status == 200 and health["status"] == "ok"
+
+        x = (rng.standard_normal((1, 1, 28, 28)) * 10).astype(np.float32)
+        status, resp = _post(port, "/v1/infer", {"input": x.tolist()})
+        assert status == 200
+        got = np.asarray(resp["outputs"]["Plus214_Output_0"])
+        want = np.asarray(eng({"Input3": x})["Plus214_Output_0"])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+        # malformed request -> 400, server stays up
+        status, resp = _post(port, "/v1/infer", {"input": [[1, 2, 3]]})
+        assert status == 400 and "error" in resp
+
+        status, stats = _get(port, "/v1/stats")
+        assert status == 200 and stats["requests"] >= 1
+    finally:
+        httpd.shutdown()
+        batcher.stop()
