@@ -71,9 +71,18 @@ def main() -> None:
                    help="force the virtual-CPU mesh (code-path validation)")
     args = p.parse_args()
 
+    if args.cpu:
+        n = max(args.devices)
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            _os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}").strip()
+
     import jax
 
-    if args.cpu or max(args.devices) > len(jax.devices()):
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    elif max(args.devices) > len(jax.devices()):
         jax.config.update("jax_platforms", "cpu")
 
     results = []

@@ -12,6 +12,7 @@ feature — falls out for free: independent branches are independent HLO ops.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple, Union
@@ -19,6 +20,15 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compiled-executable cache (the framework's compile-checkpoint
+# story; the reference persists nothing, SURVEY.md §5). Opt in with
+# ORIET_COMPILE_CACHE=/path — subsequent runs of the same model skip XLA
+# compilation entirely.
+_cache_dir = os.environ.get("ORIET_COMPILE_CACHE")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from .graph import Graph
 from .ops import registry as _registry

@@ -399,3 +399,26 @@ const char* oriet_vi_dim_param(void* h, int kind, size_t i, size_t j) {
 }
 
 }  // extern "C"
+
+// --- standalone TensorProto decode (golden .pb data loader) -----------------
+extern "C" {
+
+void* oriet_parse_tensor(const uint8_t* buf, size_t len) {
+  auto t = std::make_unique<Tensor>();
+  Slice s{buf, len};
+  if (!parse_tensor(s, t.get())) return nullptr;
+  return t.release();
+}
+
+void oriet_free_tensor(void* h) { delete static_cast<Tensor*>(h); }
+const char* oriet_tensor_name(void* h) { return static_cast<Tensor*>(h)->name.c_str(); }
+int32_t oriet_tensor_dtype(void* h) { return static_cast<Tensor*>(h)->data_type; }
+size_t oriet_tensor_ndim(void* h) { return static_cast<Tensor*>(h)->dims.size(); }
+const int64_t* oriet_tensor_dims(void* h) { return static_cast<Tensor*>(h)->dims.data(); }
+const uint8_t* oriet_tensor_data(void* h, size_t* len) {
+  auto* t = static_cast<Tensor*>(h);
+  *len = t->data.size();
+  return t->data.data();
+}
+
+}  // extern "C"

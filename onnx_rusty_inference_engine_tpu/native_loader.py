@@ -85,6 +85,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                           [c_void_p, ctypes.c_int, c_size_t]),
         "oriet_vi_dim_param": (c_char_p, [c_void_p, ctypes.c_int, c_size_t,
                                           c_size_t]),
+        "oriet_parse_tensor": (c_void_p, [ctypes.c_char_p, c_size_t]),
+        "oriet_free_tensor": (None, [c_void_p]),
+        "oriet_tensor_name": (c_char_p, [c_void_p]),
+        "oriet_tensor_dtype": (ctypes.c_int32, [c_void_p]),
+        "oriet_tensor_ndim": (c_size_t, [c_void_p]),
+        "oriet_tensor_dims": (ctypes.POINTER(ctypes.c_int64), [c_void_p]),
+        "oriet_tensor_data": (ctypes.POINTER(ctypes.c_uint8),
+                              [c_void_p, ctypes.POINTER(c_size_t)]),
     }
     for name, (restype, argtypes) in sig.items():
         fn = getattr(lib, name)
@@ -113,6 +121,42 @@ def _vi_list(lib, h, kind: int) -> List[onnx_io.ValueInfo]:
             shape=shape if ndim else None,
         ))
     return out
+
+
+def read_tensor_native(path: str) -> Optional[onnx_io.TensorData]:
+    """TensorProto .pb loader via the C++ library (golden I/O data path,
+    counterpart of the reference's read_input_data, src/main.rs:44-53)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        buf = f.read()
+    h = lib.oriet_parse_tensor(buf, len(buf))
+    if not h:
+        return None
+    try:
+        dtype_code = int(lib.oriet_tensor_dtype(h))
+        np_dtype = onnx_io.DTYPE_TO_NUMPY.get(dtype_code)
+        if np_dtype is None:
+            return None
+        ndim = lib.oriet_tensor_ndim(h)
+        dims = lib.oriet_tensor_dims(h)
+        shape = tuple(int(dims[j]) for j in range(ndim))
+        ln = ctypes.c_size_t()
+        ptr = lib.oriet_tensor_data(h, ctypes.byref(ln))
+        raw = ctypes.string_at(ptr, ln.value)
+        n_elems = int(np.prod(shape, dtype=np.int64))
+        if ln.value == n_elems * np_dtype.itemsize:
+            arr = np.frombuffer(raw, dtype=np_dtype.newbyteorder("<")
+                                ).astype(np_dtype)
+        elif np.issubdtype(np_dtype, np.integer) and ln.value == n_elems * 8:
+            arr = np.frombuffer(raw, dtype="<i8").astype(np_dtype)
+        else:
+            return None
+        name = (lib.oriet_tensor_name(h) or b"").decode()
+        return onnx_io.TensorData(name=name, array=arr.reshape(shape))
+    finally:
+        lib.oriet_free_tensor(h)
 
 
 def load_model_native(path: str) -> Optional[onnx_io.ModelProto]:

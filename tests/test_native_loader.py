@@ -67,3 +67,16 @@ def test_engine_runs_natively_loaded_model(lib):
     out = eng.run({x.name: x.array})
     np.testing.assert_allclose(out.outputs["Plus214_Output_0"], y.array,
                                rtol=1e-4, atol=1e-3)
+
+
+def test_native_tensor_loader(lib):
+    from onnx_rusty_inference_engine_tpu.native_loader import read_tensor_native
+
+    for p in ["/root/reference/mnist_data_0.pb",
+              "/root/reference/squeezenet_output_0.pb"]:
+        t_c = read_tensor_native(p)
+        t_py = onnx_io.read_tensor_file(p)
+        assert t_c is not None
+        assert t_c.name == t_py.name
+        assert t_c.array.dtype == t_py.array.dtype
+        assert np.array_equal(t_c.array, t_py.array)
