@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from typing import Optional
 
 import numpy as np
@@ -90,21 +89,15 @@ def cmd_bench(args) -> int:
     x = rng.standard_normal(shape).astype(spec.dtype)
     feed = {spec.name: x}
 
-    # warmup / compile
-    jax.block_until_ready(engine(feed))
-    times = []
-    for _ in range(args.steps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(engine(feed))
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+    from .utils.timing import engine_throughput
+
+    ips = engine_throughput(engine, feed, iters=args.steps)
     print(json.dumps({
         "model": args.model,
         "batch": args.batch,
         "quantize": args.quantize,
-        "median_latency_s": med,
-        "p5_latency_s": float(np.percentile(times, 5)),
-        "images_per_sec": args.batch / med,
+        "images_per_sec": round(ips, 2),
+        "latency_s_per_batch": round(args.batch / ips, 6),
         "steps": args.steps,
         "device": str(jax.devices()[0]),
     }))
@@ -185,7 +178,7 @@ def main(argv: Optional[list] = None) -> int:
     pb = sub.add_parser("bench", help="throughput benchmark")
     pb.add_argument("--model", required=True)
     pb.add_argument("--batch", type=int, default=64)
-    pb.add_argument("--steps", type=int, default=50)
+    pb.add_argument("--steps", type=int, default=100)
     pb.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     pb.add_argument("--quantize", choices=["int8"])

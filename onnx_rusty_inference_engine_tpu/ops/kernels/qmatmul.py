@@ -37,7 +37,7 @@ def _mm_kernel(a_ref, b_ref, out_ref, acc_ref):
         out_ref[:] = acc_ref[:]
 
 
-def _mm_requant_kernel(a_ref, b_ref, mult_ref, out_ref, acc_ref):
+def _mm_requant_kernel(a_ref, b_ref, mult_ref, bias_ref, out_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -48,11 +48,13 @@ def _mm_requant_kernel(a_ref, b_ref, mult_ref, out_ref, acc_ref):
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
-        y = jnp.round(acc_ref[:].astype(jnp.float32) * mult_ref[:])
+        acc = acc_ref[:] + bias_ref[:]
+        y = jnp.round(acc.astype(jnp.float32) * mult_ref[:])
         out_ref[:] = jnp.clip(y, -128, 127).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                              "interpret"))
 def qmatmul_int8(
     a: jax.Array,
     b: jax.Array,
@@ -60,6 +62,7 @@ def qmatmul_int8(
     block_m: int = 256,
     block_n: int = 256,
     block_k: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """int8[M,K] @ int8[K,N] -> int32[M,N] on the MXU."""
     M, K = a.shape
@@ -89,21 +92,28 @@ def qmatmul_int8(
             bytes_accessed=Mp * Kp + Kp * Np + Mp * Np * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(a, b)
     return out[:M, :N]
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                              "interpret"))
 def qmatmul_int8_requant(
     a: jax.Array,
     b: jax.Array,
     mult: jax.Array,  # fp32 [N] or scalar: x_scale * w_scale / y_scale
+    bias: Optional[jax.Array] = None,  # int32 [N], added pre-requant
     *,
     block_m: int = 256,
     block_n: int = 256,
     block_k: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
-    """int8 matmul with the requant epilogue fused in VMEM -> int8[M,N]."""
+    """int8 matmul with int32 bias + requant epilogue fused in VMEM -> int8[M,N].
+
+    This is the fused dequant->contract->requant north-star kernel shape:
+    the int8 result never round-trips through HBM in fp32."""
     M, K = a.shape
     _, N = b.shape
     Mp, Np, Kp = _round_up(M, block_m), _round_up(N, block_n), _round_up(K, block_k)
@@ -116,6 +126,10 @@ def qmatmul_int8_requant(
         jnp.full((1, N), mult, jnp.float32), (1, N))
     if Np != N:
         mult_row = jnp.pad(mult_row, ((0, 0), (0, Np - N)))
+    bias_row = (bias.astype(jnp.int32).reshape(1, -1) if bias is not None
+                else jnp.zeros((1, N), jnp.int32))
+    if Np != N:
+        bias_row = jnp.pad(bias_row, ((0, 0), (0, Np - N)))
 
     out = pl.pallas_call(
         _mm_requant_kernel,
@@ -124,6 +138,8 @@ def qmatmul_int8_requant(
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
@@ -137,5 +153,23 @@ def qmatmul_int8_requant(
             bytes_accessed=Mp * Kp + Kp * Np + Mp * Np,
             transcendentals=0,
         ),
-    )(a, b, mult_row)
+        interpret=interpret,
+    )(a, b, mult_row, bias_row)
     return out[:M, :N]
+
+
+def qconv1x1_int8_requant(x, w, mult, bias=None, *, interpret=False):
+    """Fused QLinearConv for 1x1/stride-1 convs: NCHW int8 activations are
+    re-laid as a [B·H·W, C_in] matrix and run through the fused
+    matmul+bias+requant kernel (1x1 conv IS a matmul on the MXU).
+
+    x: int8 [B, C_in, H, W]; w: int8 [C_out, C_in, 1, 1];
+    mult: fp32 scalar or [C_out]; bias: int32 [C_out] or None.
+    Returns int8 [B, C_out, H, W]."""
+    B, C, H, W = x.shape
+    O = w.shape[0]
+    xm = jnp.transpose(x, (0, 2, 3, 1)).reshape(B * H * W, C)
+    wm = jnp.transpose(w.reshape(O, C), (1, 0))  # [C_in, C_out]
+    y = qmatmul_int8_requant(xm, wm, jnp.asarray(mult), bias,
+                             interpret=interpret)
+    return jnp.transpose(y.reshape(B, H, W, O), (0, 3, 1, 2))

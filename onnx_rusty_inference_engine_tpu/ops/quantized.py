@@ -106,6 +106,19 @@ def qlinear_conv(ctx: LoweringContext, node: Node, ins):
 
     sym = (_static_zp_is_zero(ctx, node.inputs[2])
            and _static_zp_is_zero(ctx, node.inputs[5]))
+    if (sym and _use_pallas() and spatial == 2 and group == 1
+            and _static_zp_is_zero(ctx, node.inputs[7])
+            and tuple(w.shape[2:]) == (1, 1)
+            and all(s == 1 for s in strides)
+            and not any(lo or hi for lo, hi in padding)):
+        # 1x1 stride-1 conv IS a matmul: fused Pallas kernel (dequant-free
+        # int8 contraction + int32 bias + requant, all in VMEM)
+        from .kernels.qmatmul import qconv1x1_int8_requant
+
+        mult = (x_s.astype(jnp.float32) * w_s.astype(jnp.float32)
+                / y_s.astype(jnp.float32))
+        interp = jax.default_backend() != "tpu"
+        return (qconv1x1_int8_requant(x, w, mult, bias, interpret=interp),)
     if sym:
         lhs, rhs = x, w  # int8 x int8 -> int32 directly on the MXU
     else:  # general (asymmetric) path: widen then subtract zero points
