@@ -22,8 +22,8 @@ import sys
 import numpy as np
 
 
-def measure(n_devices: int, batch_per_device: int = 32, int8: bool = True
-            ) -> dict:
+def measure(n_devices: int, batch_per_device: int = 32, int8: bool = True,
+            iters: int = 100) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +49,7 @@ def measure(n_devices: int, batch_per_device: int = 32, int8: bool = True
 
     if n_devices == 1:
         eng = Engine(graph)
-        ips = engine_throughput(eng, {"data_0": x})
+        ips = engine_throughput(eng, {"data_0": x}, iters=iters)
         return {"devices": 1, "batch": batch, "images_per_sec": round(ips, 1)}
 
     mesh = make_mesh({"data": n_devices, "model": 1})
@@ -57,7 +57,7 @@ def measure(n_devices: int, batch_per_device: int = 32, int8: bool = True
                  param_sharding_fn=cnn_param_sharding(mesh),
                  input_sharding_fn=data_input_sharding(mesh))
     with mesh:
-        ips = engine_throughput(eng, {"data_0": x})
+        ips = engine_throughput(eng, {"data_0": x}, iters=iters)
     return {"devices": n_devices, "batch": batch,
             "images_per_sec": round(ips, 1)}
 
@@ -67,6 +67,7 @@ def main() -> None:
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--batch-per-device", type=int, default=32)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--iters", type=int, default=100)
     p.add_argument("--cpu", action="store_true",
                    help="force the virtual-CPU mesh (code-path validation)")
     args = p.parse_args()
@@ -91,7 +92,8 @@ def main() -> None:
         if n > len(jax.devices()):
             print(json.dumps({"devices": n, "skipped": "not enough devices"}))
             continue
-        r = measure(n, args.batch_per_device, int8=not args.fp32)
+        r = measure(n, args.batch_per_device, int8=not args.fp32,
+                    iters=args.iters)
         if base is None:
             base = r["images_per_sec"] / r["devices"]
         r["scaling_efficiency"] = round(

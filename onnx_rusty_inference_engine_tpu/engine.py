@@ -51,8 +51,42 @@ def lower(graph: Graph):
                     if k not in params})
         env.update(params)
         env.update(inputs)
+        from .graph import _fold_one
+        from .ops.registry import UnsupportedOpError  # noqa: F401
+
         ctx = LoweringContext(graph, env)
+
+        def static_value(name):
+            if name in graph.constants:
+                return graph.constants[name]
+            return ctx.static_env.get(name)
+
         for node in graph.nodes:
+            # trace-time static propagation: Shape/Size of traced tensors are
+            # known statically; foldable ops over static values stay static
+            if node.op_type in ("Shape", "Size") and node.inputs[0] in env:
+                shp = env[node.inputs[0]].shape
+                val = (np.asarray(shp, dtype=np.int64)
+                       if node.op_type == "Shape"
+                       else np.asarray(int(np.prod(shp)), dtype=np.int64))
+                ctx.static_env[node.outputs[0]] = val
+                env[node.outputs[0]] = jnp.asarray(val)
+                continue
+            from .graph import _FOLDABLE
+
+            if node.op_type in _FOLDABLE and len(node.outputs) == 1 and all(
+                    (not i) or static_value(i) is not None for i in node.inputs):
+                try:
+                    folded = _fold_one(
+                        node, {i: static_value(i) for i in node.inputs if i})
+                except Exception:
+                    folded = None
+                if folded is not None:
+                    folded = np.asarray(folded)
+                    ctx.static_env[node.outputs[0]] = folded
+                    env[node.outputs[0]] = jnp.asarray(folded)
+                    continue
+
             emitter = get_emitter(node.op_type)
             ins = [env[i] if i else None for i in node.inputs]
             # named_scope threads the ONNX node identity into XLA/HLO

@@ -44,16 +44,26 @@ def supported_ops():
 
 
 class LoweringContext:
-    """Static context handed to emitters: constants + opset + value env."""
+    """Static context handed to emitters: constants + opset + value env.
+
+    `static_env` holds values that are known at trace time even though they
+    flow through graph nodes — e.g. Shape of a traced tensor, and any
+    foldable arithmetic on such values. This is what makes the ONNX-export
+    idiom  Shape -> Gather -> Unsqueeze -> Concat -> Reshape  lower to a
+    static XLA reshape."""
 
     def __init__(self, graph: Graph, env: dict):
         self.graph = graph
         self.env = env  # tensor name -> traced jax value
+        self.static_env: Dict[str, np.ndarray] = {}
         self.opset = graph.opset
 
     def constant(self, name: str) -> Optional[np.ndarray]:
         """Static (trace-time) value of a tensor if known, else None."""
-        return self.graph.constants.get(name)
+        v = self.graph.constants.get(name)
+        if v is None:
+            v = self.static_env.get(name)
+        return v
 
     def require_constant(self, name: str, what: str) -> np.ndarray:
         v = self.constant(name)

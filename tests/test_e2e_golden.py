@@ -88,3 +88,30 @@ def test_bfloat16_engine_mode():
     assert out.dtype == np.float32  # cast back at the boundary
     assert res.top1()[0] == int(np.argmax(y.array))
     assert np.abs(out - y.array).max() < 1.0  # bf16 drift, same ranking
+
+
+def test_export_style_dynamic_reshape():
+    """HF-export idiom: Shape -> Gather -> Unsqueeze -> Concat -> Reshape
+    must lower statically for any actual batch size."""
+    from util import make_model, node
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+
+    nodes = [
+        node("Shape", ["x"], ["shp"]),
+        node("Gather", ["shp", "zero"], ["b"], axis=0),
+        node("Unsqueeze", ["b"], ["b1"], axes=[0]),
+        node("Concat", ["b1", "minus1"], ["tgt"], axis=0),
+        node("Reshape", ["x", "tgt"], ["out0"]),
+    ]
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    m = make_model(nodes, {"x": x}, ["out0"],
+                   {"zero": np.array(0, np.int64),
+                    "minus1": np.array([-1], np.int64)})
+    g = import_model(m)
+    eng = oriet.Engine(g)
+    out = eng.run({"x": x}).outputs["out0"]
+    np.testing.assert_array_equal(out, x.reshape(2, 12))
+    # different batch, same compiled engine class (new trace)
+    x2 = np.arange(48, dtype=np.float32).reshape(4, 3, 4)
+    out2 = eng.run({"x": x2}).outputs["out0"]
+    np.testing.assert_array_equal(out2, x2.reshape(4, 12))
