@@ -63,8 +63,8 @@ def main() -> None:
     def bench(graph, label):
         eng = Engine(graph)
 
-        def step(carry):
-            out = eng._fn(eng.params, carry)
+        def step(params, carry):
+            out = eng._fn(params, carry)
             new = dict(carry)
             # feed presents back in (the real decode loop does exactly this)
             for i in range(cfg.n_layer):
@@ -74,7 +74,8 @@ def main() -> None:
             new["input_ids"] = tok[:, None].astype(jnp.int64)
             return new
 
-        sec = device_loop_timer(step, feed, iters=args.iters)
+        sec = device_loop_timer(step, feed, iters=args.iters,
+                                params=eng.params)
         print(json.dumps({
             "metric": f"gpt2_decode_{label}",
             "layers": cfg.n_layer, "d_model": cfg.n_embd, "batch": B,

@@ -19,18 +19,34 @@ import jax.numpy as jnp
 __all__ = ["device_loop_timer", "engine_throughput"]
 
 
-def device_loop_timer(step_fn: Callable, init_carry, iters: int = 200) -> float:
+def device_loop_timer(step_fn: Callable, init_carry, iters: int = 200,
+                      params=None) -> float:
     """Return seconds per iteration of step_fn (carry -> carry), measured as
-    one on-device loop."""
+    one on-device loop.
 
-    @jax.jit
-    def loop(carry):
-        return jax.lax.fori_loop(0, iters, lambda _, c: step_fn(c), carry)
+    Pass large weights via `params` (step_fn then takes (params, carry)) —
+    values CLOSED OVER by step_fn are baked into the HLO as literals, which
+    both bloats the program (the remote-compile tunnel rejects >~100MB
+    uploads with HTTP 413) and defeats donation."""
 
-    out = loop(init_carry)  # compile + warm
+    if params is None:
+        @jax.jit
+        def loop(carry):
+            return jax.lax.fori_loop(0, iters, lambda _, c: step_fn(c), carry)
+
+        args = (init_carry,)
+    else:
+        @jax.jit
+        def loop(p, carry):
+            return jax.lax.fori_loop(
+                0, iters, lambda _, c: step_fn(p, c), carry)
+
+        args = (params, init_carry)
+
+    out = loop(*args)  # compile + warm
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = loop(init_carry)
+    out = loop(*args)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return dt / iters
@@ -41,12 +57,10 @@ def engine_throughput(engine, feed: Dict[str, jnp.ndarray], iters: int = 100
     """Steady-state examples/sec of a compiled engine, device-resident I/O,
     sequential on-device iterations."""
     feed = {k: jax.device_put(jnp.asarray(v)) for k, v in feed.items()}
-    params = engine.params
     fn = engine._fn
-    names = list(feed.keys())
-    first = names[0]
+    first = next(iter(feed))
 
-    def step(carry):
+    def step(params, carry):
         out = fn(params, carry)
         # inject a scalar dependency so iterations serialize without
         # changing the input's value (x + 0 * f(out))
@@ -55,6 +69,6 @@ def engine_throughput(engine, feed: Dict[str, jnp.ndarray], iters: int = 100
         new[first] = carry[first] + dep.astype(carry[first].dtype)
         return new
 
-    sec = device_loop_timer(step, feed, iters)
+    sec = device_loop_timer(step, feed, iters, params=engine.params)
     batch = int(next(iter(feed.values())).shape[0])
     return batch / sec
