@@ -43,11 +43,19 @@ def device_loop_timer(step_fn: Callable, init_carry, iters: int = 200,
 
         args = (params, init_carry)
 
+    def sync(result):
+        # block_until_ready can return optimistically through the remote
+        # tunnel; fetching real bytes to host is the only hard sync.
+        leaf = jax.tree_util.tree_leaves(result)[0]
+        jax.device_get(leaf.ravel()[:1])
+
     out = loop(*args)  # compile + warm
     jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     out = loop(*args)
     jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     return dt / iters
 
