@@ -222,6 +222,19 @@ def matmul_nbits(ctx: LoweringContext, node: Node, ins):
     block = int(node.attr("block_size", K))
     n_blocks = K // block
 
+    use_fused = jax.default_backend() == "tpu" or _use_pallas()
+    if use_fused:
+        # Pallas kernel: weights stay packed in HBM, unpack+dequant in VMEM
+        # (the naive path below materializes the full bf16 matrix and is
+        # memory-bound at 4x the traffic)
+        from .kernels.qmatmul_int4 import qmatmul_int4_bf16
+
+        lead = a.shape[:-1]
+        a2 = a.reshape(-1, K)
+        interp = jax.default_backend() != "tpu"
+        out = qmatmul_int4_bf16(a2, packed, scales, interpret=interp)
+        return (out.reshape(*lead, N).astype(a.dtype),)
+
     lo = (packed & 0xF).astype(jnp.int8) - 8          # [N, K//2] (even k)
     hi = (packed >> 4).astype(jnp.int8) - 8           # [N, K//2] (odd k)
     q = jnp.stack([lo, hi], axis=-1).reshape(N, K)     # interleave -> [N, K]

@@ -71,3 +71,52 @@ def test_qconv1x1_fused_matches_xla_path():
     # rounding of exact-half values may differ by 1 LSB between paths
     assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
     assert (got == want).mean() > 0.99
+
+
+def test_qmatmul_int4_matches_reference():
+    from onnx_rusty_inference_engine_tpu.ops.kernels.qmatmul_int4 import (
+        qmatmul_int4_bf16)
+    from onnx_rusty_inference_engine_tpu.quant import pack_int4
+
+    M, K, N = 40, 256, 96
+    a = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    packed, scales = pack_int4(w, block_size=128)
+    got = np.asarray(qmatmul_int4_bf16(
+        jnp.asarray(a), jnp.asarray(packed), jnp.asarray(scales),
+        interpret=INTERP))
+    # reference: dequantized int4 weights, bf16 activations
+    lo = (packed & 0xF).astype(np.int8) - 8
+    hi = (packed >> 4).astype(np.int8) - 8
+    q = np.stack([lo, hi], axis=-1).reshape(N, K)
+    wd = (q.reshape(N, 2, 128) * scales[:, :, None]).reshape(N, K).T
+    import ml_dtypes
+    want = a.astype(ml_dtypes.bfloat16).astype(np.float32) @ \
+        wd.astype(ml_dtypes.bfloat16).astype(np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.02  # bf16 accumulation-order differences only
+
+
+def test_matmul_nbits_pallas_path_via_engine():
+    """MatMulNBits lowering (fused kernel on non-xla path) matches the naive
+    dequantize-then-matmul lowering."""
+    from util import run_op
+
+    K, N = 256, 64
+    a = rng.standard_normal((8, K)).astype(np.float32)
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    from onnx_rusty_inference_engine_tpu.quant import pack_int4
+    packed, scales = pack_int4(w, block_size=128)
+
+    feeds = ({"a": a}, {"p": packed, "s": scales})
+    os.environ["ORIET_KERNELS"] = "xla"
+    try:
+        (want,) = run_op("MatMulNBits", *feeds, K=K, N=N, bits=4,
+                         block_size=128)
+        os.environ["ORIET_KERNELS"] = "pallas"
+        (got,) = run_op("MatMulNBits", *feeds, K=K, N=N, bits=4,
+                        block_size=128)
+    finally:
+        os.environ["ORIET_KERNELS"] = "xla"
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.02
