@@ -228,7 +228,11 @@ def quantize_graph(
                 new_nodes.append(Node(op, [ensure_fp32(i) for i in node.inputs],
                                       node.outputs, node.name, dict(node.attrs)))
                 continue
-            if op == "Gemm" and (int(node.attr("transA", 0))):
+            if op == "Gemm" and (
+                    int(node.attr("transA", 0))
+                    or float(node.attr("alpha", 1.0)) != 1.0
+                    or float(node.attr("beta", 1.0)) not in (0.0, 1.0)):
+                # QLinearMatMul has no alpha/beta; non-default Gemms stay fp32
                 new_nodes.append(Node(op, [ensure_fp32(i) for i in node.inputs],
                                       node.outputs, node.name, dict(node.attrs)))
                 continue
@@ -265,8 +269,9 @@ def quantize_graph(
             x_zp = add_const(f"{x_q}__xzp", np.int8(0), is_weight=False)
             inputs = [x_q, x_s, x_zp, wq_name, ws_name, wzp_name,
                       ys_name, yzp_name]
-            # bias -> int32 at scale x_s * w_s
-            if len(node.inputs) > 2 and node.inputs[2]:
+            # bias -> int32 at scale x_s * w_s (skipped when Gemm beta == 0)
+            if len(node.inputs) > 2 and node.inputs[2] and \
+                    float(node.attr("beta", 1.0)) != 0.0:
                 b = new_consts.get(node.inputs[2])
                 if b is not None:
                     b32 = np.round(
