@@ -41,6 +41,12 @@ def _resnet50_path() -> str:
     return _synth("resnet50.synth", build_resnet50)
 
 
+def _mobilenetv2_path() -> str:
+    from .mobilenet import build_mobilenetv2
+
+    return _synth("mobilenetv2.synth", build_mobilenetv2)
+
+
 def _gpt2_path() -> str:
     from .gpt2 import SMALL, build_gpt2
 
@@ -54,6 +60,7 @@ MODELS: Dict[str, Callable[[], str]] = {
     "matmul_2d": lambda: f"{_REFERENCE}/models/model.onnx",
     "squeezenet": _squeezenet_path,
     "resnet50": _resnet50_path,
+    "mobilenetv2": _mobilenetv2_path,
     "gpt2": _gpt2_path,
 }
 

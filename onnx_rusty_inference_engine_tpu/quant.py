@@ -115,6 +115,28 @@ def calibrate(
     return ranges
 
 
+def _static_clip_bounds(graph: Graph, node: Node
+                        ) -> Optional[Tuple[float, float]]:
+    """(min, max) of a Clip node when both bounds are static, else None."""
+
+    def bound(attr_name: str, input_idx: int):
+        v = node.attr(attr_name)
+        if v is not None:
+            return float(v)
+        if len(node.inputs) > input_idx and node.inputs[input_idx]:
+            c = graph.constants.get(node.inputs[input_idx])
+            if c is not None and c.size == 1:
+                return float(np.asarray(c).reshape(()))
+            return None  # dynamic bound
+        return None
+
+    lo = bound("min", 1)
+    hi = bound("max", 2)
+    if lo is None or hi is None:
+        return None
+    return lo, hi
+
+
 def _act_scale(ranges: Dict[str, Tuple[float, float]], name: str) -> float:
     lo, hi = ranges.get(name, (-1.0, 1.0))
     amax = max(abs(lo), abs(hi), 1e-8)
@@ -164,9 +186,13 @@ def quantize_graph(
             scale_override[n.outputs[0]] = s
     # Relu output shares its input scale only if we fold; we keep Relu in
     # int8 domain, so give Relu output its own (post-relu) range — but its
-    # *input* must use the same scale as its output for exactness:
+    # *input* must use the same scale as its output for exactness. Clip with
+    # static bounds (ReLU6 in MobileNet) gets the same treatment: the int8
+    # saturation at 127·s realizes the upper bound, and the remaining lower
+    # bound is applied as an int8-domain clip.
     for n in graph.nodes:
-        if n.op_type == "Relu":
+        if n.op_type == "Relu" or (
+                n.op_type == "Clip" and _static_clip_bounds(graph, n)):
             out_s = scale_override.get(n.outputs[0], _act_scale(ranges, n.outputs[0]))
             scale_override[n.inputs[0]] = out_s
 
@@ -281,6 +307,21 @@ def quantize_graph(
                     inputs.append(add_const(f"{node.inputs[2]}__b32", b32))
             new_nodes.append(Node(qop, inputs, node.outputs, node.name, attrs))
             qdomain[y_name] = y_s
+
+        elif op == "Clip" and node.inputs[0] in qdomain \
+                and _static_clip_bounds(graph, node):
+            # ReLU6-style: clip in the int8 domain at round(bound / s)
+            lo, hi = _static_clip_bounds(graph, node)
+            s = qdomain[node.inputs[0]]
+            lo_q = np.int8(np.clip(round(lo / s), -128, 127))
+            hi_q = np.int8(np.clip(round(hi / s), -128, 127))
+            lo_name = add_const(f"{node.outputs[0]}__cliplo", lo_q,
+                                is_weight=False)
+            hi_name = add_const(f"{node.outputs[0]}__cliphi", hi_q,
+                                is_weight=False)
+            new_nodes.append(Node("Clip", [node.inputs[0], lo_name, hi_name],
+                                  node.outputs, node.name))
+            qdomain[node.outputs[0]] = s
 
         elif op in config.int8_transparent and node.inputs[0] in qdomain:
             # stays in int8 domain
