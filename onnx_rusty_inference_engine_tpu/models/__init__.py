@@ -10,5 +10,6 @@ own protobuf writer, so the full ONNX ingest path is exercised end-to-end.
 from .squeezenet import build_squeezenet  # noqa: F401
 from .resnet import build_resnet50  # noqa: F401
 from .mobilenet import build_mobilenetv2  # noqa: F401
+from .bert import build_bert  # noqa: F401
 from .gpt2 import build_gpt2  # noqa: F401
 from .zoo import get_model_path, MODELS  # noqa: F401
