@@ -49,18 +49,30 @@ def main() -> None:
                      n_embd=args.d, n_layer=args.layers, n_head=args.heads)
     g = import_model(build_gpt2_decode(cfg, batch=args.batch,
                                        max_len=args.max_len))
+    g_kv8 = import_model(build_gpt2_decode(cfg, batch=args.batch,
+                                           max_len=args.max_len,
+                                           kv_dtype="int8"))
 
     rng = np.random.default_rng(0)
     B, H, L, hd = args.batch, cfg.n_head, args.max_len, cfg.head_dim
-    feed = {"input_ids": jnp.asarray(
-                rng.integers(0, cfg.vocab_size, (B, 1)).astype(np.int64)),
-            "pos": jnp.asarray([L // 2], dtype=np.int64)}
-    for i in range(cfg.n_layer):
-        for kind in ("key", "value"):
-            feed[f"past_{kind}_{i}"] = jnp.asarray(
-                rng.standard_normal((B, H, L, hd)).astype(np.float32))
 
-    def bench(graph, label):
+    def make_feed(int8_kv: bool):
+        feed = {"input_ids": jnp.asarray(
+                    rng.integers(0, cfg.vocab_size, (B, 1)).astype(np.int64)),
+                "pos": jnp.asarray([L // 2], dtype=np.int64)}
+        for i in range(cfg.n_layer):
+            for kind in ("key", "value"):
+                kv = rng.standard_normal((B, H, L, hd)).astype(np.float32)
+                if int8_kv:
+                    feed[f"past_{kind}_{i}"] = jnp.asarray(
+                        np.clip(np.round(kv * 32), -127, 127).astype(np.int8))
+                    feed[f"kv_scale_{kind}_{i}"] = jnp.full(
+                        (H,), 1 / 32, jnp.float32)
+                else:
+                    feed[f"past_{kind}_{i}"] = jnp.asarray(kv)
+        return feed
+
+    def bench(graph, label, feed):
         eng = Engine(graph)
 
         def step(params, carry):
@@ -85,11 +97,17 @@ def main() -> None:
         }))
         return sec
 
-    t_f = bench(g, "fp32")
+    feed_f = make_feed(False)
+    feed_q = make_feed(True)
+    t_f = bench(g, "fp32", feed_f)
     g4 = quantize_weights_int4(g)
-    t_4 = bench(g4, "int4_weights")
+    t_4 = bench(g4, "int4_weights", feed_f)
+    g4kv8 = quantize_weights_int4(g_kv8)
+    t_48 = bench(g4kv8, "int4_weights_int8_kv", feed_q)
     print(json.dumps({"metric": "gpt2_decode_int4_speedup",
                       "value": round(t_f / t_4, 3)}))
+    print(json.dumps({"metric": "gpt2_decode_int4_int8kv_speedup",
+                      "value": round(t_f / t_48, 3)}))
 
 
 if __name__ == "__main__":

@@ -49,7 +49,8 @@ class Generator:
             build_gpt2(cfg, batch=batch, seq_len=prompt_len, past_len=0,
                        with_presents=True, seed=seed))
         decode_graph = import_model(
-            build_gpt2_decode(cfg, batch=batch, max_len=max_len, seed=seed))
+            build_gpt2_decode(cfg, batch=batch, max_len=max_len, seed=seed,
+                              kv_dtype=kv_dtype))
         if int4_weights:
             from .quant import quantize_weights_int4
 
@@ -58,22 +59,16 @@ class Generator:
         ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
         self.prefill = Engine(prefill_graph, **ekw)
         self.decode = Engine(decode_graph, **ekw)
-        self._kv_scale: Optional[float] = None
+        # per-(layer, kind, head) scales, calibrated from the prefill
+        self._kv_scales: Optional[Dict[str, np.ndarray]] = None
 
-    # -- cache quantization (INT8 KV) -----------------------------------
-    def _store(self, kv: jax.Array) -> jax.Array:
+    # -- cache quantization (INT8 KV; the decode GRAPH carries the QDQ,
+    # so the cache never round-trips HBM in fp32) -----------------------
+    def _store(self, kv: jax.Array, scale_name: str) -> jax.Array:
         if self.kv_dtype == np.int8:
-            if self._kv_scale is None:
-                amax = float(jnp.max(jnp.abs(kv)))
-                self._kv_scale = max(amax, 1e-6) / 127.0
-            return jnp.clip(jnp.round(kv / self._kv_scale), -127, 127
-                            ).astype(jnp.int8)
+            s = self._kv_scales[scale_name].reshape(1, -1, 1, 1)
+            return jnp.clip(jnp.round(kv / s), -127, 127).astype(jnp.int8)
         return kv.astype(self.kv_dtype)
-
-    def _load(self, kv: jax.Array) -> jax.Array:
-        if self.kv_dtype == np.int8:
-            return kv.astype(jnp.float32) * self._kv_scale
-        return kv.astype(jnp.float32)
 
     # -- generation ------------------------------------------------------
     def generate(self, input_ids: np.ndarray, n_new: int,
@@ -88,15 +83,26 @@ class Generator:
         logits = out["logits"]
         next_tok = jnp.argmax(logits[:, -1, :], axis=-1)
 
+        # calibrate per-(layer, kind, head) scales from the prefill presents
+        L = self.cfg.n_layer
+        if self.kv_dtype == np.int8 and self._kv_scales is None:
+            self._kv_scales = {}
+            for i in range(L):
+                for kind in ("key", "value"):
+                    kv = np.asarray(out[f"present_{kind}_{i}"])
+                    amax = np.maximum(np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
+                    self._kv_scales[f"kv_scale_{kind}_{i}"] = (
+                        amax / 127.0).astype(np.float32)
+
         # seed the fixed-size cache with the prefill presents
         cache: Dict[str, jax.Array] = {}
-        L = self.cfg.n_layer
         for i in range(L):
             for kind in ("key", "value"):
                 kv = out[f"present_{kind}_{i}"]  # [B,H,P,hd]
                 pad = self.max_len - kv.shape[2]
                 kv_full = jnp.pad(kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
-                cache[f"past_{kind}_{i}"] = self._store(kv_full)
+                cache[f"past_{kind}_{i}"] = self._store(
+                    kv_full, f"kv_scale_{kind}_{i}")
 
         tokens = [np.asarray(next_tok)]
         all_logits = [np.asarray(logits)] if return_logits else None
@@ -104,14 +110,15 @@ class Generator:
             pos = np.asarray([P + t], dtype=np.int64)
             feed = {"input_ids": np.asarray(next_tok)[:, None].astype(np.int64),
                     "pos": pos}
-            feed.update({k: self._load(v) for k, v in cache.items()})
+            feed.update(cache)  # int8 pasts flow straight back in
+            if self.kv_dtype == np.int8:
+                feed.update(self._kv_scales)
             step = self.decode(feed)
             step_logits = step["logits"]
             next_tok = jnp.argmax(step_logits[:, -1, :], axis=-1)
             for i in range(L):
                 for kind in ("key", "value"):
-                    cache[f"past_{kind}_{i}"] = self._store(
-                        step[f"present_{kind}_{i}"])
+                    cache[f"past_{kind}_{i}"] = step[f"present_{kind}_{i}"]
             tokens.append(np.asarray(next_tok))
             if return_logits:
                 all_logits.append(np.asarray(step_logits))

@@ -159,6 +159,7 @@ def build_gpt2_decode(
     max_len: int = 64,
     opset: int = 17,
     seed: int = 0,
+    kv_dtype: str = "float32",
 ) -> onnx_io.ModelProto:
     """Single-token decode step with a FIXED-size KV cache (TPU-native:
     static shapes, one XLA compile for the whole generation loop).
@@ -169,18 +170,32 @@ def build_gpt2_decode(
     [B,H,max_len,hd] (in-place-style update at `pos` via a one-hot Where —
     pure ONNX ops, no dynamic shapes).
 
+    kv_dtype="int8" emits the north-star INT8 KV cache (BASELINE.json
+    config #5) the TPU-native way: pasts/presents are int8 *inside the
+    graph* (QuantizeLinear on the new k/v, int8-domain Where update,
+    DequantizeLinear feeding attention — fused by XLA into the matmul
+    reads), so per-step cache HBM traffic drops 4x. Per-head scales arrive
+    as runtime inputs `kv_scale_{key,value}_{i}` [H] (calibrated from the
+    prefill by generate.Generator).
+
     Weights are seeded identically to build_gpt2(), so prefill and decode
     graphs share parameters.
     """
     b = GraphBuilder("gpt2_decode", opset=opset, seed=seed)
     B, T = batch, 1
     D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
+    int8_kv = np.dtype(kv_dtype) == np.int8
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)
     pos = b.input("pos", [1], dtype=np.int64)
-    pasts = [(b.input(f"past_key_{i}", [B, H, max_len, hd]),
-              b.input(f"past_value_{i}", [B, H, max_len, hd]))
+    cache_np = np.int8 if int8_kv else np.float32
+    pasts = [(b.input(f"past_key_{i}", [B, H, max_len, hd], dtype=cache_np),
+              b.input(f"past_value_{i}", [B, H, max_len, hd], dtype=cache_np))
              for i in range(cfg.n_layer)]
+    kv_scales = [(b.input(f"kv_scale_key_{i}", [H]),
+                  b.input(f"kv_scale_value_{i}", [H]))
+                 for i in range(cfg.n_layer)] if int8_kv else None
+    zp8 = b.init("kv_zp8", np.int8(0)) if int8_kv else None
 
     wte = b.init("wte", (b.rng.standard_normal((cfg.vocab_size, D))
                          * 0.02).astype(np.float32))
@@ -221,9 +236,26 @@ def build_gpt2_decode(
 
         qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
         pk, pv = pasts[i]
-        # scatter new k/v into the fixed cache at `pos`
-        (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
-        (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
+        if int8_kv:
+            # quantize the new k/v per head, update the cache in the int8
+            # domain, dequantize for the attention contractions
+            sk, sv = kv_scales[i]
+            (kh8,) = b.node("QuantizeLinear", [kh, sk, zp8],
+                            [f"blk{i}_k_q8"], axis=1)
+            (vh8,) = b.node("QuantizeLinear", [vh, sv, zp8],
+                            [f"blk{i}_v_q8"], axis=1)
+            (kc8,) = b.node("Where", [is_now4, kh8, pk],
+                            [f"present_key_{i}"])
+            (vc8,) = b.node("Where", [is_now4, vh8, pv],
+                            [f"present_value_{i}"])
+            (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
+                           [f"blk{i}_k_dq"], axis=1)
+            (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
+                           [f"blk{i}_v_dq"], axis=1)
+        else:
+            # scatter new k/v into the fixed cache at `pos`
+            (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
+            (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
 
         (kt,) = b.node("Transpose", [kc], [f"blk{i}_kT"], perm=[0, 1, 3, 2])
         (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])  # [B,H,1,L]
@@ -248,6 +280,6 @@ def build_gpt2_decode(
 
     b.output(logits, [B, T, cfg.vocab_size])
     for i in range(cfg.n_layer):
-        b.output(f"present_key_{i}", [B, H, max_len, hd])
-        b.output(f"present_value_{i}", [B, H, max_len, hd])
+        b.output(f"present_key_{i}", [B, H, max_len, hd], dtype=cache_np)
+        b.output(f"present_value_{i}", [B, H, max_len, hd], dtype=cache_np)
     return b.model()

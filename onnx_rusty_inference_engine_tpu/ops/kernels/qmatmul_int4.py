@@ -7,9 +7,20 @@ This kernel keeps weights PACKED (uint8 nibble pairs) in HBM, streams packed
 blocks into VMEM, and unpacks + block-dequantizes right before each MXU dot
 — HBM traffic stays at K*N/2 bytes + scales.
 
-Layout contract = quant.pack_int4: packed [N, K//2] uint8 (k-major nibbles,
-value+8), scales fp32 [N, K/block]. The kernel requires the quant block size
-to be a multiple of the K-tile (it reshapes scales per tile).
+Layout contract = quant.pack_int4: packed [N, K//2] uint8 where byte j holds
+q[2j] (lo nibble) and q[2j+1] (hi nibble), value+8; scales fp32 [N, K/qblock].
+
+Mosaic-friendly formulation (no in-kernel reshapes or interleaves — Mosaic
+cannot merge/insert minor dims for sub-32-bit vectors):
+the ACTIVATIONS are de-interleaved once outside the kernel into
+a_lo = a[:, 0::2], a_hi = a[:, 1::2]  (both [M, K/2], an XLA strided slice),
+so that  Y = A_lo @ LOᵀ + A_hi @ HIᵀ  where LO/HI are the nibble planes of
+the packed bytes — each plane is used in place, never re-interleaved.
+Per-quant-block scales are applied to each block's dot RESULT as a
+row-vector broadcast:  Y = Σ_t (A_lo,t @ LO_tᵀ + A_hi,t @ HI_tᵀ) · s_t[None,:].
+In half-K space a quant block is qblock/2 lanes wide, so lane slices are
+128-aligned whenever qblock % 256 == 0 (the quantizer's default block).
+Small-K weights fall back to one whole-dimension block (always legal).
 """
 
 from __future__ import annotations
@@ -26,30 +37,40 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _int4_mm_kernel(a_ref, p_ref, s_ref, out_ref, acc_ref):
+def _int4_mm_kernel(alo_ref, ahi_ref, p_ref, s_ref, out_ref, acc_ref,
+                    *, qbh: int):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = p_ref[:]  # [bn, bk//2] uint8
-    lo = (p & 0xF).astype(jnp.int8) - 8
-    hi = (p >> 4).astype(jnp.int8) - 8
-    bn, half = p.shape
-    w = jnp.stack([lo, hi], axis=-1).reshape(bn, half * 2)  # [bn, bk] int4 vals
-    wf = w.astype(jnp.bfloat16) * s_ref[:].astype(jnp.bfloat16)  # [bn,1] bcast
-    # contract a[k] with w[k]: a [bm, bk] x wf [bn, bk] -> [bm, bn]
-    acc_ref[:] += jax.lax.dot_general(
-        a_ref[:], wf,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # nibble math in int32: Mosaic has no sub-32-bit integer subtract/shift
+    p = p_ref[:].astype(jnp.int32)  # [bn, bkh]
+    lo = ((p & 0xF) - 8).astype(jnp.bfloat16)
+    hi = ((p >> 4) - 8).astype(jnp.bfloat16)
+    nsub = p.shape[1] // qbh
+    dn = (((1,), (1,)), ((), ()))
+    acc = acc_ref[:]
+    for t in range(nsub):
+        sl = slice(t * qbh, (t + 1) * qbh)
+        dot = jax.lax.dot_general(alo_ref[:, sl], lo[:, sl], dn,
+                                  preferred_element_type=jnp.float32)
+        dot += jax.lax.dot_general(ahi_ref[:, sl], hi[:, sl], dn,
+                                   preferred_element_type=jnp.float32)
+        acc = acc + dot * s_ref[t:t + 1, :]  # per-(n, block) scale, [1, bn]
+    acc_ref[:] = acc
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+def int4_fused_supported(K: int, n_blocks: int) -> bool:
+    """True when the Pallas kernel handles this (K, quant-block) layout."""
+    qblock = K // n_blocks
+    return n_blocks == 1 or (qblock // 2) % 128 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
                                               "interpret"))
 def qmatmul_int4_bf16(
     a: jax.Array,        # bf16/f32 [M, K] activations
@@ -58,36 +79,46 @@ def qmatmul_int4_bf16(
     *,
     block_m: int = 128,
     block_n: int = 256,
-    block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """Weight-packed int4 matmul -> f32 [M, N]."""
     M, K = a.shape
-    N = packed.shape[0]
+    N, Kh = packed.shape
     n_blocks = scales.shape[1]
-    qblock = K // n_blocks
-    # one scale column per K-tile: the K tile IS the quantization block
-    block_k = qblock
+    qbh = Kh // n_blocks  # quant block width in half-K space
+    assert int4_fused_supported(K, n_blocks), \
+        "int4 fused kernel needs qblock % 256 == 0 (or a single quant block)"
+    # K tile spans 8 quantization blocks (the scales operand's sublane tile)
+    # when there are enough; otherwise one whole-K block.
+    nsub = 8 if (n_blocks >= 8 and qbh % 128 == 0) else n_blocks
+    block_kh = nsub * qbh
+
     a = a.astype(jnp.bfloat16)
+    a_lo, a_hi = a[:, 0::2], a[:, 1::2]  # [M, Kh] each (XLA, outside Pallas)
+    scales_t = scales.T  # [n_blocks, N] — k-major for sublane tiling
 
     Mp = _round_up(M, block_m)
     Np = _round_up(N, block_n)
-    Kp = _round_up(K, block_k)
-    if (Mp, Kp) != (M, K):
-        a = jnp.pad(a, ((0, Mp - M), (0, Kp - K)))
-    if (Np, Kp) != (N, K):
-        packed = jnp.pad(packed, ((0, Np - N), (0, (Kp - K) // 2)))
-        scales = jnp.pad(scales, ((0, Np - N), (0, (Kp - K) // qblock)))
+    Khp = _round_up(Kh, block_kh)
+    nbp = Khp // qbh
+    if (Mp, Khp) != (M, Kh):
+        a_lo = jnp.pad(a_lo, ((0, Mp - M), (0, Khp - Kh)))
+        a_hi = jnp.pad(a_hi, ((0, Mp - M), (0, Khp - Kh)))
+    if (Np, Khp) != (N, Kh):
+        packed = jnp.pad(packed, ((0, Np - N), (0, Khp - Kh)))
+        scales_t = jnp.pad(scales_t, ((0, nbp - n_blocks), (0, Np - N)))
 
     out = pl.pallas_call(
-        _int4_mm_kernel,
-        grid=(Mp // block_m, Np // block_n, Kp // block_k),
+        functools.partial(_int4_mm_kernel, qbh=qbh),
+        grid=(Mp // block_m, Np // block_n, Khp // block_kh),
         in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+            pl.BlockSpec((block_m, block_kh), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, block_k // 2), lambda i, j, k: (j, k),
+            pl.BlockSpec((block_m, block_kh), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i, j, k: (j, k),
+            pl.BlockSpec((block_n, block_kh), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsub, block_n), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
@@ -95,10 +126,10 @@ def qmatmul_int4_bf16(
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * Np * Kp,
-            bytes_accessed=Mp * Kp * 2 + Np * Kp // 2 + Mp * Np * 4,
+            flops=2 * Mp * Np * Khp * 2,
+            bytes_accessed=Mp * Khp * 4 + Np * Khp + Mp * Np * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a, packed, scales)
+    )(a_lo, a_hi, packed, scales_t)
     return out[:M, :N]

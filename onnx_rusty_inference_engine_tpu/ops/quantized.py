@@ -48,7 +48,7 @@ def quantize_linear(ctx: LoweringContext, node: Node, ins):
         shape = [1] * x.ndim
         shape[axis] = scale.size
         scale = scale.reshape(shape)
-        if zp is not None:
+        if zp is not None and zp.size == scale.size:
             zp = zp.reshape(shape)
     y = jnp.round(x / scale)
     if zp is not None:
@@ -65,7 +65,7 @@ def dequantize_linear(ctx: LoweringContext, node: Node, ins):
         shape = [1] * x.ndim
         shape[axis] = scale.size
         scale = scale.reshape(shape)
-        if zp is not None:
+        if zp is not None and zp.size == scale.size:
             zp = zp.reshape(shape)
     xf = x.astype(jnp.float32)
     if zp is not None:
@@ -222,7 +222,10 @@ def matmul_nbits(ctx: LoweringContext, node: Node, ins):
     block = int(node.attr("block_size", K))
     n_blocks = K // block
 
-    use_fused = jax.default_backend() == "tpu" or _use_pallas()
+    from .kernels.qmatmul_int4 import int4_fused_supported
+
+    use_fused = (jax.default_backend() == "tpu" or _use_pallas()) \
+        and int4_fused_supported(K, n_blocks)
     if use_fused:
         # Pallas kernel: weights stay packed in HBM, unpack+dequant in VMEM
         # (the naive path below materializes the full bf16 matrix and is
@@ -233,13 +236,14 @@ def matmul_nbits(ctx: LoweringContext, node: Node, ins):
         a2 = a.reshape(-1, K)
         interp = jax.default_backend() != "tpu"
         out = qmatmul_int4_bf16(a2, packed, scales, interpret=interp)
-        return (out.reshape(*lead, N).astype(a.dtype),)
+        return (out[:, :N].reshape(*lead, N).astype(a.dtype),)
 
-    lo = (packed & 0xF).astype(jnp.int8) - 8          # [N, K//2] (even k)
-    hi = (packed >> 4).astype(jnp.int8) - 8           # [N, K//2] (odd k)
-    q = jnp.stack([lo, hi], axis=-1).reshape(N, K)     # interleave -> [N, K]
-    wq = q.reshape(N, n_blocks, block).astype(jnp.bfloat16)
-    w = (wq * scales.astype(jnp.bfloat16)[:, :, None]).reshape(N, K)
+    Nw = packed.shape[0]  # may be pre-padded past the logical N
+    lo = (packed & 0xF).astype(jnp.int8) - 8          # [Nw, K//2] (even k)
+    hi = (packed >> 4).astype(jnp.int8) - 8           # [Nw, K//2] (odd k)
+    q = jnp.stack([lo, hi], axis=-1).reshape(Nw, K)    # interleave -> [Nw, K]
+    wq = q.reshape(Nw, n_blocks, block).astype(jnp.bfloat16)
+    w = (wq * scales.astype(jnp.bfloat16)[:, :, None]).reshape(Nw, K)[:N]
     out = jnp.matmul(a.astype(jnp.bfloat16), w.T,
                      preferred_element_type=jnp.float32)
     return (out.astype(a.dtype),)

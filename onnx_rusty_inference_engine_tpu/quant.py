@@ -379,7 +379,7 @@ def quantize_graph(
 # --------------------------------------------------------------------------
 # INT4 weight-only (GPT-2 north-star config: BASELINE.json configs[4])
 # --------------------------------------------------------------------------
-def pack_int4(w: np.ndarray, block_size: int = 128
+def pack_int4(w: np.ndarray, block_size: int = 256
               ) -> Tuple[np.ndarray, np.ndarray]:
     """Symmetric per-block INT4 packing of a [K, N] matmul weight.
 
@@ -404,7 +404,7 @@ def pack_int4(w: np.ndarray, block_size: int = 128
 def quantize_weights_int4(
     graph: Graph,
     min_elems: int = 4096,
-    block_size: int = 128,
+    block_size: int = 256,
 ) -> Graph:
     """Rewrite MatMul nodes with large constant 2-D weights into
     MatMulNBits(bits=4) nodes (weight-only; activations stay floating).
@@ -420,6 +420,12 @@ def quantize_weights_int4(
                     and w.shape[0] % 2 == 0):
                 K, N = w.shape
                 packed, scales = pack_int4(w.astype(np.float32), block_size)
+                # pre-pad N to the Pallas block so the kernel never pads a
+                # runtime weight argument per step (XLA cannot hoist that)
+                n_pad = -(-N // 256) * 256 - N
+                if n_pad:
+                    packed = np.pad(packed, ((0, n_pad), (0, 0)))
+                    scales = np.pad(scales, ((0, n_pad), (0, 0)))
                 pname = f"{node.inputs[1]}__w4"
                 sname = f"{node.inputs[1]}__w4s"
                 consts[pname] = packed

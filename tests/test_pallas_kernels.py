@@ -73,15 +73,19 @@ def test_qconv1x1_fused_matches_xla_path():
     assert (got == want).mean() > 0.99
 
 
-def test_qmatmul_int4_matches_reference():
+@pytest.mark.parametrize("M,K,N,qb", [
+    (40, 512, 96, 256),    # two quant blocks, whole-K tile
+    (16, 4096, 128, 256),  # 16 quant blocks -> 8-block K tiles (grid loop)
+    (8, 200, 48, 256),     # single block (qb clamped to K=200), odd shapes
+])
+def test_qmatmul_int4_matches_reference(M, K, N, qb):
     from onnx_rusty_inference_engine_tpu.ops.kernels.qmatmul_int4 import (
         qmatmul_int4_bf16)
     from onnx_rusty_inference_engine_tpu.quant import pack_int4
 
-    M, K, N = 40, 256, 96
     a = rng.standard_normal((M, K)).astype(np.float32)
     w = rng.standard_normal((K, N)).astype(np.float32)
-    packed, scales = pack_int4(w, block_size=128)
+    packed, scales = pack_int4(w, block_size=qb)
     got = np.asarray(qmatmul_int4_bf16(
         jnp.asarray(a), jnp.asarray(packed), jnp.asarray(scales),
         interpret=INTERP))
@@ -89,7 +93,8 @@ def test_qmatmul_int4_matches_reference():
     lo = (packed & 0xF).astype(np.int8) - 8
     hi = (packed >> 4).astype(np.int8) - 8
     q = np.stack([lo, hi], axis=-1).reshape(N, K)
-    wd = (q.reshape(N, 2, 128) * scales[:, :, None]).reshape(N, K).T
+    nb = scales.shape[1]
+    wd = (q.reshape(N, nb, K // nb) * scales[:, :, None]).reshape(N, K).T
     import ml_dtypes
     want = a.astype(ml_dtypes.bfloat16).astype(np.float32) @ \
         wd.astype(ml_dtypes.bfloat16).astype(np.float32)
@@ -102,20 +107,20 @@ def test_matmul_nbits_pallas_path_via_engine():
     dequantize-then-matmul lowering."""
     from util import run_op
 
-    K, N = 256, 64
+    K, N = 512, 64
     a = rng.standard_normal((8, K)).astype(np.float32)
     w = rng.standard_normal((K, N)).astype(np.float32)
     from onnx_rusty_inference_engine_tpu.quant import pack_int4
-    packed, scales = pack_int4(w, block_size=128)
+    packed, scales = pack_int4(w, block_size=256)
 
     feeds = ({"a": a}, {"p": packed, "s": scales})
     os.environ["ORIET_KERNELS"] = "xla"
     try:
         (want,) = run_op("MatMulNBits", *feeds, K=K, N=N, bits=4,
-                         block_size=128)
+                         block_size=256)
         os.environ["ORIET_KERNELS"] = "pallas"
         (got,) = run_op("MatMulNBits", *feeds, K=K, N=N, bits=4,
-                        block_size=128)
+                        block_size=256)
     finally:
         os.environ["ORIET_KERNELS"] = "xla"
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
