@@ -59,7 +59,7 @@ def main() -> None:
     def make_feed(int8_kv: bool):
         feed = {"input_ids": jnp.asarray(
                     rng.integers(0, cfg.vocab_size, (B, 1)).astype(np.int64)),
-                "pos": jnp.asarray([L // 2], dtype=np.int64)}
+                "pos": jnp.full((B,), L // 2, dtype=np.int64)}
         for i in range(cfg.n_layer):
             for kind in ("key", "value"):
                 kv = rng.standard_normal((B, H, L, hd)).astype(np.float32)

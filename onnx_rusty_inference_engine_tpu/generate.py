@@ -107,7 +107,7 @@ class Generator:
         tokens = [np.asarray(next_tok)]
         all_logits = [np.asarray(logits)] if return_logits else None
         for t in range(n_new - 1):
-            pos = np.asarray([P + t], dtype=np.int64)
+            pos = np.full((B,), P + t, dtype=np.int64)
             feed = {"input_ids": np.asarray(next_tok)[:, None].astype(np.int64),
                     "pos": pos}
             feed.update(cache)  # int8 pasts flow straight back in

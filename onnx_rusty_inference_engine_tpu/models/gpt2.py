@@ -164,7 +164,8 @@ def build_gpt2_decode(
     """Single-token decode step with a FIXED-size KV cache (TPU-native:
     static shapes, one XLA compile for the whole generation loop).
 
-    Inputs: input_ids [B,1] int64, pos [1] int64 (current position),
+    Inputs: input_ids [B,1] int64, pos [B] int64 (PER-SLOT current
+    positions — each batch row may be at a different generation offset),
     past_key_i / past_value_i [B,H,max_len,hd].
     Outputs: logits [B,1,vocab], updated present_key_i / present_value_i
     [B,H,max_len,hd] (in-place-style update at `pos` via a one-hot Where —
@@ -186,8 +187,11 @@ def build_gpt2_decode(
     D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
     int8_kv = np.dtype(kv_dtype) == np.int8
 
+    # per-slot positions: each batch row decodes at its own cache offset —
+    # the graph shape continuous batching needs (serve_llm.DecodeServer
+    # admits new sequences into free slots while others are mid-generation)
     ids = b.input("input_ids", [B, T], dtype=np.int64)
-    pos = b.input("pos", [1], dtype=np.int64)
+    pos = b.input("pos", [B], dtype=np.int64)
     cache_np = np.int8 if int8_kv else np.float32
     pasts = [(b.input(f"past_key_{i}", [B, H, max_len, hd], dtype=cache_np),
               b.input(f"past_value_{i}", [B, H, max_len, hd], dtype=cache_np))
@@ -202,21 +206,25 @@ def build_gpt2_decode(
     wpe = b.init("wpe", (b.rng.standard_normal((cfg.n_positions, D))
                          * 0.01).astype(np.float32))
 
-    (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)
-    (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)
+    (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)  # [B,1,D]
+    (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)   # [B,D]
+    (pe,) = b.node("Reshape", [pe, b.init(
+        "shape_B_1_D", np.array([B, 1, D], np.int64))], ["pos_emb3"])
     (x,) = b.node("Add", [tok, pe], ["h0"])
 
-    # position bookkeeping (shared by all layers)
+    # position bookkeeping (shared by all layers), per slot
     arange = b.init("cache_positions", np.arange(max_len, dtype=np.int64))
-    (is_now,) = b.node("Equal", [arange, pos], ["is_now"])       # [max_len]
+    (pos2d,) = b.node("Reshape", [pos, b.init(
+        "shape_B_1", np.array([B, 1], np.int64))], ["pos2d"])
+    (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])     # [B, max_len]
     (is_now4,) = b.node("Reshape", [is_now, b.init(
-        "shape_1_1_L_1", np.array([1, 1, max_len, 1], np.int64))], ["is_now4"])
-    (valid,) = b.node("LessOrEqual", [arange, pos], ["valid"])   # k_idx <= pos
+        "shape_B_1_L_1", np.array([B, 1, max_len, 1], np.int64))], ["is_now4"])
+    (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])  # k <= pos
     neg = b.init("neg_inf", np.float32(-1e9))
     zero = b.init("zero_f", np.float32(0.0))
-    (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])  # [max_len]
+    (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])  # [B, L]
     (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
-        "shape_1_1_1_L", np.array([1, 1, 1, max_len], np.int64))], ["attn_bias4"])
+        "shape_B_1_1_L", np.array([B, 1, 1, max_len], np.int64))], ["attn_bias4"])
 
     scale = b.init("attn_scale", np.float32(1.0 / np.sqrt(hd)))
     shape_split = b.init("shape_bthd", np.array([B, T, H, hd], np.int64))

@@ -1,0 +1,237 @@
+"""Token-level continuous batching for decoder models (GPT-2 family).
+
+The LLM analog of serve.InferenceServer's request batching: ONE compiled
+decode program over a fixed pool of B slots runs every step; finished
+sequences free their slot and newly admitted prompts are prefetched into it
+while the other slots keep generating. Per-slot cache offsets are native to
+the decode graph (models/gpt2.build_gpt2_decode takes pos [B]), so admission
+never recompiles or stalls resident sequences — the standard
+continuous-batching serving design (vLLM-style scheduling, static-shape
+XLA-friendly realization).
+
+Mechanics
+---------
+- prompts are right-padded to the prefill graph's length; padded positions
+  write garbage K/V beyond the true prompt, but the decode graph's per-slot
+  validity mask (k <= pos) hides them, and each is overwritten by the step
+  that reaches it — so results are EXACTLY the isolated-generation tokens
+  (asserted in tests/test_serve_llm.py).
+- inactive slots park at pos = max_len - 1: their cache row is rewritten by
+  that same step's Where update before anything can attend to it, so they
+  never corrupt state; their logits are ignored.
+- the KV cache can be INT8 (kv_dtype="int8"): the decode graph carries the
+  QDQ (see build_gpt2_decode), the server quantizes prefill K/V into the
+  slot with the same per-head scales it feeds the graph.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .engine import Engine
+from .graph import import_model
+from .models.gpt2 import GPT2Config, build_gpt2, build_gpt2_decode
+
+__all__ = ["DecodeServer"]
+
+
+class _Request:
+    __slots__ = ("prompt", "max_new", "future", "tokens", "t_enqueue")
+
+    def __init__(self, prompt: np.ndarray, max_new: int):
+        self.prompt = prompt
+        self.max_new = max_new
+        self.future: Future = Future()
+        self.tokens: List[int] = []
+        self.t_enqueue = time.perf_counter()
+
+
+class DecodeServer:
+    """Continuous-batching generation server over a slot pool.
+
+    Parameters
+    ----------
+    cfg: model config (weights are seeded; same seed == same weights as
+        generate.Generator, which the tests exploit for exactness).
+    slots: decode batch size B — resident sequences generated per step.
+    prompt_len: prefill graph length; prompts are right-padded to it.
+    max_len: fixed KV-cache length.
+    kv_dtype: "float32" or "int8" (in-graph QDQ cache).
+    """
+
+    def __init__(
+        self,
+        cfg: GPT2Config,
+        *,
+        slots: int = 4,
+        prompt_len: int = 8,
+        max_len: int = 32,
+        kv_dtype: str = "float32",
+        int4_weights: bool = False,
+        seed: int = 0,
+        mesh=None,
+        param_sharding_fn=None,
+    ):
+        self.cfg = cfg
+        self.B = slots
+        self.prompt_len = prompt_len
+        self.max_len = max_len
+        self.kv_dtype = np.dtype(kv_dtype)
+
+        prefill_graph = import_model(build_gpt2(
+            cfg, batch=1, seq_len=prompt_len, past_len=0, with_presents=True,
+            seed=seed))
+        decode_graph = import_model(build_gpt2_decode(
+            cfg, batch=slots, max_len=max_len, seed=seed, kv_dtype=kv_dtype))
+        if int4_weights:
+            from .quant import quantize_weights_int4
+
+            prefill_graph = quantize_weights_int4(prefill_graph)
+            decode_graph = quantize_weights_int4(decode_graph)
+        ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
+        self.prefill = Engine(prefill_graph, **ekw)
+        self.decode = Engine(decode_graph, **ekw)
+
+        L, H, hd = cfg.n_layer, cfg.n_head, cfg.head_dim
+        cache_np = np.int8 if self.kv_dtype == np.int8 else np.float32
+        self._cache: Dict[str, jax.Array] = {
+            f"past_{kind}_{i}": jnp.zeros((slots, H, max_len, hd), cache_np)
+            for i in range(L) for kind in ("key", "value")}
+        self._kv_scales: Optional[Dict[str, np.ndarray]] = None
+
+        # per-slot state (dispatcher thread only)
+        self._req: List[Optional[_Request]] = [None] * slots
+        self._pos = np.full((slots,), max_len - 1, np.int64)  # parked
+        self._last_tok = np.zeros((slots,), np.int64)
+
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._running = True
+        self.steps = 0
+        self.tokens_out = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API ------------------------------------------------------
+    def submit(self, prompt_ids: np.ndarray, max_new_tokens: int) -> Future:
+        """prompt_ids: [plen] int64, plen <= prompt_len. Resolves to the
+        list of generated token ids (greedy)."""
+        prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
+        assert 1 <= prompt_ids.size <= self.prompt_len
+        assert prompt_ids.size + max_new_tokens <= self.max_len
+        r = _Request(prompt_ids, max_new_tokens)
+        self._q.put(r)
+        return r.future
+
+    def generate(self, prompt_ids: np.ndarray, max_new_tokens: int,
+                 timeout: Optional[float] = None) -> List[int]:
+        return self.submit(prompt_ids, max_new_tokens).result(timeout)
+
+    def stop(self) -> None:
+        self._running = False
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
+    # -- admission --------------------------------------------------------
+    def _quant_kv(self, kv: np.ndarray, name: str) -> np.ndarray:
+        if self.kv_dtype != np.int8:
+            return kv.astype(np.float32)
+        s = self._kv_scales[name].reshape(1, -1, 1, 1)
+        return np.clip(np.round(kv / s), -127, 127).astype(np.int8)
+
+    def _admit(self, slot: int, r: _Request) -> None:
+        plen = r.prompt.size
+        padded = np.zeros((1, self.prompt_len), np.int64)
+        padded[0, :plen] = r.prompt
+        out = self.prefill({"input_ids": padded})
+        logits = np.asarray(out["logits"])  # [1, prompt_len, V]
+
+        if self.kv_dtype == np.int8 and self._kv_scales is None:
+            # one-time per-head calibration from the first admitted prompt
+            self._kv_scales = {}
+            for i in range(self.cfg.n_layer):
+                for kind in ("key", "value"):
+                    kv = np.asarray(out[f"present_{kind}_{i}"])
+                    amax = np.maximum(np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
+                    self._kv_scales[f"kv_scale_{kind}_{i}"] = (
+                        amax / 127.0).astype(np.float32)
+
+        for i in range(self.cfg.n_layer):
+            for kind in ("key", "value"):
+                kv = np.asarray(out[f"present_{kind}_{i}"])  # [1,H,Pb,hd]
+                q = self._quant_kv(kv, f"kv_scale_{kind}_{i}")[0]
+                name = f"past_{kind}_{i}"
+                self._cache[name] = self._cache[name].at[
+                    slot, :, : self.prompt_len].set(q)
+
+        first = int(logits[0, plen - 1].argmax())
+        r.tokens.append(first)
+        if len(r.tokens) >= r.max_new:  # prompt-only request: done already
+            r.future.set_result(r.tokens)
+            return
+        self._req[slot] = r
+        self._pos[slot] = plen
+        self._last_tok[slot] = first
+
+    # -- dispatcher -------------------------------------------------------
+    def _active(self) -> List[int]:
+        return [i for i, r in enumerate(self._req) if r is not None]
+
+    def _step(self) -> None:
+        feed = {"input_ids": jnp.asarray(self._last_tok[:, None]),
+                "pos": jnp.asarray(self._pos)}
+        feed.update(self._cache)
+        if self.kv_dtype == np.int8:
+            feed.update(self._kv_scales)
+        out = self.decode(feed)
+        logits = np.asarray(out["logits"])  # [B,1,V]
+        for i in range(self.cfg.n_layer):
+            for kind in ("key", "value"):
+                self._cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
+        self.steps += 1
+
+        for s in self._active():
+            r = self._req[s]
+            self._pos[s] += 1
+            tok = int(logits[s, 0].argmax())
+            r.tokens.append(tok)
+            self._last_tok[s] = tok
+            self.tokens_out += 1
+            if len(r.tokens) >= r.max_new:
+                r.future.set_result(r.tokens)
+                self._req[s] = None
+                self._pos[s] = self.max_len - 1  # park the slot
+
+    def _loop(self) -> None:
+        while self._running:
+            # fill free slots from the queue (non-blocking when busy)
+            free = [i for i, r in enumerate(self._req) if r is None]
+            block = not self._active()
+            for slot in free:
+                try:
+                    r = self._q.get(timeout=0.05 if block else 0)
+                except queue.Empty:
+                    break
+                if r is None:
+                    return
+                try:
+                    self._admit(slot, r)
+                except Exception as e:  # request-level failure isolation
+                    r.future.set_exception(e)
+                block = False
+            if self._active():
+                try:
+                    self._step()
+                except Exception as e:
+                    for s in self._active():
+                        self._req[s].future.set_exception(e)
+                        self._req[s] = None
+                        self._pos[s] = self.max_len - 1
