@@ -155,6 +155,24 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_generate(args) -> int:
+    from .generate import Generator
+    from .models.gpt2 import GPT2Config
+
+    cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
+                     n_embd=args.d, n_layer=args.layers, n_head=args.heads)
+    ids = np.asarray([int(t) for t in args.prompt_ids.split(",")],
+                     dtype=np.int64)[None]
+    gen = Generator(cfg, batch=1, prompt_len=ids.shape[1],
+                    max_len=args.max_len, kv_dtype=args.kv_dtype,
+                    int4_weights=args.int4)
+    toks, _ = gen.generate(ids, args.new)
+    print(json.dumps({"prompt": ids[0].tolist(),
+                      "generated": toks[0].tolist(),
+                      "kv_dtype": args.kv_dtype, "int4": args.int4}))
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(prog="oriet",
                                 description="TPU-native ONNX inference engine")
@@ -198,6 +216,23 @@ def main(argv: Optional[list] = None) -> int:
     ps.add_argument("--quantize", choices=["int8"])
     ps.add_argument("--input")
     ps.set_defaults(fn=cmd_serve)
+
+    pg = sub.add_parser("generate",
+                        help="greedy decode with the GPT-2 decoder family "
+                             "(seeded weights; fixed-cache decode graph)")
+    pg.add_argument("--prompt-ids", default="1,2,3,4",
+                    help="comma-separated token ids")
+    pg.add_argument("--new", type=int, default=8)
+    pg.add_argument("--layers", type=int, default=2)
+    pg.add_argument("--d", type=int, default=64)
+    pg.add_argument("--heads", type=int, default=4)
+    pg.add_argument("--vocab", type=int, default=256)
+    pg.add_argument("--max-len", dest="max_len", type=int, default=64)
+    pg.add_argument("--kv-dtype", dest="kv_dtype", default="float32",
+                    choices=["float32", "int8"])
+    pg.add_argument("--int4", action="store_true",
+                    help="INT4 weight-only quantization")
+    pg.set_defaults(fn=cmd_generate)
 
     pq = sub.add_parser("quantize",
                         help="offline INT8 PTQ: write a QLinear ONNX file")

@@ -68,3 +68,28 @@ def test_decode_server_int8_kv():
     want = _reference_tokens(prompt, 6, 8, 24)
     agree = np.mean([g == w for g, w in zip(got, want)])
     assert agree >= 0.5, (got, want)
+
+
+def test_decode_server_sharded():
+    """Continuous batching over a tensor-sharded (model=4) mesh: served
+    tokens still match isolated generation exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    from onnx_rusty_inference_engine_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 1, "model": 4})
+
+    def shard(name, arr):
+        if arr.ndim == 2 and arr.shape[-1] % 4 == 0:
+            return NamedSharding(mesh, P_(None, "model"))
+        return NamedSharding(mesh, P_())
+
+    prompt = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+    with mesh:
+        srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=16,
+                           mesh=mesh, param_sharding_fn=shard)
+        try:
+            got = srv.generate(prompt, 4, timeout=300)
+        finally:
+            srv.stop()
+    assert got == _reference_tokens(prompt, 4, 8, 16)
