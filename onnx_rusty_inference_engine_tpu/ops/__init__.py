@@ -11,3 +11,4 @@ from .registry import (  # noqa: F401
 # Importing these modules populates the registry.
 from . import standard  # noqa: F401,E402
 from . import quantized  # noqa: F401,E402
+from . import rnn  # noqa: F401,E402

@@ -859,3 +859,172 @@ def one_hot(ctx: LoweringContext, node: Node, ins):
     off, on = values[0], values[1]
     oh = jax.nn.one_hot(indices.astype(jnp.int32), d, axis=axis)
     return ((oh * (on - off) + off).astype(values.dtype),)
+
+
+# --------------------------------------------------------------------------
+# Extended coverage: activations, block layout, norms, indexing
+# --------------------------------------------------------------------------
+register("HardSwish")(_unary(
+    lambda x: x * jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)))
+register("Mish")(_unary(lambda x: x * jnp.tanh(jax.nn.softplus(x))))
+
+
+@register("Celu")
+def celu(ctx, node, ins):
+    a = float(node.attr("alpha", 1.0))
+    x = ins[0]
+    return (jnp.maximum(x, 0) + jnp.minimum(0.0, a * (jnp.exp(x / a) - 1)),)
+
+
+@register("ThresholdedRelu")
+def thresholded_relu(ctx, node, ins):
+    a = float(node.attr("alpha", 1.0))
+    return (jnp.where(ins[0] > a, ins[0], 0.0).astype(ins[0].dtype),)
+
+
+@register("Shrink")
+def shrink(ctx, node, ins):
+    lambd = float(node.attr("lambd", 0.5))
+    bias = float(node.attr("bias", 0.0))
+    x = ins[0]
+    return (jnp.where(x < -lambd, x + bias,
+                      jnp.where(x > lambd, x - bias, 0.0)).astype(x.dtype),)
+
+
+@register("Hardmax")
+def hardmax(ctx, node, ins):
+    x = ins[0]
+    axis = int(node.attr("axis", 1 if ctx.opset < 13 else -1))
+    idx = jnp.argmax(x, axis=axis)
+    return (jax.nn.one_hot(idx, x.shape[axis], axis=axis, dtype=x.dtype),)
+
+
+@register("BitShift")
+def bit_shift(ctx, node, ins):
+    x, y = ins
+    d = node.attr("direction", b"LEFT")
+    d = d.decode() if isinstance(d, bytes) else str(d)
+    return ((x << y) if d.upper() == "LEFT" else (x >> y),)
+
+
+@register("EyeLike")
+def eye_like(ctx, node, ins):
+    x = ins[0]
+    k = int(node.attr("k", 0))
+    to = node.attr("dtype")
+    dt = onnx_io.DTYPE_TO_NUMPY[int(to)] if to is not None else x.dtype
+    return (jnp.eye(x.shape[0], x.shape[1], k=k, dtype=dt),)
+
+
+@register("SpaceToDepth")
+def space_to_depth(ctx, node, ins):
+    x = ins[0]
+    bs = int(node.attr("blocksize"))
+    N, C, H, W = x.shape
+    y = x.reshape(N, C, H // bs, bs, W // bs, bs)
+    y = jnp.transpose(y, (0, 3, 5, 1, 2, 4))
+    return (y.reshape(N, C * bs * bs, H // bs, W // bs),)
+
+
+@register("DepthToSpace")
+def depth_to_space(ctx, node, ins):
+    x = ins[0]
+    bs = int(node.attr("blocksize"))
+    mode = node.attr("mode", b"DCR")
+    mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+    N, C, H, W = x.shape
+    if mode == "DCR":
+        y = x.reshape(N, bs, bs, C // (bs * bs), H, W)
+        y = jnp.transpose(y, (0, 3, 4, 1, 5, 2))
+    else:  # CRD
+        y = x.reshape(N, C // (bs * bs), bs, bs, H, W)
+        y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))
+    return (y.reshape(N, C // (bs * bs), H * bs, W * bs),)
+
+
+@register("MeanVarianceNormalization")
+def mean_variance_normalization(ctx, node, ins):
+    x = ins[0]
+    axes = tuple(int(a) for a in node.attr("axes", [0, 2, 3]))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    std = jnp.sqrt(jnp.mean((x - mean) ** 2, axis=axes, keepdims=True))
+    return ((x - mean) / (std + 1e-9),)
+
+
+@register("GroupNormalization")
+def group_normalization(ctx, node, ins):
+    x, scale, bias = ins[0], ins[1], ins[2]
+    eps = float(node.attr("epsilon", 1e-5))
+    g = int(node.attr("num_groups"))
+    N, C = x.shape[0], x.shape[1]
+    xg = x.reshape(N, g, C // g, *x.shape[2:])
+    axes = tuple(range(2, xg.ndim))
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    xn = ((xg - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+    shape = (1, C) + (1,) * (x.ndim - 2)
+    # opset 18 semantics: per-channel scale/bias (stash_type fp32)
+    if scale.size == g:  # opset 18 draft semantics: per-group
+        scale = jnp.repeat(scale, C // g)
+        bias = jnp.repeat(bias, C // g)
+    return (xn * scale.reshape(shape) + bias.reshape(shape),)
+
+
+@register("RMSNormalization")
+def rms_normalization(ctx, node, ins):
+    x, scale = ins[0], ins[1]
+    axis = int(node.attr("axis", -1))
+    eps = float(node.attr("epsilon", 1e-5))
+    axes = tuple(range(axis % x.ndim, x.ndim))
+    ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=axes, keepdims=True)
+    return ((x * jax.lax.rsqrt(ms + eps).astype(x.dtype)) * scale,)
+
+
+@register("GatherND")
+def gather_nd(ctx, node, ins):
+    data, indices = ins
+    b = int(node.attr("batch_dims", 0))
+    idx = indices.astype(jnp.int32)
+
+    def gather_one(d, i):
+        k = i.shape[-1]
+        flat = i.reshape(-1, k)
+        out = d[tuple(flat[:, j] for j in range(k))]
+        return out.reshape(i.shape[:-1] + d.shape[k:])
+
+    fn = gather_one
+    for _ in range(b):
+        fn = jax.vmap(fn)
+    return (fn(data, idx),)
+
+
+@register("ScatterElements")
+def scatter_elements(ctx, node, ins):
+    data, indices, updates = ins
+    axis = int(node.attr("axis", 0))
+    red = node.attr("reduction", b"none")
+    red = red.decode() if isinstance(red, bytes) else str(red)
+    idx = indices.astype(jnp.int32)
+    # build full index grids: scatter along `axis` with elementwise indices
+    grids = jnp.meshgrid(*[jnp.arange(s) for s in idx.shape], indexing="ij")
+    grids[axis] = idx
+    at = data.at[tuple(grids)]
+    ops = {"none": at.set, "add": at.add, "mul": at.multiply,
+           "max": at.max, "min": at.min}
+    return (ops[red](updates),)
+
+
+@register("CumSum")
+def cumsum(ctx, node, ins):
+    x = ins[0]
+    axis = int(ctx.require_constant(node.inputs[1], "CumSum axis").reshape(()))
+    exclusive = int(node.attr("exclusive", 0))
+    reverse = int(node.attr("reverse", 0))
+    if reverse:
+        x = jnp.flip(x, axis)
+    y = jnp.cumsum(x, axis=axis, dtype=x.dtype)
+    if exclusive:
+        y = y - x
+    if reverse:
+        y = jnp.flip(y, axis)
+    return (y,)

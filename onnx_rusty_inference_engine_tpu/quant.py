@@ -48,6 +48,10 @@ class QuantConfig:
     # ops that pass int8 through unchanged (symmetric scheme keeps them exact)
     int8_transparent: Tuple[str, ...] = ("Relu", "MaxPool", "Reshape",
                                          "Flatten", "Transpose", "Identity")
+    # mixed precision: nodes for which this predicate returns True keep
+    # their fp32 form (e.g. lambda n: int(n.attr("group", 1)) > 1 to leave
+    # depthwise convs unquantized)
+    exclude: Optional[callable] = None
 
 
 # --------------------------------------------------------------------------
@@ -246,7 +250,8 @@ def quantize_graph(
 
     for node in graph.nodes:
         op = node.op_type
-        if op in config.quantize_ops:
+        if op in config.quantize_ops and not (
+                config.exclude is not None and config.exclude(node)):
             w_name = node.inputs[1]
             w = new_consts.get(w_name)
             # dynamic weights (e.g. activation x activation matmul) stay fp32

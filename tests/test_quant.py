@@ -127,3 +127,24 @@ def test_quantized_squeezenet_runs_and_agrees():
     assert qo.shape == fo.shape
     np.testing.assert_allclose(qo.sum(axis=1).ravel(), 1.0, atol=1e-3)
     assert np.abs(qo - fo).max() < 0.05
+
+
+def test_quant_exclude_mixed_precision():
+    """QuantConfig.exclude keeps selected nodes in fp32 (mixed precision)."""
+    import numpy as np
+
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.models.mobilenet import (
+        build_mobilenetv2)
+    from onnx_rusty_inference_engine_tpu.quant import QuantConfig, \
+        quantize_graph
+
+    g = import_model(build_mobilenetv2())
+    rng2 = np.random.default_rng(3)
+    calib = [{"input": rng2.standard_normal((2, 3, 96, 96)).astype(np.float32)}]
+    cfg = QuantConfig(exclude=lambda n: int(n.attr("group", 1)) > 1)
+    q = quantize_graph(g, calibration_inputs=calib, config=cfg)
+    kept = [n for n in q.nodes if n.op_type == "Conv"]
+    assert len(kept) == 17  # all depthwise convs stay fp32
+    assert all(int(n.attr("group", 1)) > 1 for n in kept)
+    assert sum(1 for n in q.nodes if n.op_type == "QLinearConv") == 35
