@@ -262,3 +262,109 @@ def dynamic_quantize_linear(ctx: LoweringContext, node: Node, ins):
     y = jnp.clip(jnp.round(x / scale) + zp.astype(jnp.float32), qmin, qmax
                  ).astype(jnp.uint8)
     return (y, scale.astype(jnp.float32), zp)
+
+
+# --------------------------------------------------------------------------
+# ORT contrib (com.microsoft) QLinear elementwise/pool family — these appear
+# in externally quantized models (onnxruntime.quantization QOperator mode),
+# so ingesting them directly matters for drop-in compatibility. Compute is
+# dequant -> op -> requant in fp32 intermediates; XLA fuses the whole chain
+# into one elementwise kernel, so the int8 tensors never round-trip HBM
+# wider than necessary.
+# --------------------------------------------------------------------------
+def _dq(x, s, zp):
+    xf = x.astype(jnp.float32)
+    if zp is not None:
+        xf = xf - zp.astype(jnp.float32)
+    return xf * s.astype(jnp.float32)
+
+
+def _q(xf, s, zp, like_dtype):
+    info = jnp.iinfo(like_dtype)
+    y = jnp.round(xf / s.astype(jnp.float32))
+    if zp is not None:
+        y = y + zp.astype(jnp.float32)
+    return jnp.clip(y, info.min, info.max).astype(like_dtype)
+
+
+def _qlinear_binary(fn):
+    def emit(ctx: LoweringContext, node: Node, ins):
+        a, a_s, a_zp, b, b_s, b_zp, y_s = ins[:7]
+        y_zp = ins[7] if len(ins) > 7 else None
+        out = fn(_dq(a, a_s, a_zp), _dq(b, b_s, b_zp))
+        return (_q(out, y_s, y_zp, a.dtype),)
+    return emit
+
+
+register("QLinearAdd")(_qlinear_binary(jnp.add))
+register("QLinearMul")(_qlinear_binary(jnp.multiply))
+
+
+def _qlinear_unary(fn):
+    def emit(ctx: LoweringContext, node: Node, ins):
+        x, x_s, x_zp, y_s = ins[0], ins[1], ins[2], ins[3]
+        y_zp = ins[4] if len(ins) > 4 else None
+        return (_q(fn(node, _dq(x, x_s, x_zp)), y_s, y_zp, x.dtype),)
+    return emit
+
+
+register("QLinearSigmoid")(_qlinear_unary(lambda n, x: jax.nn.sigmoid(x)))
+register("QLinearLeakyRelu")(_qlinear_unary(
+    lambda n, x: jnp.where(x >= 0, x, x * float(n.attr("alpha", 0.01)))))
+
+
+@register("QLinearGlobalAveragePool")
+def qlinear_global_average_pool(ctx: LoweringContext, node: Node, ins):
+    x, x_s, x_zp, y_s = ins[0], ins[1], ins[2], ins[3]
+    y_zp = ins[4] if len(ins) > 4 else None
+    spatial = tuple(range(2, x.ndim))
+    if int(node.attr("channels_last", 0)):
+        spatial = tuple(range(1, x.ndim - 1))
+    out = jnp.mean(_dq(x, x_s, x_zp), axis=spatial, keepdims=True)
+    return (_q(out, y_s, y_zp, x.dtype),)
+
+
+@register("QLinearAveragePool")
+def qlinear_average_pool(ctx: LoweringContext, node: Node, ins):
+    from .standard import average_pool
+
+    x, x_s, x_zp, y_s = ins[0], ins[1], ins[2], ins[3]
+    y_zp = ins[4] if len(ins) > 4 else None
+    (out,) = average_pool(ctx, node, [_dq(x, x_s, x_zp)])
+    return (_q(out, y_s, y_zp, x.dtype),)
+
+
+@register("QLinearConcat")
+def qlinear_concat(ctx: LoweringContext, node: Node, ins):
+    y_s, y_zp = ins[0], ins[1]
+    parts = [_dq(ins[i], ins[i + 1], ins[i + 2])
+             for i in range(2, len(ins), 3)]
+    out = jnp.concatenate(parts, axis=int(node.attr("axis", 1)))
+    return (_q(out, y_s, y_zp, ins[2].dtype),)
+
+
+@register("QGemm")
+def qgemm(ctx: LoweringContext, node: Node, ins):
+    (a, a_s, a_zp, b, b_s, b_zp) = ins[:6]
+    bias = ins[6] if len(ins) > 6 else None          # int32, scale a_s*b_s
+    y_s = ins[7] if len(ins) > 7 else None
+    y_zp = ins[8] if len(ins) > 8 else None
+    alpha = float(node.attr("alpha", 1.0))
+    if int(node.attr("transA", 0)):
+        a = a.T
+    if int(node.attr("transB", 0)):
+        b = b.T
+        if b_s.ndim == 1 and b_s.size > 1:
+            pass  # per-column scales already follow the output dim
+    ai = a.astype(jnp.int32) - (a_zp.astype(jnp.int32) if a_zp is not None
+                                else 0)
+    bi = b.astype(jnp.int32) - (b_zp.astype(jnp.int32) if b_zp is not None
+                                else 0)
+    acc = jnp.matmul(ai, bi, preferred_element_type=jnp.int32)
+    if bias is not None:
+        acc = acc + bias
+    out = alpha * acc.astype(jnp.float32) * (
+        a_s.astype(jnp.float32) * b_s.astype(jnp.float32))
+    if y_s is None:  # float output variant
+        return (out,)
+    return (_q(out, y_s, y_zp, a.dtype),)
