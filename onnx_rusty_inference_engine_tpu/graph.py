@@ -88,14 +88,51 @@ def _attr_plain(a: onnx_io.Attribute):
     return v
 
 
+def _subgraph_captures(gp: onnx_io.GraphProto) -> set:
+    """Names a subgraph reads from the ENCLOSING scope (ONNX closure
+    semantics): used names not defined by the subgraph's own inputs,
+    initializers, or node outputs; nested subgraphs recurse."""
+    defined = set(gp.initializers) | {vi.name for vi in gp.inputs}
+    used: set = set()
+    nested: List[onnx_io.GraphProto] = []
+    for np_ in gp.nodes:
+        used.update(i for i in np_.input if i)
+        defined.update(o for o in np_.output if o)
+        for a in np_.attributes.values():
+            if a.g is not None:
+                nested.append(a.g)
+            if a.graphs:
+                nested.extend(a.graphs)
+    caps = used - defined
+    for sub in nested:
+        caps |= _subgraph_captures(sub) - defined
+    return caps
+
+
 def _node_from_proto(n: NodeProto) -> Node:
+    attrs = {k: _attr_plain(a) for k, a in n.attributes.items()}
+    caps: set = set()
+    for a in n.attributes.values():
+        if a.g is not None:
+            caps |= _subgraph_captures(a.g)
+        if a.graphs:
+            for sub in a.graphs:
+                caps |= _subgraph_captures(sub)
+    if caps:
+        # implicit dataflow edges for the scheduler/DCE (never exported)
+        attrs["__captures__"] = sorted(caps)
     return Node(
         op_type=n.op_type,
         inputs=list(n.input),
         outputs=list(n.output),
         name=n.name,
-        attrs={k: _attr_plain(a) for k, a in n.attributes.items()},
+        attrs=attrs,
     )
+
+
+def node_deps(n: Node) -> List[str]:
+    """Declared inputs plus subgraph closure captures (If/Loop/Scan)."""
+    return [i for i in n.inputs if i] + list(n.attrs.get("__captures__", ()))
 
 
 # --------------------------------------------------------------------------
@@ -111,7 +148,7 @@ def topo_sort(nodes: List[Node], available: set) -> List[Node]:
         progress = False
         rest = []
         for n in pending:
-            if all((not i) or (i in seen) for i in n.inputs):
+            if all(i in seen for i in node_deps(n)):
                 out.append(n)
                 seen.update(o for o in n.outputs if o)
                 progress = True
@@ -120,7 +157,7 @@ def topo_sort(nodes: List[Node], available: set) -> List[Node]:
         pending = rest
     if pending:
         missing = {
-            i for n in pending for i in n.inputs if i and i not in seen
+            i for n in pending for i in node_deps(n) if i not in seen
         } - {o for n in pending for o in n.outputs}
         raise ValueError(
             f"graph is not schedulable; unresolvable inputs: {sorted(missing)[:10]}"
@@ -137,9 +174,12 @@ def eliminate_identities(g: Graph) -> None:
     alias: Dict[str, str] = {}
     kept: List[Node] = []
     graph_outputs = set(g.outputs)
+    captured = {c for n in g.nodes
+                for c in n.attrs.get("__captures__", ())}
     for n in g.nodes:
         if n.op_type in _IDENTITY_OPS and n.outputs and \
-                n.outputs[0] not in graph_outputs:
+                n.outputs[0] not in graph_outputs and \
+                n.outputs[0] not in captured:
             src = n.inputs[0]
             while src in alias:
                 src = alias[src]
@@ -161,7 +201,7 @@ def eliminate_identities(g: Graph) -> None:
 def _all_consumed(g: Graph) -> set:
     s = set(g.outputs)
     for n in g.nodes:
-        s.update(i for i in n.inputs if i)
+        s.update(node_deps(n))
     return s
 
 
@@ -319,7 +359,7 @@ def prune_dead(g: Graph) -> None:
     for n in reversed(g.nodes):
         if any(o in needed for o in n.outputs):
             kept_rev.append(n)
-            needed.update(i for i in n.inputs if i)
+            needed.update(node_deps(n))
     g.nodes = list(reversed(kept_rev))
     g.constants = {k: v for k, v in g.constants.items() if k in needed}
     g.weight_names = [w for w in g.weight_names if w in g.constants]
@@ -374,6 +414,8 @@ def export_model(g: Graph) -> ModelProto:
         proto = onnx_io.NodeProto(op_type=n.op_type, input=list(n.inputs),
                                   output=list(n.outputs), name=n.name)
         for k, v in n.attrs.items():
+            if k.startswith("__"):  # internal bookkeeping (captures)
+                continue
             proto.attributes[k] = _attr(k, v)
         gp.nodes.append(proto)
     gp.initializers = {k: np.ascontiguousarray(v)

@@ -83,6 +83,11 @@ def _attr(name: str, value) -> onnx_io.Attribute:
         a.s = value.encode()
     elif isinstance(value, np.ndarray):
         a.t = onnx_io.TensorData(name="", array=value)
+    elif isinstance(value, onnx_io.GraphProto):
+        a.g = value
+    elif isinstance(value, (list, tuple)) and value and \
+            isinstance(value[0], onnx_io.GraphProto):
+        a.graphs = list(value)
     elif isinstance(value, (list, tuple)):
         if all(isinstance(v, int) for v in value):
             a.ints = list(value)

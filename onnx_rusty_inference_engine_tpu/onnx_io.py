@@ -60,13 +60,16 @@ class Attribute:
     i: Optional[int] = None
     s: Optional[bytes] = None
     t: Optional["TensorData"] = None
+    g: Optional["GraphProto"] = None  # subgraph (If/Loop/Scan bodies)
     floats: Optional[List[float]] = None
     ints: Optional[List[int]] = None
     strings: Optional[List[bytes]] = None
+    graphs: Optional[List["GraphProto"]] = None
 
     @property
     def value(self):
-        for v in (self.f, self.i, self.s, self.t, self.floats, self.ints, self.strings):
+        for v in (self.f, self.i, self.s, self.t, self.g, self.floats,
+                  self.ints, self.strings, self.graphs):
             if v is not None:
                 return v
         return None
@@ -203,8 +206,8 @@ def write_tensor_file(path: str, name: str, array: np.ndarray) -> None:
 # Attribute / Node / ValueInfo / Graph / Model decode
 # --------------------------------------------------------------------------
 # AttributeProto.AttributeType constants
-_ATTR_FLOAT, _ATTR_INT, _ATTR_STRING, _ATTR_TENSOR = 1, 2, 3, 4
-_ATTR_FLOATS, _ATTR_INTS, _ATTR_STRINGS = 6, 7, 8
+_ATTR_FLOAT, _ATTR_INT, _ATTR_STRING, _ATTR_TENSOR, _ATTR_GRAPH = 1, 2, 3, 4, 5
+_ATTR_FLOATS, _ATTR_INTS, _ATTR_STRINGS, _ATTR_GRAPHS = 6, 7, 8, 10
 
 
 def _parse_attribute(buf: bytes) -> Attribute:
@@ -220,6 +223,11 @@ def _parse_attribute(buf: bytes) -> Attribute:
             a.s = bytes(value)  # type: ignore[arg-type]
         elif field == 5:
             a.t = parse_tensor_proto(bytes(value))  # type: ignore[arg-type]
+        elif field == 6:
+            a.g = _parse_graph(bytes(value))  # type: ignore[arg-type]
+        elif field == 11:
+            a.graphs = (a.graphs or [])
+            a.graphs.append(_parse_graph(bytes(value)))  # type: ignore[arg-type]
         elif field == 7:
             a.floats = (a.floats or [])
             a.floats.extend(
@@ -350,6 +358,12 @@ def _encode_attribute(a: Attribute) -> bytes:
         w.bytes_field(4, a.s).varint(20, _ATTR_STRING)
     elif a.t is not None:
         w.bytes_field(5, encode_tensor_proto(a.t.name, a.t.array)).varint(20, _ATTR_TENSOR)
+    elif a.g is not None:
+        w.bytes_field(6, _encode_graph(a.g)).varint(20, _ATTR_GRAPH)
+    elif a.graphs is not None:
+        for sub in a.graphs:
+            w.bytes_field(11, _encode_graph(sub))
+        w.varint(20, _ATTR_GRAPHS)
     elif a.floats is not None:
         payload = np.asarray(a.floats, dtype="<f4").tobytes()
         w.bytes_field(7, payload).varint(20, _ATTR_FLOATS)

@@ -12,3 +12,4 @@ from .registry import (  # noqa: F401
 from . import standard  # noqa: F401,E402
 from . import quantized  # noqa: F401,E402
 from . import rnn  # noqa: F401,E402
+from . import control_flow  # noqa: F401,E402

@@ -72,3 +72,33 @@ class LoweringContext:
                 f"{what} must be statically known (tensor {name!r}) for XLA lowering"
             )
         return v
+
+    def eval_subgraph(self, gproto, inputs: list) -> list:
+        """Lower an attribute subgraph (If/Loop/Scan body) inline.
+
+        ONNX subgraphs close over the outer scope, so lowering starts from a
+        copy of the outer env; `inputs` bind positionally to the subgraph's
+        declared inputs. Returns the subgraph's output values in order.
+        ONNX requires subgraph nodes to be topologically sorted already."""
+        import jax.numpy as jnp
+
+        from ..graph import _node_from_proto
+
+        env = dict(self.env)
+        env.update({k: jnp.asarray(v)
+                    for k, v in gproto.initializers.items()})
+        for vi, val in zip(gproto.inputs, inputs):
+            env[vi.name] = val
+        sub = LoweringContext(self.graph, env)
+        sub.static_env = dict(self.static_env)
+        sub.static_env.update(
+            {k: np.asarray(v) for k, v in gproto.initializers.items()})
+        for nproto in gproto.nodes:
+            node = _node_from_proto(nproto)
+            emitter = get_emitter(node.op_type)
+            ins = [env[i] if i else None for i in node.inputs]
+            outs = emitter(sub, node, ins)
+            for name, val in zip(node.outputs, outs):
+                if name:
+                    env[name] = val
+        return [env[vi.name] for vi in gproto.outputs]
