@@ -13,3 +13,4 @@ from . import standard  # noqa: F401,E402
 from . import quantized  # noqa: F401,E402
 from . import rnn  # noqa: F401,E402
 from . import control_flow  # noqa: F401,E402
+from . import contrib_transformers  # noqa: F401,E402

@@ -1,0 +1,171 @@
+"""ORT transformer contrib ops (com.microsoft domain).
+
+onnxruntime's transformer optimizer rewrites exported BERT/GPT graphs into
+fused contrib nodes; supporting them directly means those optimized ONNX
+files ingest as-is. Lowering maps each back onto plain jnp/lax (XLA re-fuses
+on TPU, so the "fused" contrib forms and the expanded forms compile to the
+same machine code here — the ops exist for front-end compatibility).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import Node
+from .registry import LoweringContext, UnsupportedOpError, register
+
+
+@register("BiasGelu")
+def bias_gelu(ctx, node, ins):
+    x, b = ins
+    return (jax.nn.gelu(x + b, approximate=False),)
+
+
+@register("FastGelu")
+def fast_gelu(ctx, node, ins):
+    x = ins[0]
+    if len(ins) > 1 and ins[1] is not None:
+        x = x + ins[1]
+    return (jax.nn.gelu(x, approximate=True),)
+
+
+@register("SkipLayerNormalization")
+def skip_layer_normalization(ctx, node, ins):
+    x, skip, gamma = ins[0], ins[1], ins[2]
+    beta = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    bias = ins[4] if len(ins) > 4 and ins[4] is not None else None
+    eps = float(node.attr("epsilon", 1e-12))
+    h = x + skip
+    if bias is not None:
+        h = h + bias
+    mean = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.var(h, axis=-1, keepdims=True)
+    out = (h - mean) * jax.lax.rsqrt(var + eps) * gamma
+    if beta is not None:
+        out = out + beta
+    # outputs: [ln, (mean), (inv_std), (input_skip_bias_sum)]
+    n_out = len([o for o in node.outputs if o])
+    extras = [mean.squeeze(-1), jax.lax.rsqrt(var + eps).squeeze(-1), h]
+    return tuple([out] + extras[: n_out - 1])
+
+
+@register("EmbedLayerNormalization")
+def embed_layer_normalization(ctx, node, ins):
+    (ids, seg_ids, word_emb, pos_emb) = ins[:4]
+    seg_emb = ins[4] if len(ins) > 4 and ins[4] is not None else None
+    gamma, beta = ins[5], ins[6]
+    mask = ins[7] if len(ins) > 7 and ins[7] is not None else None
+    pos_ids = ins[8] if len(ins) > 8 and ins[8] is not None else None
+    eps = float(node.attr("epsilon", 1e-12))
+    B, S = ids.shape
+    e = word_emb[ids]
+    if pos_ids is not None:
+        e = e + pos_emb[pos_ids.reshape(B, S) if pos_ids.ndim == 2
+                        else pos_ids]
+    else:
+        e = e + pos_emb[jnp.arange(S)][None]
+    if seg_emb is not None and seg_ids is not None:
+        e = e + seg_emb[seg_ids]
+    mean = jnp.mean(e, axis=-1, keepdims=True)
+    var = jnp.var(e, axis=-1, keepdims=True)
+    out = (e - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    mask_index = (jnp.sum(mask.astype(jnp.int32), axis=1) if mask is not None
+                  else jnp.full((B,), S, jnp.int32))
+    n_out = len([o for o in node.outputs if o])
+    extras = [mask_index, e]
+    return tuple([out] + extras[: n_out - 1]) if n_out > 1 else (
+        out, mask_index)
+
+
+def _mask_bias(mask_index, B, S_q, S_kv):
+    """ORT mask_index variants -> additive bias [B, 1, S_q, S_kv]."""
+    if mask_index is None:
+        return 0.0
+    m = mask_index
+    if m.ndim == 1 and m.shape[0] == B:  # right-padding lengths [B]
+        valid = jnp.arange(S_kv)[None, :] < m[:, None]
+    elif m.ndim == 2 and m.shape == (B, S_kv):  # 1/0 key mask
+        valid = m.astype(bool)
+    else:
+        raise UnsupportedOpError(
+            f"Attention: unsupported mask_index shape {m.shape}")
+    return jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+
+
+def _sdpa(q, k, v, bias, unidirectional, scale=None):
+    """q/k/v: [B, H, S, hd] -> [B, H, S_q, hd]."""
+    hd = q.shape[-1]
+    s = scale if scale is not None else 1.0 / np.sqrt(hd)
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * s
+    att = att + bias
+    if unidirectional:
+        S_q, S_kv = att.shape[-2], att.shape[-1]
+        causal = jnp.tril(jnp.ones((S_q, S_kv), bool), S_kv - S_q)
+        att = jnp.where(causal, att, -1e9)
+    probs = jax.nn.softmax(att, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@register("Attention")
+def attention(ctx: LoweringContext, node: Node, ins):
+    """com.microsoft.Attention: fused packed-QKV self-attention."""
+    x, w = ins[0], ins[1]
+    bias = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    mask_index = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    if len(ins) > 4 and ins[4] is not None:
+        raise UnsupportedOpError("Attention: past-state input not supported")
+    H = int(node.attr("num_heads"))
+    uni = int(node.attr("unidirectional", 0))
+    scale = node.attr("scale")
+    B, S, D = x.shape
+    qkv_sizes = node.attr("qkv_hidden_sizes")
+    if qkv_sizes is not None:
+        dq, dk, dv = [int(s_) for s_ in qkv_sizes]
+    else:
+        dq = dk = dv = w.shape[1] // 3
+    qkv = x @ w
+    if bias is not None:
+        qkv = qkv + bias
+    q, k, v = (qkv[..., :dq], qkv[..., dq:dq + dk], qkv[..., dq + dk:])
+
+    def heads(t, d):
+        return t.reshape(B, S, H, d // H).transpose(0, 2, 1, 3)
+
+    out = _sdpa(heads(q, dq), heads(k, dk), heads(v, dv),
+                _mask_bias(mask_index, B, S, S), uni,
+                float(scale) if scale is not None else None)
+    return (out.transpose(0, 2, 1, 3).reshape(B, S, dv),)
+
+
+@register("MultiHeadAttention")
+def multi_head_attention(ctx: LoweringContext, node: Node, ins):
+    """com.microsoft.MultiHeadAttention: separate Q/K/V tensors."""
+    q, k, v = ins[0], ins[1], ins[2]
+    bias = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    key_padding_mask = ins[4] if len(ins) > 4 and ins[4] is not None else None
+    attn_bias = ins[5] if len(ins) > 5 and ins[5] is not None else None
+    if any(i is not None for i in ins[6:8]):
+        raise UnsupportedOpError(
+            "MultiHeadAttention: past-state inputs not supported")
+    H = int(node.attr("num_heads"))
+    scale = node.attr("scale")
+    B, S_q, D = q.shape
+    S_kv = k.shape[1]
+    dv = v.shape[-1]
+    if bias is not None:
+        q = q + bias[:D]
+        k = k + bias[D:D + k.shape[-1]]
+        v = v + bias[D + k.shape[-1]:]
+
+    def heads(t, d):
+        return t.reshape(B, t.shape[1], H, d // H).transpose(0, 2, 1, 3)
+
+    mb = _mask_bias(key_padding_mask, B, S_q, S_kv)
+    if attn_bias is not None:
+        mb = mb + attn_bias
+    out = _sdpa(heads(q, D), heads(k, k.shape[-1]), heads(v, dv), mb,
+                int(node.attr("unidirectional", 0)),
+                float(scale) if scale is not None else None)
+    return (out.transpose(0, 2, 1, 3).reshape(B, S_q, dv),)

@@ -1,0 +1,114 @@
+"""ORT transformer contrib ops vs torch references."""
+
+import numpy as np
+import pytest
+
+from util import run_op
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+rng = np.random.default_rng(103)
+
+
+def f32(*shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+def test_bias_gelu_fast_gelu():
+    x, b = f32(3, 8), f32(8)
+    (got,) = run_op("BiasGelu", {"x": x}, {"b": b})
+    want = F.gelu(torch.from_numpy(x + b)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    (got,) = run_op("FastGelu", {"x": x}, {"b": b})
+    want = F.gelu(torch.from_numpy(x + b), approximate="tanh").numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_skip_layer_normalization():
+    x, skip, g, be, bias = f32(2, 5, 16), f32(2, 5, 16), f32(16), f32(16), \
+        f32(16)
+    (got,) = run_op("SkipLayerNormalization", {"x": x, "skip": skip},
+                    {"g": g, "be": be, "bias": bias}, epsilon=1e-12)
+    h = torch.from_numpy(x + skip + bias)
+    want = F.layer_norm(h, (16,), torch.from_numpy(g),
+                        torch.from_numpy(be), 1e-12).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_embed_layer_normalization():
+    V, P, D, B, S = 50, 20, 12, 2, 7
+    ids = rng.integers(0, V, (B, S)).astype(np.int32)
+    seg = rng.integers(0, 2, (B, S)).astype(np.int32)
+    we, pe, se = f32(V, D), f32(P, D), f32(2, D)
+    g, be = f32(D), f32(D)
+    mask = np.concatenate([np.ones((B, S - 2)), np.zeros((B, 2))],
+                          axis=1).astype(np.int32)
+    got, mask_idx = run_op(
+        "EmbedLayerNormalization", {"ids": ids, "seg": seg},
+        {"we": we, "pe": pe, "se": se, "g": g, "be": be, "mask": mask},
+        epsilon=1e-12, n_outputs=2)
+    e = we[ids] + pe[np.arange(S)][None] + se[seg]
+    want = F.layer_norm(torch.from_numpy(e), (D,), torch.from_numpy(g),
+                        torch.from_numpy(be), 1e-12).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(mask_idx, np.full((B,), S - 2))
+
+
+def _sdpa_torch(q, k, v, H, mask_bool=None, causal=False):
+    B, S, D = q.shape
+    hd = D // H
+    qh = torch.from_numpy(q).view(B, S, H, hd).transpose(1, 2)
+    kh = torch.from_numpy(k).view(B, k.shape[1], H, hd).transpose(1, 2)
+    vh = torch.from_numpy(v).view(B, v.shape[1], H, hd).transpose(1, 2)
+    attn_mask = None
+    if mask_bool is not None:
+        attn_mask = torch.from_numpy(mask_bool)[:, None, None, :]
+    out = F.scaled_dot_product_attention(qh, kh, vh, attn_mask=attn_mask,
+                                         is_causal=causal)
+    return out.transpose(1, 2).reshape(B, S, D).numpy()
+
+
+def test_attention_packed_qkv():
+    B, S, D, H = 2, 6, 24, 4
+    x = f32(B, S, D)
+    w = f32(D, 3 * D) * 0.2
+    b = f32(3 * D) * 0.1
+    lens = np.array([6, 4], np.int32)
+    (got,) = run_op("Attention", {"x": x}, {"w": w, "b": b, "m": lens},
+                    num_heads=H)
+    qkv = x @ w + b
+    q, k, v = np.split(qkv, 3, axis=-1)
+    mask = np.arange(S)[None, :] < lens[:, None]
+    want = _sdpa_torch(q, k, v, H, mask_bool=mask)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_unidirectional():
+    B, S, D, H = 1, 5, 16, 2
+    x = f32(B, S, D)
+    w = f32(D, 3 * D) * 0.2
+    (got,) = run_op("Attention", {"x": x}, {"w": w}, num_heads=H,
+                    unidirectional=1)
+    qkv = x @ w
+    q, k, v = np.split(qkv, 3, axis=-1)
+    want = _sdpa_torch(q, k, v, H, causal=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_multi_head_attention():
+    B, Sq, Skv, D, H = 2, 4, 7, 24, 3
+    q, k, v = f32(B, Sq, D), f32(B, Skv, D), f32(B, Skv, D)
+    lens = np.array([7, 5], np.int32)
+    (got,) = run_op("MultiHeadAttention", {"q": q, "k": k, "v": v},
+                    {"bias": np.zeros(3 * D, np.float32), "kpm": lens},
+                    num_heads=H)
+    mask = np.arange(Skv)[None, :] < lens[:, None]
+    hd = D // H
+    qh = torch.from_numpy(q).view(B, Sq, H, hd).transpose(1, 2)
+    kh = torch.from_numpy(k).view(B, Skv, H, hd).transpose(1, 2)
+    vh = torch.from_numpy(v).view(B, Skv, H, hd).transpose(1, 2)
+    am = torch.from_numpy(mask)[:, None, None, :]
+    want = F.scaled_dot_product_attention(qh, kh, vh, attn_mask=am)
+    want = want.transpose(1, 2).reshape(B, Sq, D).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
