@@ -11,5 +11,6 @@ from .squeezenet import build_squeezenet  # noqa: F401
 from .resnet import build_resnet50  # noqa: F401
 from .mobilenet import build_mobilenetv2  # noqa: F401
 from .bert import build_bert  # noqa: F401
+from .llama import build_llama  # noqa: F401
 from .gpt2 import build_gpt2  # noqa: F401
 from .zoo import get_model_path, MODELS  # noqa: F401

@@ -1,0 +1,313 @@
+"""Llama-style decoder ONNX builder: RoPE + GQA + SwiGLU + RMSNorm.
+
+Extends the decoder-family coverage beyond GPT-2 (gpt2.py: learned
+positions, MHA, Gelu, LayerNorm) to the modern llama lineage:
+- rotary position embeddings applied to q/k via precomputed cos/sin tables
+  gathered at the token positions (pure Gather/Mul/Slice/Concat — no custom
+  ops, XLA fuses the rotation into the surrounding matmuls),
+- grouped-query attention (n_kv_heads < n_heads; KV heads expanded with
+  Unsqueeze→Expand→Reshape),
+- SwiGLU MLP (silu(x Wg) * (x Wu)) Wd,
+- RMSNorm (emitted as the ORT contrib SimplifiedLayerNormalization, which
+  real llama ONNX exports use).
+
+build_llama_decode mirrors gpt2.build_gpt2_decode: single-token step over a
+FIXED-size KV cache with PER-SLOT positions (pos [B]) — directly servable
+by the continuous-batching machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import onnx_io
+from ._builder import GraphBuilder
+
+
+@dataclasses.dataclass
+class LlamaConfig:
+    vocab_size: int = 32000
+    max_positions: int = 2048
+    dim: int = 4096
+    n_layer: int = 32
+    n_head: int = 32
+    n_kv_head: int = 8
+    ffn_mult: int = 4  # hidden = ffn_mult * dim (simplified vs 8/3 rounding)
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_head
+
+
+TINY = LlamaConfig(vocab_size=128, max_positions=64, dim=32, n_layer=2,
+                   n_head=4, n_kv_head=2, ffn_mult=2)
+
+
+def _rope_tables(cfg: LlamaConfig) -> tuple:
+    hd = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(cfg.max_positions)[:, None] * inv[None, :]  # [L, hd/2]
+    emb = np.concatenate([t, t], axis=-1)                     # [L, hd]
+    return np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+
+def _rmsnorm(b: GraphBuilder, x: str, name: str, d: int) -> str:
+    w = b.init(f"{name}_w", np.ones(d, np.float32))
+    (y,) = b.node("SimplifiedLayerNormalization", [x, w], [f"{name}_y"],
+                  axis=-1, epsilon=1e-5)
+    return y
+
+
+def _linear(b: GraphBuilder, x: str, name: str, d_in: int, d_out: int) -> str:
+    w = b.init(f"{name}_w", (b.rng.standard_normal((d_in, d_out))
+                             * (d_in ** -0.5)).astype(np.float32))
+    (y,) = b.node("MatMul", [x, w], [f"{name}_y"])
+    return y
+
+
+def _rotate_half(b: GraphBuilder, x: str, name: str, hd: int) -> str:
+    """concat(-x[..., hd/2:], x[..., :hd/2]) on the last axis."""
+    half = b.init(f"{name}_half", np.array([hd // 2], np.int64))
+    zero = b.init(f"{name}_zero", np.array([0], np.int64))
+    end = b.init(f"{name}_end", np.array([hd], np.int64))
+    ax = b.init(f"{name}_ax", np.array([-1], np.int64))
+    (hi,) = b.node("Slice", [x, half, end, ax], [f"{name}_hi"])
+    (lo,) = b.node("Slice", [x, zero, half, ax], [f"{name}_lo"])
+    (nhi,) = b.node("Neg", [hi], [f"{name}_nhi"])
+    (out,) = b.node("Concat", [nhi, lo], [f"{name}_rot"], axis=-1)
+    return out
+
+
+def _apply_rope(b: GraphBuilder, x: str, cos: str, sin: str, name: str,
+                hd: int) -> str:
+    """x [B,H,T,hd] * cos [.,1,T,hd] + rotate_half(x) * sin."""
+    (xc,) = b.node("Mul", [x, cos], [f"{name}_xc"])
+    rot = _rotate_half(b, x, name, hd)
+    (xs,) = b.node("Mul", [rot, sin], [f"{name}_xs"])
+    (out,) = b.node("Add", [xc, xs], [f"{name}_roped"])
+    return out
+
+
+def _expand_kv(b: GraphBuilder, x: str, name: str, B: int, Hkv: int,
+               rep: int, L: int, hd: int) -> str:
+    """[B,Hkv,L,hd] -> [B,Hkv*rep,L,hd] (GQA head sharing)."""
+    if rep == 1:
+        return x
+    (u,) = b.node("Unsqueeze", [x, b.init(f"{name}_u_ax",
+                                          np.array([2], np.int64))],
+                  [f"{name}_u"])
+    shape = b.init(f"{name}_eshape",
+                   np.array([B, Hkv, rep, L, hd], np.int64))
+    (e,) = b.node("Expand", [u, shape], [f"{name}_e"])
+    merged = b.init(f"{name}_mshape",
+                    np.array([B, Hkv * rep, L, hd], np.int64))
+    (out,) = b.node("Reshape", [e, merged], [f"{name}_exp"])
+    return out
+
+
+def _attention_block(b: GraphBuilder, x: str, i: int, cfg: LlamaConfig,
+                     B: int, T: int, cos: str, sin: str, kcache: str,
+                     vcache: str, attn_bias: str, kv_len: int) -> str:
+    """Shared by prefill (kcache/vcache = current k/v) and decode."""
+    D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    rep = H // Hkv
+    ke = _expand_kv(b, kcache, f"l{i}_kexp", B, Hkv, rep, kv_len, hd)
+    ve = _expand_kv(b, vcache, f"l{i}_vexp", B, Hkv, rep, kv_len, hd)
+    (kt,) = b.node("Transpose", [ke], [f"l{i}_kT"], perm=[0, 1, 3, 2])
+    (att,) = b.node("MatMul", [x, kt], [f"l{i}_scores"])
+    sc = b.init(f"l{i}_scale", np.float32(1.0 / np.sqrt(hd)))
+    (att,) = b.node("Mul", [att, sc], [f"l{i}_scaled"])
+    (att,) = b.node("Add", [att, attn_bias], [f"l{i}_masked"])
+    (att,) = b.node("Softmax", [att], [f"l{i}_probs"], axis=-1)
+    (ctxt,) = b.node("MatMul", [att, ve], [f"l{i}_ctx"])
+    (ctxt,) = b.node("Transpose", [ctxt], [f"l{i}_ctx_t"], perm=[0, 2, 1, 3])
+    (ctxt,) = b.node("Reshape", [ctxt, b.init(
+        f"l{i}_merge", np.array([B, T, D], np.int64))], [f"l{i}_ctx_m"])
+    return ctxt
+
+
+def build_llama(
+    cfg: LlamaConfig = TINY,
+    *,
+    batch: int = 1,
+    seq_len: int = 16,
+    with_presents: bool = True,
+    opset: int = 17,
+    seed: int = 0,
+) -> onnx_io.ModelProto:
+    """Prefill graph: input_ids [B,T] -> logits [B,T,V] (+ presents
+    [B,Hkv,T,hd])."""
+    b = GraphBuilder("llama", opset=opset, seed=seed)
+    B, T = batch, seq_len
+    D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
+
+    ids = b.input("input_ids", [B, T], dtype=np.int64)
+    emb = b.init("tok_embeddings", (b.rng.standard_normal(
+        (cfg.vocab_size, D)) * 0.02).astype(np.float32))
+    (x,) = b.node("Gather", [emb, ids], ["h0"], axis=0)
+
+    cos_t, sin_t = _rope_tables(cfg)
+    pos = b.init("positions", np.arange(T, dtype=np.int64))
+    (cos,) = b.node("Gather", [b.init("rope_cos", cos_t), pos], ["cos_g"],
+                    axis=0)  # [T, hd] -> broadcast as [1,1,T,hd]
+    (cos,) = b.node("Reshape", [cos, b.init(
+        "cs_shape", np.array([1, 1, T, hd], np.int64))], ["cos4"])
+    (sin,) = b.node("Gather", [b.init("rope_sin", sin_t), pos], ["sin_g"],
+                    axis=0)
+    (sin,) = b.node("Reshape", [sin, b.init("cs_shape2", np.array(
+        [1, 1, T, hd], np.int64))], ["sin4"])
+
+    mask = np.where(np.arange(T)[None, :] <= np.arange(T)[:, None],
+                    0.0, -1e9).astype(np.float32).reshape(1, 1, T, T)
+    bias = b.init("causal_mask", mask)
+
+    qshape = b.init("q_shape", np.array([B, T, H, hd], np.int64))
+    kvshape = b.init("kv_shape", np.array([B, T, Hkv, hd], np.int64))
+
+    for i in range(cfg.n_layer):
+        xn = _rmsnorm(b, x, f"l{i}_attn_norm", D)
+        q = _linear(b, xn, f"l{i}_wq", D, H * hd)
+        k = _linear(b, xn, f"l{i}_wk", D, Hkv * hd)
+        v = _linear(b, xn, f"l{i}_wv", D, Hkv * hd)
+
+        def _heads(t, tag, shape):
+            (r,) = b.node("Reshape", [t, shape], [f"l{i}_{tag}_r"])
+            (tr,) = b.node("Transpose", [r], [f"l{i}_{tag}_t"],
+                           perm=[0, 2, 1, 3])
+            return tr
+
+        qh = _heads(q, "q", qshape)
+        kh = _heads(k, "k", kvshape)
+        vh = _heads(v, "v", kvshape)
+        qh = _apply_rope(b, qh, cos, sin, f"l{i}_qrope", hd)
+        kh = _apply_rope(b, kh, cos, sin, f"l{i}_krope", hd)
+        if with_presents:
+            b.node("Identity", [kh], [f"present_key_{i}"])
+            b.node("Identity", [vh], [f"present_value_{i}"])
+
+        ctxt = _attention_block(b, qh, i, cfg, B, T, cos, sin, kh, vh,
+                                bias, T)
+        o = _linear(b, ctxt, f"l{i}_wo", D, D)
+        (x,) = b.node("Add", [x, o], [f"l{i}_res1"])
+
+        hn = _rmsnorm(b, x, f"l{i}_ffn_norm", D)
+        gate = _linear(b, hn, f"l{i}_wg", D, cfg.ffn_mult * D)
+        (gact,) = b.node("Sigmoid", [gate], [f"l{i}_gsig"])
+        (gact,) = b.node("Mul", [gate, gact], [f"l{i}_silu"])  # SiLU
+        up = _linear(b, hn, f"l{i}_wu", D, cfg.ffn_mult * D)
+        (h,) = b.node("Mul", [gact, up], [f"l{i}_swiglu"])
+        h = _linear(b, h, f"l{i}_wd", cfg.ffn_mult * D, D)
+        (x,) = b.node("Add", [x, h], [f"l{i}_res2"])
+
+    x = _rmsnorm(b, x, "norm_f", D)
+    lm = b.init("lm_head", (b.rng.standard_normal(
+        (D, cfg.vocab_size)) * 0.02).astype(np.float32))
+    (logits,) = b.node("MatMul", [x, lm], ["logits"])
+    b.output(logits, [B, T, cfg.vocab_size])
+    if with_presents:
+        for i in range(cfg.n_layer):
+            b.output(f"present_key_{i}", [B, Hkv, T, hd])
+            b.output(f"present_value_{i}", [B, Hkv, T, hd])
+    return b.model()
+
+
+def build_llama_decode(
+    cfg: LlamaConfig = TINY,
+    *,
+    batch: int = 1,
+    max_len: int = 64,
+    opset: int = 17,
+    seed: int = 0,
+) -> onnx_io.ModelProto:
+    """Single-token decode over a fixed GQA KV cache; pos [B] per slot
+    (continuous-batching-ready, like gpt2.build_gpt2_decode)."""
+    b = GraphBuilder("llama_decode", opset=opset, seed=seed)
+    B, T = batch, 1
+    D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    L = max_len
+
+    ids = b.input("input_ids", [B, T], dtype=np.int64)
+    pos = b.input("pos", [B], dtype=np.int64)
+    pasts = [(b.input(f"past_key_{i}", [B, Hkv, L, hd]),
+              b.input(f"past_value_{i}", [B, Hkv, L, hd]))
+             for i in range(cfg.n_layer)]
+
+    emb = b.init("tok_embeddings", (b.rng.standard_normal(
+        (cfg.vocab_size, D)) * 0.02).astype(np.float32))
+    (x,) = b.node("Gather", [emb, ids], ["h0"], axis=0)
+
+    cos_t, sin_t = _rope_tables(cfg)
+    (cos,) = b.node("Gather", [b.init("rope_cos", cos_t), pos], ["cos_g"],
+                    axis=0)  # [B, hd]
+    (cos,) = b.node("Reshape", [cos, b.init(
+        "cs_shape", np.array([B, 1, 1, hd], np.int64))], ["cos4"])
+    (sin,) = b.node("Gather", [b.init("rope_sin", sin_t), pos], ["sin_g"],
+                    axis=0)
+    (sin,) = b.node("Reshape", [sin, b.init("cs_shape2", np.array(
+        [B, 1, 1, hd], np.int64))], ["sin4"])
+
+    # per-slot cache bookkeeping (same scheme as gpt2 decode)
+    arange = b.init("cache_positions", np.arange(L, dtype=np.int64))
+    (pos2d,) = b.node("Reshape", [pos, b.init(
+        "shape_B_1", np.array([B, 1], np.int64))], ["pos2d"])
+    (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])
+    (is_now4,) = b.node("Reshape", [is_now, b.init(
+        "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
+    (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])
+    neg = b.init("neg_inf", np.float32(-1e9))
+    zero = b.init("zero_f", np.float32(0.0))
+    (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])
+    (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
+        "shape_B_1_1_L", np.array([B, 1, 1, L], np.int64))], ["attn_bias4"])
+
+    qshape = b.init("q_shape", np.array([B, T, H, hd], np.int64))
+    kvshape = b.init("kv_shape", np.array([B, T, Hkv, hd], np.int64))
+
+    for i in range(cfg.n_layer):
+        xn = _rmsnorm(b, x, f"l{i}_attn_norm", D)
+        q = _linear(b, xn, f"l{i}_wq", D, H * hd)
+        k = _linear(b, xn, f"l{i}_wk", D, Hkv * hd)
+        v = _linear(b, xn, f"l{i}_wv", D, Hkv * hd)
+
+        def _heads(t, tag, shape):
+            (r,) = b.node("Reshape", [t, shape], [f"l{i}_{tag}_r"])
+            (tr,) = b.node("Transpose", [r], [f"l{i}_{tag}_t"],
+                           perm=[0, 2, 1, 3])
+            return tr
+
+        qh = _apply_rope(b, _heads(q, "q", qshape), cos, sin,
+                         f"l{i}_qrope", hd)
+        kh = _apply_rope(b, _heads(k, "k", kvshape), cos, sin,
+                         f"l{i}_krope", hd)
+        vh = _heads(v, "v", kvshape)
+
+        pk, pv = pasts[i]
+        (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
+        (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
+
+        ctxt = _attention_block(b, qh, i, cfg, B, T, cos, sin, kc, vc,
+                                attn_bias4, L)
+        o = _linear(b, ctxt, f"l{i}_wo", D, D)
+        (x,) = b.node("Add", [x, o], [f"l{i}_res1"])
+
+        hn = _rmsnorm(b, x, f"l{i}_ffn_norm", D)
+        gate = _linear(b, hn, f"l{i}_wg", D, cfg.ffn_mult * D)
+        (gact,) = b.node("Sigmoid", [gate], [f"l{i}_gsig"])
+        (gact,) = b.node("Mul", [gate, gact], [f"l{i}_silu"])
+        up = _linear(b, hn, f"l{i}_wu", D, cfg.ffn_mult * D)
+        (h,) = b.node("Mul", [gact, up], [f"l{i}_swiglu"])
+        h = _linear(b, h, f"l{i}_wd", cfg.ffn_mult * D, D)
+        (x,) = b.node("Add", [x, h], [f"l{i}_res2"])
+
+    x = _rmsnorm(b, x, "norm_f", D)
+    lm = b.init("lm_head", (b.rng.standard_normal(
+        (D, cfg.vocab_size)) * 0.02).astype(np.float32))
+    (logits,) = b.node("MatMul", [x, lm], ["logits"])
+    b.output(logits, [B, T, cfg.vocab_size])
+    for i in range(cfg.n_layer):
+        b.output(f"present_key_{i}", [B, Hkv, L, hd])
+        b.output(f"present_value_{i}", [B, Hkv, L, hd])
+    return b.model()

@@ -970,7 +970,7 @@ def group_normalization(ctx, node, ins):
     return (xn * scale.reshape(shape) + bias.reshape(shape),)
 
 
-@register("RMSNormalization")
+@register("RMSNormalization", "SimplifiedLayerNormalization")
 def rms_normalization(ctx, node, ins):
     x, scale = ins[0], ins[1]
     axis = int(node.attr("axis", -1))
