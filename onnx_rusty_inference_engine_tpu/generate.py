@@ -37,6 +37,7 @@ class Generator:
         param_sharding_fn=None,
         kv_dtype: str = "float32",
         int4_weights: bool = False,
+        family: str = "gpt2",
     ):
         assert max_len >= prompt_len
         self.cfg = cfg
@@ -45,12 +46,21 @@ class Generator:
         self.max_len = max_len
         self.kv_dtype = np.dtype(kv_dtype)
 
+        from .models import decoder_family
+
+        build_prefill, build_decode, int8_kv_ok = decoder_family(family)
+        if self.kv_dtype == np.int8 and not int8_kv_ok:
+            raise NotImplementedError(
+                f"{family}: in-graph INT8 KV cache not implemented")
+        dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
+        pkw = ({"past_len": 0, "with_presents": True} if family == "gpt2"
+               else {"with_presents": True})
         prefill_graph = import_model(
-            build_gpt2(cfg, batch=batch, seq_len=prompt_len, past_len=0,
-                       with_presents=True, seed=seed))
+            build_prefill(cfg, batch=batch, seq_len=prompt_len, seed=seed,
+                          **pkw))
         decode_graph = import_model(
-            build_gpt2_decode(cfg, batch=batch, max_len=max_len, seed=seed,
-                              kv_dtype=kv_dtype))
+            build_decode(cfg, batch=batch, max_len=max_len, seed=seed,
+                         **dkw))
         if int4_weights:
             from .quant import quantize_weights_int4
 

@@ -14,3 +14,20 @@ from .bert import build_bert  # noqa: F401
 from .llama import build_llama  # noqa: F401
 from .gpt2 import build_gpt2  # noqa: F401
 from .zoo import get_model_path, MODELS  # noqa: F401
+
+
+def decoder_family(name: str):
+    """(build_prefill, build_decode, supports_int8_kv) for a decoder family.
+
+    Both families share the driver contract: prefill(input_ids [B,T]) ->
+    logits + presents; decode(input_ids [B,1], pos [B], past_*) -> logits +
+    presents with per-slot positions (continuous-batching-ready)."""
+    if name == "gpt2":
+        from .gpt2 import build_gpt2, build_gpt2_decode
+
+        return build_gpt2, build_gpt2_decode, True
+    if name == "llama":
+        from .llama import build_llama, build_llama_decode
+
+        return build_llama, build_llama_decode, False
+    raise KeyError(f"unknown decoder family {name!r}; have gpt2, llama")

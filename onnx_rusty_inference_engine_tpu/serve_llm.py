@@ -80,6 +80,7 @@ class DecodeServer:
         seed: int = 0,
         mesh=None,
         param_sharding_fn=None,
+        family: str = "gpt2",
     ):
         self.cfg = cfg
         self.B = slots
@@ -87,11 +88,19 @@ class DecodeServer:
         self.max_len = max_len
         self.kv_dtype = np.dtype(kv_dtype)
 
-        prefill_graph = import_model(build_gpt2(
-            cfg, batch=1, seq_len=prompt_len, past_len=0, with_presents=True,
-            seed=seed))
-        decode_graph = import_model(build_gpt2_decode(
-            cfg, batch=slots, max_len=max_len, seed=seed, kv_dtype=kv_dtype))
+        from .models import decoder_family
+
+        build_prefill, build_decode, int8_kv_ok = decoder_family(family)
+        if self.kv_dtype == np.int8 and not int8_kv_ok:
+            raise NotImplementedError(
+                f"{family}: in-graph INT8 KV cache not implemented")
+        dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
+        pkw = ({"past_len": 0} if family == "gpt2" else {})
+        prefill_graph = import_model(build_prefill(
+            cfg, batch=1, seq_len=prompt_len, with_presents=True,
+            seed=seed, **pkw))
+        decode_graph = import_model(build_decode(
+            cfg, batch=slots, max_len=max_len, seed=seed, **dkw))
         if int4_weights:
             from .quant import quantize_weights_int4
 
@@ -101,11 +110,13 @@ class DecodeServer:
         self.prefill = Engine(prefill_graph, **ekw)
         self.decode = Engine(decode_graph, **ekw)
 
-        L, H, hd = cfg.n_layer, cfg.n_head, cfg.head_dim
         cache_np = np.int8 if self.kv_dtype == np.int8 else np.float32
+        # cache shapes come from the decode graph itself (GQA families carry
+        # n_kv_head heads, not n_head)
         self._cache: Dict[str, jax.Array] = {
-            f"past_{kind}_{i}": jnp.zeros((slots, H, max_len, hd), cache_np)
-            for i in range(L) for kind in ("key", "value")}
+            spec.name: jnp.zeros(spec.concrete_shape(batch=slots), cache_np)
+            for spec in self.decode.graph.inputs
+            if spec.name.startswith("past_")}
         self._kv_scales: Optional[Dict[str, np.ndarray]] = None
 
         # per-slot state (dispatcher thread only)

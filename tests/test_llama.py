@@ -129,3 +129,36 @@ def test_llama_int4_weights():
     corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
     assert corr > 0.9, corr  # dim-32 toy: INT4 noise is large by construction
     assert np.all(np.isfinite(got))
+
+
+def test_llama_generator_and_decode_server():
+    """Llama through the shared decoder-family drivers: Generator greedy
+    tokens match a manual prefill-extend loop; the continuous-batching
+    server matches the Generator exactly."""
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    P, n_new = 4, 4
+    ids = rng.integers(0, TINY.vocab_size, (1, P)).astype(np.int64)
+    gen = Generator(TINY, batch=1, prompt_len=P, max_len=16, family="llama")
+    toks, _ = gen.generate(ids, n_new)
+
+    # manual reference: re-run prefill at increasing lengths
+    cur = ids
+    want = []
+    for _ in range(n_new):
+        g = import_model(build_llama(TINY, batch=1, seq_len=cur.shape[1],
+                                     with_presents=False))
+        logits = Engine(g).run({"input_ids": cur})["logits"]
+        nxt = int(logits[0, -1].argmax())
+        want.append(nxt)
+        cur = np.concatenate([cur, [[nxt]]], axis=1)
+    assert list(toks[0]) == want
+
+    srv = DecodeServer(TINY, slots=2, prompt_len=P, max_len=16,
+                       family="llama")
+    try:
+        got = srv.generate(ids[0], n_new, timeout=300)
+    finally:
+        srv.stop()
+    assert got == want
