@@ -157,19 +157,57 @@ def cmd_quantize(args) -> int:
 
 def cmd_generate(args) -> int:
     from .generate import Generator
-    from .models.gpt2 import GPT2Config
 
-    cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
-                     n_embd=args.d, n_layer=args.layers, n_head=args.heads)
+    if args.family == "gpt2":
+        from .models.gpt2 import GPT2Config
+
+        cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
+                         n_embd=args.d, n_layer=args.layers,
+                         n_head=args.heads)
+    else:
+        from .models.llama import LlamaConfig
+
+        cfg = LlamaConfig(vocab_size=args.vocab, max_positions=args.max_len,
+                          dim=args.d, n_layer=args.layers,
+                          n_head=args.heads,
+                          n_kv_head=max(1, args.heads // 2))
     ids = np.asarray([int(t) for t in args.prompt_ids.split(",")],
                      dtype=np.int64)[None]
     gen = Generator(cfg, batch=1, prompt_len=ids.shape[1],
                     max_len=args.max_len, kv_dtype=args.kv_dtype,
-                    int4_weights=args.int4)
+                    int4_weights=args.int4, family=args.family)
     toks, _ = gen.generate(ids, args.new)
-    print(json.dumps({"prompt": ids[0].tolist(),
+    print(json.dumps({"family": args.family, "prompt": ids[0].tolist(),
                       "generated": toks[0].tolist(),
                       "kv_dtype": args.kv_dtype, "int4": args.int4}))
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """Collect a TensorBoard-viewable profiler trace of N inference steps.
+
+    HLO ops carry the ONNX node names (engine.py named_scope), so the trace
+    maps back to the graph — the structured replacement for the reference's
+    per-node stdout log (model_inference.rs:132-135)."""
+    import jax
+
+    from .graph import import_onnx
+    from .utils.profiling import trace
+
+    graph = import_onnx(args.model)
+    engine = _build_engine(args, graph)
+    spec = graph.inputs[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(
+        spec.concrete_shape(batch=args.batch)).astype(spec.dtype)
+    feed = {spec.name: x}
+    jax.block_until_ready(engine(feed))  # compile outside the trace
+    with trace(args.trace_dir):
+        for _ in range(args.steps):
+            out = engine(feed)
+        jax.block_until_ready(out)
+    print(json.dumps({"trace_dir": args.trace_dir, "steps": args.steps,
+                      "view": f"tensorboard --logdir {args.trace_dir}"}))
     return 0
 
 
@@ -207,6 +245,18 @@ def main(argv: Optional[list] = None) -> int:
     pi.add_argument("--model", required=True)
     pi.set_defaults(fn=cmd_inspect)
 
+    pp = sub.add_parser("profile", help="capture a jax.profiler trace with "
+                                        "ONNX-node-name correlation")
+    pp.add_argument("--model", required=True)
+    pp.add_argument("--trace-dir", dest="trace_dir", default="/tmp/oriet_tb")
+    pp.add_argument("--batch", type=int, default=8)
+    pp.add_argument("--steps", type=int, default=10)
+    pp.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    pp.add_argument("--quantize", choices=["int8"])
+    pp.add_argument("--input")
+    pp.set_defaults(fn=cmd_profile)
+
     ps = sub.add_parser("serve", help="HTTP inference server "
                                       "(continuous batching)")
     ps.add_argument("--model", required=True)
@@ -232,6 +282,7 @@ def main(argv: Optional[list] = None) -> int:
                     choices=["float32", "int8"])
     pg.add_argument("--int4", action="store_true",
                     help="INT4 weight-only quantization")
+    pg.add_argument("--family", default="gpt2", choices=["gpt2", "llama"])
     pg.set_defaults(fn=cmd_generate)
 
     pq = sub.add_parser("quantize",
