@@ -80,18 +80,50 @@ class Generator:
             return jnp.clip(jnp.round(kv / s), -127, 127).astype(jnp.int8)
         return kv.astype(self.kv_dtype)
 
+    # -- token selection ---------------------------------------------------
+    @staticmethod
+    def _select(logits: jax.Array, key, temperature: float,
+                top_k: Optional[int], top_p: Optional[float]) -> jax.Array:
+        """logits [B, V] -> token ids [B]. temperature == 0 is greedy;
+        otherwise categorical sampling with optional top-k / nucleus
+        filtering — all on device (sort/cumsum/where, no host sync)."""
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1)
+        l = logits / temperature
+        if top_k is not None:
+            kth = jnp.sort(l, axis=-1)[:, -int(top_k)][:, None]
+            l = jnp.where(l >= kth, l, -jnp.inf)
+        if top_p is not None:
+            sl = jnp.sort(l, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sl, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # smallest set whose mass >= top_p: keep while cum - p < p_i
+            keep = cum - probs < top_p
+            thresh = jnp.min(jnp.where(keep, sl, jnp.inf), axis=-1,
+                             keepdims=True)
+            l = jnp.where(l >= thresh, l, -jnp.inf)
+        return jax.random.categorical(key, l, axis=-1)
+
     # -- generation ------------------------------------------------------
     def generate(self, input_ids: np.ndarray, n_new: int,
-                 return_logits: bool = False
+                 return_logits: bool = False,
+                 temperature: float = 0.0,
+                 top_k: Optional[int] = None,
+                 top_p: Optional[float] = None,
+                 sample_seed: int = 0,
                  ) -> Tuple[np.ndarray, Optional[list]]:
-        """Greedy decode. input_ids: [batch, prompt_len] int64."""
+        """Decode n_new tokens. Greedy by default; temperature > 0 samples
+        (optionally top-k / top-p filtered). input_ids: [B, prompt_len]."""
         B, P = input_ids.shape
         assert (B, P) == (self.batch, self.prompt_len)
         assert P + n_new <= self.max_len
 
+        key = jax.random.PRNGKey(sample_seed)
         out = self.prefill({"input_ids": input_ids.astype(np.int64)})
         logits = out["logits"]
-        next_tok = jnp.argmax(logits[:, -1, :], axis=-1)
+        key, sub = jax.random.split(key)
+        next_tok = self._select(logits[:, -1, :], sub, temperature,
+                                top_k, top_p)
 
         # calibrate per-(layer, kind, head) scales from the prefill presents
         L = self.cfg.n_layer
@@ -125,7 +157,9 @@ class Generator:
                 feed.update(self._kv_scales)
             step = self.decode(feed)
             step_logits = step["logits"]
-            next_tok = jnp.argmax(step_logits[:, -1, :], axis=-1)
+            key, sub = jax.random.split(key)
+            next_tok = self._select(step_logits[:, -1, :], sub, temperature,
+                                    top_k, top_p)
             for i in range(L):
                 for kind in ("key", "value"):
                     cache[f"past_{kind}_{i}"] = step[f"present_{kind}_{i}"]

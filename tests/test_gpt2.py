@@ -132,3 +132,24 @@ def test_gpt2_north_star_config():
     # int4+int8kv vs fp32: prefill logits stay within quantization drift
     rel = np.abs(logs[0] - logs_r[0]).max() / np.abs(logs_r[0]).max()
     assert rel < 0.3
+
+
+def test_sampling_modes():
+    """temperature=0 is greedy; top_k=1 equals greedy; sampling is
+    deterministic per seed and diversifies across seeds."""
+    P, n_new = 4, 6
+    ids = rng.integers(0, TINY.vocab_size, (1, P)).astype(np.int64)
+    gen = Generator(TINY, batch=1, prompt_len=P, max_len=16)
+    greedy, _ = gen.generate(ids, n_new)
+    topk1, _ = gen.generate(ids, n_new, temperature=0.7, top_k=1)
+    np.testing.assert_array_equal(greedy, topk1)
+    s1a, _ = gen.generate(ids, n_new, temperature=5.0, sample_seed=1)
+    s1b, _ = gen.generate(ids, n_new, temperature=5.0, sample_seed=1)
+    np.testing.assert_array_equal(s1a, s1b)
+    diff = [not np.array_equal(
+        s1a, gen.generate(ids, n_new, temperature=5.0, sample_seed=s)[0])
+        for s in range(2, 8)]
+    assert any(diff)  # high temperature + different seeds diversify
+    # top_p with tiny p also collapses to (near-)greedy
+    nucleus, _ = gen.generate(ids, n_new, temperature=0.5, top_p=1e-6)
+    np.testing.assert_array_equal(greedy, nucleus)
