@@ -36,7 +36,7 @@ import numpy as np
 from .graph import Graph, Node, prune_dead, topo_sort
 from .engine import lower
 
-__all__ = ["calibrate", "quantize_graph", "QuantConfig",
+__all__ = ["calibrate", "quantize_graph", "QuantConfig", "bias_correct",
            "quantize_weights_int4", "pack_int4"]
 
 
@@ -378,6 +378,100 @@ def quantize_graph(
     avail = set(qgraph.constants) | {i.name for i in qgraph.inputs}
     qgraph.nodes = topo_sort(qgraph.nodes, avail)
     prune_dead(qgraph)
+    return qgraph
+
+
+def bias_correct(
+    qgraph: Graph,
+    fgraph: Graph,
+    calibration_inputs: Sequence[Dict[str, np.ndarray]],
+) -> Graph:
+    """Post-quantization bias correction (DFQ-style, Nagel et al. 2019).
+
+    Quantization noise has a nonzero per-channel MEAN (weight rounding is
+    deterministic), which shifts every activation distribution; absorbing
+    E[fp32_out - int8_out] into the int32 bias removes the shift for free
+    at inference. One-shot over the calibration set: both graphs run once
+    with every QLinear output observed (dequantized), and each op's int32
+    bias gets round(mean_err / (x_s * w_s)) added. Mutates and returns
+    qgraph.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    targets = [n for n in qgraph.nodes
+               if n.op_type in ("QLinearConv", "QLinearMatMul")]
+    if not targets:
+        return qgraph
+
+    # every target needs a bias input BEFORE the probe is compiled, so
+    # corrections flow into later probe runs as parameter updates only
+    for n in targets:
+        if not (len(n.inputs) > 8 and n.inputs[8]):
+            w_s = np.asarray(qgraph.constants[n.inputs[4]]).reshape(-1)
+            bname = f"{n.outputs[0]}__bcorr"
+            qgraph.constants[bname] = np.zeros((w_s.size,), np.int32)
+            qgraph.weight_names.append(bname)
+            n.inputs = list(n.inputs)[:8] + [bname]
+
+    out_names = [n.outputs[0] for n in targets]
+
+    def make_probe(graph: Graph):
+        p = Graph(name=graph.name, nodes=graph.nodes,
+                  constants=graph.constants, inputs=graph.inputs,
+                  outputs=[o for o in out_names
+                           if o in {x for nd in graph.nodes
+                                    for x in nd.outputs}],
+                  opset=graph.opset, weight_names=graph.weight_names)
+        return jax.jit(lower(p))
+
+    def run(fn, params) -> Dict[str, np.ndarray]:
+        acc: Dict[str, list] = {}
+        for feed in calibration_inputs:
+            out = fn(params, {k: jnp.asarray(v) for k, v in feed.items()})
+            for k, v in out.items():
+                acc.setdefault(k, []).append(np.asarray(v, np.float64))
+        return {k: np.concatenate(v) for k, v in acc.items()}
+
+    f_fn = make_probe(fgraph)
+    f_params = {k: jnp.asarray(fgraph.constants[k])
+                for k in fgraph.weight_names}
+    f_out = run(f_fn, f_params)
+
+    q_fn = make_probe(qgraph)
+    q_params = {k: jnp.asarray(qgraph.constants[k])
+                for k in qgraph.weight_names}
+
+    # SEQUENTIAL correction in topological order: each op's delta is
+    # measured with all upstream corrections already applied (a one-shot
+    # pass double-counts propagated error). The probe is compiled once;
+    # each round only swaps the bias parameter values.
+    for n in targets:
+        name = n.outputs[0]
+        if name not in f_out:
+            continue
+        q_out = run(q_fn, q_params)
+        y_s = float(np.asarray(qgraph.constants[n.inputs[6]]).reshape(-1)[0])
+        qv = q_out[name]
+        err = f_out[name] - qv * y_s
+        # exclude saturated elements: with clip/relu-pinned output scales the
+        # int8 saturation is INTENTIONAL (it realizes the activation bound),
+        # not rounding noise — correcting it would shift everything wrongly
+        interior = (qv > -127) & (qv < 127)
+        # per-output-channel mean: channel axis 1 for conv, -1 for matmul
+        ch_axis = 1 if n.op_type == "QLinearConv" else err.ndim - 1
+        axes = tuple(a for a in range(err.ndim) if a != ch_axis)
+        cnt = np.maximum(interior.sum(axis=axes), 1)
+        mean_err = np.where(interior, err, 0.0).sum(axis=axes) / cnt
+        x_s = float(np.asarray(qgraph.constants[n.inputs[1]]).reshape(-1)[0])
+        w_s = np.asarray(qgraph.constants[n.inputs[4]]).reshape(-1)
+        delta = np.round(mean_err / (x_s * w_s)).astype(np.int64)
+        bname = n.inputs[8]
+        b = np.asarray(qgraph.constants[bname]).astype(np.int64)
+        new_b = np.clip(b + delta, np.iinfo(np.int32).min,
+                        np.iinfo(np.int32).max).astype(np.int32)
+        qgraph.constants[bname] = new_b
+        q_params[bname] = jnp.asarray(new_b)
     return qgraph
 
 

@@ -148,3 +148,45 @@ def test_quant_exclude_mixed_precision():
     assert len(kept) == 17  # all depthwise convs stay fp32
     assert all(int(n.attr("group", 1)) > 1 for n in kept)
     assert sum(1 for n in q.nodes if n.op_type == "QLinearConv") == 35
+
+
+def test_bias_correction_reduces_mean_error():
+    """DFQ-style bias correction: per-channel mean quantization error drops.
+
+    Small conv stack with ReLU6 activations (the clip-pinned-scale case
+    where naive correction would chase intentional saturation)."""
+    import numpy as np
+
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.models._builder import GraphBuilder
+    from onnx_rusty_inference_engine_tpu.quant import bias_correct, \
+        quantize_graph
+
+    b = GraphBuilder("bc", opset=13, seed=9)
+    x = b.input("input", [1, 8, 16, 16])
+    h = x
+    c_in = 8
+    for i, c_out in enumerate([16, 16, 12]):
+        w = b.he(f"c{i}_w", (c_out, c_in, 3, 3))
+        bias = b.init(f"c{i}_b", (b.rng.standard_normal(c_out) * 0.1
+                                  ).astype(np.float32))
+        (h,) = b.node("Conv", [h, w, bias], [f"c{i}_y"], kernel_shape=[3, 3],
+                      pads=[1, 1, 1, 1])
+        lo = b.init(f"r{i}_min", np.float32(0.0))
+        hi = b.init(f"r{i}_max", np.float32(6.0))
+        (h,) = b.node("Clip", [h, lo, hi], [f"r{i}_y"])
+        c_in = c_out
+    b.output(h, [1, 12, 16, 16])
+    g = import_model(b.model())
+
+    rng2 = np.random.default_rng(5)
+    calib = [{"input": rng2.standard_normal((4, 8, 16, 16)).astype(np.float32)}]
+    xt = rng2.standard_normal((16, 8, 16, 16)).astype(np.float32)
+
+    ref = Engine(g).run({"input": xt})["r2_y"]
+    q = quantize_graph(g, calibration_inputs=calib)
+    before = np.abs(Engine(q).run({"input": xt})["r2_y"] - ref).mean()
+    qc = bias_correct(q, g, calib)
+    after = np.abs(Engine(qc).run({"input": xt})["r2_y"] - ref).mean()
+    assert after < before, (before, after)
