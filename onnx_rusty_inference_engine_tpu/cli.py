@@ -148,6 +148,10 @@ def cmd_quantize(args) -> int:
         t = onnx_io.read_tensor_file(args.calib_input)
         calib = [{t.name or graph.input_names[0]: t.array}]
     qgraph = quantize_graph(graph, calibration_inputs=calib)
+    if args.bias_correct and calib:
+        from .quant import bias_correct
+
+        qgraph = bias_correct(qgraph, graph, calib)
     save_graph(args.out, qgraph)
     n_q = sum(1 for n in qgraph.nodes if n.op_type.startswith("QLinear"))
     print(json.dumps({"out": args.out, "qlinear_nodes": n_q,
@@ -291,6 +295,9 @@ def main(argv: Optional[list] = None) -> int:
     pq.add_argument("--out", required=True)
     pq.add_argument("--calib-input", dest="calib_input",
                     help="TensorProto .pb used for range calibration")
+    pq.add_argument("--bias-correct", dest="bias_correct",
+                    action="store_true",
+                    help="DFQ-style sequential bias correction")
     pq.set_defaults(fn=cmd_quantize)
 
     args = p.parse_args(argv)
