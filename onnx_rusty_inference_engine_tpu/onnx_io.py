@@ -129,7 +129,8 @@ class ModelProto:
 # --------------------------------------------------------------------------
 # TensorProto decode / encode
 # --------------------------------------------------------------------------
-def parse_tensor_proto(buf: bytes) -> TensorData:
+def parse_tensor_proto(buf: bytes, base_dir: Optional[str] = None
+                       ) -> TensorData:
     dims: List[int] = []
     data_type = FLOAT
     name = ""
@@ -137,6 +138,8 @@ def parse_tensor_proto(buf: bytes) -> TensorData:
     float_data: List[float] = []
     int_data: List[int] = []
     double_data: List[float] = []
+    external: Dict[str, str] = {}
+    data_location = 0
     for field, wire, value in WireReader(buf):
         if field == 1:  # dims (repeated int64; may be packed or unpacked)
             if wire == 0:
@@ -159,13 +162,33 @@ def parse_tensor_proto(buf: bytes) -> TensorData:
             raw = bytes(value)  # type: ignore[arg-type]
         elif field == 10:  # double_data, packed
             double_data.extend(np.frombuffer(bytes(value), dtype="<f8").tolist())
-        elif field == 13:
-            raise NotImplementedError("external_data tensors are not supported")
+        elif field == 13:  # external_data: StringStringEntryProto
+            key = val = ""
+            for f2, w2, v2 in WireReader(bytes(value)):
+                if f2 == 1:
+                    key = WireReader.as_string(v2)
+                elif f2 == 2:
+                    val = WireReader.as_string(v2)
+            external[key] = val
+        elif field == 14:
+            data_location = int(value)
 
     np_dtype = DTYPE_TO_NUMPY.get(data_type)
     if np_dtype is None:
         raise NotImplementedError(f"TensorProto data_type {data_type} ({name!r})")
     shape = tuple(dims)
+    if data_location == 1 or external:  # EXTERNAL: weights in sidecar files
+        import os
+
+        loc = external.get("location")
+        if loc is None:
+            raise ValueError(f"external tensor {name!r} has no location")
+        path = os.path.join(base_dir or ".", loc)
+        offset = int(external.get("offset", 0))
+        length = external.get("length")
+        with open(path, "rb") as f:
+            f.seek(offset)
+            raw = f.read(int(length) if length is not None else -1)
     if raw is not None:
         arr = np.frombuffer(raw, dtype=np_dtype.newbyteorder("<")).astype(np_dtype)
     elif float_data:
@@ -293,7 +316,7 @@ def _parse_value_info(buf: bytes) -> ValueInfo:
     return vi
 
 
-def _parse_graph(buf: bytes) -> GraphProto:
+def _parse_graph(buf: bytes, base_dir: Optional[str] = None) -> GraphProto:
     g = GraphProto()
     for field, wire, value in WireReader(buf):
         if field == 1:
@@ -301,7 +324,7 @@ def _parse_graph(buf: bytes) -> GraphProto:
         elif field == 2:
             g.name = WireReader.as_string(value)
         elif field == 5:
-            t = parse_tensor_proto(bytes(value))  # type: ignore[arg-type]
+            t = parse_tensor_proto(bytes(value), base_dir)  # type: ignore[arg-type]
             g.initializers[t.name] = t.array
         elif field == 11:
             g.inputs.append(_parse_value_info(bytes(value)))  # type: ignore[arg-type]
@@ -312,7 +335,7 @@ def _parse_graph(buf: bytes) -> GraphProto:
     return g
 
 
-def parse_model(buf: bytes) -> ModelProto:
+def parse_model(buf: bytes, base_dir: Optional[str] = None) -> ModelProto:
     graph: Optional[GraphProto] = None
     m_kwargs: Dict[str, object] = {}
     for field, wire, value in WireReader(buf):
@@ -327,7 +350,7 @@ def parse_model(buf: bytes) -> ModelProto:
         elif field == 5:
             m_kwargs["model_version"] = WireReader.as_int64(value)
         elif field == 7:
-            graph = _parse_graph(bytes(value))  # type: ignore[arg-type]
+            graph = _parse_graph(bytes(value), base_dir)  # type: ignore[arg-type]
         elif field == 8:  # opset_import
             for f2, w2, v2 in WireReader(bytes(value)):  # type: ignore[arg-type]
                 if f2 == 1:
@@ -340,8 +363,11 @@ def parse_model(buf: bytes) -> ModelProto:
 
 
 def load_model(path: str) -> ModelProto:
+    import os
+
     with open(path, "rb") as f:
-        return parse_model(f.read())
+        return parse_model(f.read(), base_dir=os.path.dirname(
+            os.path.abspath(path)))
 
 
 # --------------------------------------------------------------------------
