@@ -239,8 +239,11 @@ def global_max_pool(ctx: LoweringContext, node: Node, ins):
 def matmul(ctx: LoweringContext, node: Node, ins):
     # (Reference: src/inference_fp32_ops/mul_op.rs — 2-D only; this is N-D.)
     a, b = ins
-    return (jnp.matmul(a, b, precision=_fp32_precision(a),
-                       preferred_element_type=_accum_dtype(a)),)
+    out = jnp.matmul(a, b, precision=_fp32_precision(a),
+                     preferred_element_type=_accum_dtype(a))
+    # ONNX MatMul output dtype == input dtype; the fp32 accumulation stays
+    # on the MXU and only the epilogue casts (fp16/bf16 inputs)
+    return (out.astype(a.dtype) if a.dtype != out.dtype else out,)
 
 
 def _accum_dtype(a):

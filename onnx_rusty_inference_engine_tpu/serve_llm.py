@@ -128,8 +128,25 @@ class DecodeServer:
         self._running = True
         self.steps = 0
         self.tokens_out = 0
+        self.requests_done = 0
+        self._occupancy_sum = 0
+        self._latencies: List[float] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def stats(self) -> Dict[str, float]:
+        """Serving counters (the LLM analog of serve.ServerStats)."""
+        lat = np.asarray(self._latencies) if self._latencies else np.zeros(1)
+        return {
+            "requests": self.requests_done,
+            "decode_steps": self.steps,
+            "tokens_out": self.tokens_out,
+            "tokens_per_step": self.tokens_out / max(1, self.steps),
+            "mean_slot_occupancy": self._occupancy_sum / max(1, self.steps)
+                                   / self.B,
+            "p50_latency_s": float(np.percentile(lat, 50)),
+            "p99_latency_s": float(np.percentile(lat, 99)),
+        }
 
     # -- client API ------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int) -> Future:
@@ -208,6 +225,7 @@ class DecodeServer:
             for kind in ("key", "value"):
                 self._cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
         self.steps += 1
+        self._occupancy_sum += len(self._active())
 
         for s in self._active():
             r = self._req[s]
@@ -218,6 +236,8 @@ class DecodeServer:
             self.tokens_out += 1
             if len(r.tokens) >= r.max_new:
                 r.future.set_result(r.tokens)
+                self.requests_done += 1
+                self._latencies.append(time.perf_counter() - r.t_enqueue)
                 self._req[s] = None
                 self._pos[s] = self.max_len - 1  # park the slot
 

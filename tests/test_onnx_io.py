@@ -137,3 +137,27 @@ def test_external_data_tensors(tmp_path):
     np.testing.assert_array_equal(g.constants["w"], w)
     got = Engine(g).run({"xT": x})["y"]
     np.testing.assert_allclose(got, x @ w, rtol=1e-6)
+
+
+def test_fp16_model_runs():
+    """fp16 weights/activations flow through codec, importer, and engine."""
+    import numpy as np
+
+    from onnx_rusty_inference_engine_tpu import onnx_io
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from util import make_model, node as mknode
+
+    rng2 = np.random.default_rng(13)
+    x = rng2.standard_normal((2, 6)).astype(np.float16)
+    w = rng2.standard_normal((6, 4)).astype(np.float16)
+    m = make_model([mknode("MatMul", ["x", "w"], ["mm"]),
+                    mknode("Relu", ["mm"], ["y"])],
+                   {"x": x}, ["y"], {"w": w})
+    m2 = onnx_io.parse_model(onnx_io.serialize_model(m))
+    assert m2.graph.initializers["w"].dtype == np.float16
+    got = Engine(import_model(m2)).run({"x": x})["y"]
+    want = np.maximum(x.astype(np.float32) @ w.astype(np.float32), 0)
+    assert got.dtype == np.float16
+    np.testing.assert_allclose(got.astype(np.float32), want, rtol=1e-2,
+                               atol=1e-3)

@@ -93,3 +93,19 @@ def test_decode_server_sharded():
         finally:
             srv.stop()
     assert got == _reference_tokens(prompt, 4, 8, 16)
+
+
+def test_decode_server_stats():
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=12)
+    try:
+        futs = [srv.submit(rng.integers(0, TINY.vocab_size, (3,)).astype(
+            np.int64), 3) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=300)
+    finally:
+        srv.stop()
+    s = srv.stats()
+    assert s["requests"] == 3
+    assert s["tokens_out"] >= 6  # decode-step tokens (first token is prefill)
+    assert 0 < s["mean_slot_occupancy"] <= 1
+    assert s["p99_latency_s"] >= s["p50_latency_s"] > 0
