@@ -109,9 +109,10 @@ def _expand_kv(b: GraphBuilder, x: str, name: str, B: int, Hkv: int,
 
 
 def _attention_block(b: GraphBuilder, x: str, i: int, cfg: LlamaConfig,
-                     B: int, T: int, cos: str, sin: str, kcache: str,
-                     vcache: str, attn_bias: str, kv_len: int) -> str:
-    """Shared by prefill (kcache/vcache = current k/v) and decode."""
+                     B: int, T: int, kcache: str, vcache: str,
+                     attn_bias: str, kv_len: int) -> str:
+    """Shared by prefill (kcache/vcache = current k/v) and decode.
+    RoPE has already been applied to q/k by the callers."""
     D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
     rep = H // Hkv
     ke = _expand_kv(b, kcache, f"l{i}_kexp", B, Hkv, rep, kv_len, hd)
@@ -188,8 +189,7 @@ def build_llama(
             b.node("Identity", [kh], [f"present_key_{i}"])
             b.node("Identity", [vh], [f"present_value_{i}"])
 
-        ctxt = _attention_block(b, qh, i, cfg, B, T, cos, sin, kh, vh,
-                                bias, T)
+        ctxt = _attention_block(b, qh, i, cfg, B, T, kh, vh, bias, T)
         o = _linear(b, ctxt, f"l{i}_wo", D, D)
         (x,) = b.node("Add", [x, o], [f"l{i}_res1"])
 
@@ -288,8 +288,7 @@ def build_llama_decode(
         (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
         (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
 
-        ctxt = _attention_block(b, qh, i, cfg, B, T, cos, sin, kc, vc,
-                                attn_bias4, L)
+        ctxt = _attention_block(b, qh, i, cfg, B, T, kc, vc, attn_bias4, L)
         o = _linear(b, ctxt, f"l{i}_wo", D, D)
         (x,) = b.node("Add", [x, o], [f"l{i}_res1"])
 

@@ -233,7 +233,7 @@ _ATTR_FLOAT, _ATTR_INT, _ATTR_STRING, _ATTR_TENSOR, _ATTR_GRAPH = 1, 2, 3, 4, 5
 _ATTR_FLOATS, _ATTR_INTS, _ATTR_STRINGS, _ATTR_GRAPHS = 6, 7, 8, 10
 
 
-def _parse_attribute(buf: bytes) -> Attribute:
+def _parse_attribute(buf: bytes, base_dir: Optional[str] = None) -> Attribute:
     a = Attribute(name="")
     for field, wire, value in WireReader(buf):
         if field == 1:
@@ -245,12 +245,13 @@ def _parse_attribute(buf: bytes) -> Attribute:
         elif field == 4:
             a.s = bytes(value)  # type: ignore[arg-type]
         elif field == 5:
-            a.t = parse_tensor_proto(bytes(value))  # type: ignore[arg-type]
+            a.t = parse_tensor_proto(bytes(value), base_dir)  # type: ignore[arg-type]
         elif field == 6:
-            a.g = _parse_graph(bytes(value))  # type: ignore[arg-type]
+            a.g = _parse_graph(bytes(value), base_dir)  # type: ignore[arg-type]
         elif field == 11:
             a.graphs = (a.graphs or [])
-            a.graphs.append(_parse_graph(bytes(value)))  # type: ignore[arg-type]
+            a.graphs.append(
+                _parse_graph(bytes(value), base_dir))  # type: ignore[arg-type]
         elif field == 7:
             a.floats = (a.floats or [])
             a.floats.extend(
@@ -271,7 +272,7 @@ def _parse_attribute(buf: bytes) -> Attribute:
     return a
 
 
-def _parse_node(buf: bytes) -> NodeProto:
+def _parse_node(buf: bytes, base_dir: Optional[str] = None) -> NodeProto:
     n = NodeProto(op_type="", input=[], output=[])
     for field, wire, value in WireReader(buf):
         if field == 1:
@@ -283,7 +284,7 @@ def _parse_node(buf: bytes) -> NodeProto:
         elif field == 4:
             n.op_type = WireReader.as_string(value)
         elif field == 5:
-            a = _parse_attribute(bytes(value))  # type: ignore[arg-type]
+            a = _parse_attribute(bytes(value), base_dir)  # type: ignore[arg-type]
             n.attributes[a.name] = a
         elif field == 7:
             n.domain = WireReader.as_string(value)
@@ -320,7 +321,8 @@ def _parse_graph(buf: bytes, base_dir: Optional[str] = None) -> GraphProto:
     g = GraphProto()
     for field, wire, value in WireReader(buf):
         if field == 1:
-            g.nodes.append(_parse_node(bytes(value)))  # type: ignore[arg-type]
+            g.nodes.append(
+                _parse_node(bytes(value), base_dir))  # type: ignore[arg-type]
         elif field == 2:
             g.name = WireReader.as_string(value)
         elif field == 5:

@@ -62,8 +62,10 @@ def embed_layer_normalization(ctx, node, ins):
     B, S = ids.shape
     e = word_emb[ids]
     if pos_ids is not None:
-        e = e + pos_emb[pos_ids.reshape(B, S) if pos_ids.ndim == 2
-                        else pos_ids]
+        # position_ids may be [B, S] or the broadcastable [1, S] / [S]
+        pe = pos_emb[pos_ids.reshape(-1, pos_ids.shape[-1])
+                     if pos_ids.ndim == 2 else pos_ids[None]]
+        e = e + pe  # [B|1, S, D] broadcasts over the batch
     else:
         e = e + pos_emb[jnp.arange(S)][None]
     if seg_emb is not None and seg_ids is not None:
@@ -116,6 +118,10 @@ def attention(ctx: LoweringContext, node: Node, ins):
     mask_index = ins[3] if len(ins) > 3 and ins[3] is not None else None
     if len(ins) > 4 and ins[4] is not None:
         raise UnsupportedOpError("Attention: past-state input not supported")
+    attn_bias = ins[5] if len(ins) > 5 and ins[5] is not None else None
+    if len(ins) > 6 and ins[6] is not None:
+        raise UnsupportedOpError(
+            "Attention: past_sequence_length input not supported")
     H = int(node.attr("num_heads"))
     uni = int(node.attr("unidirectional", 0))
     scale = node.attr("scale")
@@ -133,8 +139,10 @@ def attention(ctx: LoweringContext, node: Node, ins):
     def heads(t, d):
         return t.reshape(B, S, H, d // H).transpose(0, 2, 1, 3)
 
-    out = _sdpa(heads(q, dq), heads(k, dk), heads(v, dv),
-                _mask_bias(mask_index, B, S, S), uni,
+    mb = _mask_bias(mask_index, B, S, S)
+    if attn_bias is not None:  # relative position bias, [B|1, H|1, S, S]
+        mb = mb + attn_bias
+    out = _sdpa(heads(q, dq), heads(k, dk), heads(v, dv), mb, uni,
                 float(scale) if scale is not None else None)
     return (out.transpose(0, 2, 1, 3).reshape(B, S, dv),)
 

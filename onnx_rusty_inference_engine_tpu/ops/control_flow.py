@@ -85,6 +85,20 @@ def scan(ctx: LoweringContext, node: Node, ins):
     return tuple(final)
 
 
+def _body_cond_is_passthrough_or_true(body) -> bool:
+    """True when the Loop body's first output (cond_out) is statically the
+    incoming condition: an Identity chain from the body's cond input, or a
+    constant-true initializer."""
+    producers = {o: n for n in body.nodes for o in n.output if o}
+    name = body.outputs[0].name
+    while name in producers and producers[name].op_type == "Identity":
+        name = producers[name].input[0]
+    if len(body.inputs) > 1 and name == body.inputs[1].name:
+        return True  # passthrough of the incoming cond
+    const = body.initializers.get(name)
+    return const is not None and bool(np.asarray(const).reshape(()))
+
+
 @register("Loop")
 def loop(ctx: LoweringContext, node: Node, ins):
     body = node.attr("body")
@@ -100,12 +114,19 @@ def loop(ctx: LoweringContext, node: Node, ins):
             f"(tensor {m_name!r} is dynamic)")
     M = int(np.asarray(trip).reshape(()))
 
-    if k_scan and cond_name and ctx.constant(cond_name) is None:
-        # scan outputs under a dynamic early-exit condition would have a
-        # data-dependent length — not expressible in XLA
-        raise UnsupportedOpError(
-            "Loop: per-iteration scan outputs with a dynamic exit condition "
-            "imply dynamic shapes; make the trip count static instead")
+    if k_scan:
+        # scan outputs under ANY dynamic early exit would have a
+        # data-dependent length — not expressible in XLA. That includes a
+        # body-computed condition, not just a dynamic initial one: allow
+        # scan outputs only when the body's cond output provably stays at a
+        # statically-true initial value (Identity passthrough of the cond
+        # input, or a constant-true initializer).
+        init_static = (not cond_name) or ctx.constant(cond_name) is not None
+        if not (init_static and _body_cond_is_passthrough_or_true(body)):
+            raise UnsupportedOpError(
+                "Loop: per-iteration scan outputs with a dynamic exit "
+                "condition imply dynamic shapes; make the trip count static "
+                "and the body condition a passthrough/constant instead")
 
     cond0 = (ins[1].reshape(()).astype(bool) if cond_name
              else jnp.asarray(True))

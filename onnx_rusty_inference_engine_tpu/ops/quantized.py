@@ -353,9 +353,7 @@ def qgemm(ctx: LoweringContext, node: Node, ins):
     if int(node.attr("transA", 0)):
         a = a.T
     if int(node.attr("transB", 0)):
-        b = b.T
-        if b_s.ndim == 1 and b_s.size > 1:
-            pass  # per-column scales already follow the output dim
+        b = b.T  # per-column b_s already follows the output dim (broadcasts)
     ai = a.astype(jnp.int32) - (a_zp.astype(jnp.int32) if a_zp is not None
                                 else 0)
     bi = b.astype(jnp.int32) - (b_zp.astype(jnp.int32) if b_zp is not None

@@ -89,18 +89,36 @@ def _mask_scan(step, carry0, xs, seq_lens, T):
     return lax.scan(wrapped, carry0, (ts, xs))
 
 
-def _run_directions(x, n_dirs, direction, run_one):
+def _flip_valid(x, seq_lens):
+    """Per-sequence time reversal of the VALID prefix: frame t of sequence b
+    maps to len_b-1-t for t < len_b, and stays in place past the length
+    (ONNX reverse semantics with sequence_lens; a whole-tensor flip would
+    process padding frames and mask the real ones). Involution, so the same
+    transform un-reverses the outputs. x: [T, B, ...]."""
+    T = x.shape[0]
+    t = jnp.arange(T)[:, None]                                # [T, 1]
+    lens = seq_lens.astype(jnp.int32)[None, :]                # [1, B]
+    idx = jnp.where(t < lens, lens - 1 - t, t)                # [T, B]
+    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=0)
+
+
+def _run_directions(x, n_dirs, direction, run_one, seq_lens=None):
     """run_one(xs, d) -> (ys [T,B,H], finals tuple). Returns stacked
     [T, D, B, H] and per-state [D, B, H]."""
-    T = x.shape[0]
     outs, finals = [], []
+
+    def flip(v):
+        return (_flip_valid(v, seq_lens) if seq_lens is not None
+                else jnp.flip(v, 0))
+
     for d in range(n_dirs):
         rev = (direction == "reverse") or (
             direction == "bidirectional" and d == 1)
-        xs = jnp.flip(x, 0) if rev else x
+        xs = flip(x) if rev else x
         ys, fin = run_one(xs, d)
         if rev:
-            ys = jnp.flip(ys, 0)
+            ys = flip(ys)
         outs.append(ys)
         finals.append(fin)
     y = jnp.stack(outs, axis=1)  # [T, D, B, H]
@@ -153,7 +171,7 @@ def lstm(ctx: LoweringContext, node: Node, ins):
         (h_f, c_f), ys = _mask_scan(step, (h0, c0), xs, seq_lens, T)
         return ys, (h_f, c_f)
 
-    y, states = _run_directions(x, n_dirs, direction, run_one)
+    y, states = _run_directions(x, n_dirs, direction, run_one, seq_lens)
     return _finish(y, states, layout)
 
 
@@ -191,7 +209,7 @@ def gru(ctx: LoweringContext, node: Node, ins):
         (h_f,), ys = _mask_scan(step, (h0,), xs, seq_lens, T)
         return ys, (h_f,)
 
-    y, states = _run_directions(x, n_dirs, direction, run_one)
+    y, states = _run_directions(x, n_dirs, direction, run_one, seq_lens)
     return _finish(y, states, layout)
 
 
@@ -218,5 +236,5 @@ def rnn(ctx: LoweringContext, node: Node, ins):
         (h_f,), ys = _mask_scan(step, (h0,), xs, seq_lens, T)
         return ys, (h_f,)
 
-    y, states = _run_directions(x, n_dirs, direction, run_one)
+    y, states = _run_directions(x, n_dirs, direction, run_one, seq_lens)
     return _finish(y, states, layout)

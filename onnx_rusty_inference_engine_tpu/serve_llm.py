@@ -202,8 +202,11 @@ class DecodeServer:
 
         first = int(logits[0, plen - 1].argmax())
         r.tokens.append(first)
+        self.tokens_out += 1
         if len(r.tokens) >= r.max_new:  # prompt-only request: done already
             r.future.set_result(r.tokens)
+            self.requests_done += 1
+            self._latencies.append(time.perf_counter() - r.t_enqueue)
             return
         self._req[slot] = r
         self._pos[slot] = plen

@@ -154,3 +154,23 @@ def test_loop_dynamic_trip_count_rejected():
         {"cond": np.array(True)})
     with pytest.raises((UnsupportedOpError, Exception)):
         _run(m, {"s0": s0, "M": np.array(4, np.int64)})
+
+
+def test_loop_body_dynamic_cond_with_scan_outputs_rejected():
+    """A body-computed exit condition + per-trip scan outputs implies a
+    data-dependent output length — must raise, not silently emit M rows."""
+    body = _subgraph(
+        "body",
+        [node("Add", ["s_in", "one"], ["s_out"]),
+         node("Less", ["s_out", "three"], ["cond_out"]),
+         node("Identity", ["s_out"], ["y_t"])],
+        inputs=["iter", "cond_in", "s_in"],
+        outputs=["cond_out", "s_out", "y_t"],
+        initializers={"one": np.float32(1.0), "three": np.float32(3.0)})
+    s0 = np.zeros((), np.float32)
+    m = make_model(
+        [node("Loop", ["M", "cond", "s0"], ["s_final", "ys"], body=body)],
+        {"s0": s0}, ["s_final", "ys"],
+        {"M": np.array(10, np.int64), "cond": np.array(True)})
+    with pytest.raises(Exception):
+        _run(m, {"s0": s0})

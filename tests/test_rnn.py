@@ -158,3 +158,29 @@ def test_gru_layout1():
     want_y, want_h = m(torch.from_numpy(x))
     np.testing.assert_allclose(got_y[:, :, 0], want_y.detach().numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rnn_reverse_with_sequence_lens():
+    """Reverse direction + per-batch lengths: each sequence's VALID prefix is
+    processed back-to-front; padding frames are never consumed."""
+    m = torch.nn.RNN(I, H)
+    W = m.weight_ih_l0.detach().numpy()[None]
+    R = m.weight_hh_l0.detach().numpy()[None]
+    Bb = np.concatenate([m.bias_ih_l0.detach().numpy(),
+                         m.bias_hh_l0.detach().numpy()])[None]
+    x = f32(T, B, I)
+    sl = np.array([T, 3, 2], np.int32)
+    got_y, got_h = run_op("RNN", {"x": x}, {"W": W, "R": R, "B": Bb, "sl": sl},
+                          hidden_size=H, direction="reverse", n_outputs=2)
+    # torch reference per sequence: run on the reversed valid prefix
+    for b in range(B):
+        L = sl[b]
+        xr = np.ascontiguousarray(x[:L, b:b + 1][::-1])
+        want_y, want_h = m(torch.from_numpy(xr))
+        # our Y holds the un-reversed outputs on [0, L)
+        np.testing.assert_allclose(got_y[:L, 0, b],
+                                   want_y.detach().numpy()[::-1, 0],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got_h[0, b], want_h.detach().numpy()[0, 0],
+                                   rtol=1e-4, atol=1e-5)
+        assert np.all(got_y[L:, 0, b] == 0)
