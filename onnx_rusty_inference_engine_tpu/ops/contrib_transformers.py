@@ -177,3 +177,50 @@ def multi_head_attention(ctx: LoweringContext, node: Node, ins):
                 int(node.attr("unidirectional", 0)),
                 float(scale) if scale is not None else None)
     return (out.transpose(0, 2, 1, 3).reshape(B, S_q, dv),)
+
+
+@register("RotaryEmbedding")
+def rotary_embedding(ctx: LoweringContext, node: Node, ins):
+    """com.microsoft.RotaryEmbedding: apply RoPE with precomputed caches.
+
+    input: [B, S, D] (or [B, H, S, hd] when input is 4-D), position_ids
+    [B, S] or [1, S] (or scalar-per-batch [B, 1]), cos/sin caches
+    [max_pos, rot_dim/2]. interleaved=0 (the llama half-rotation layout)
+    and 1 (adjacent-pair rotation) both supported.
+    """
+    x, pos_ids, cos_cache, sin_cache = ins[:4]
+    interleaved = int(node.attr("interleaved", 0))
+    n_heads = int(node.attr("num_heads", 0))
+    rot_half = cos_cache.shape[-1]
+    rot = 2 * rot_half
+
+    orig_ndim = x.ndim
+    if x.ndim == 3:
+        B, S, D = x.shape
+        H = n_heads if n_heads else 1
+        xh = x.reshape(B, S, H, D // H).transpose(0, 2, 1, 3)  # [B,H,S,hd]
+    else:
+        xh = x
+        B, H, S, _ = xh.shape
+
+    pid = pos_ids.reshape(pos_ids.shape[0], -1).astype(jnp.int32)
+    cos = cos_cache[pid]  # [B|1, S, rot/2]
+    sin = sin_cache[pid]
+    cos = cos[:, None]    # [B|1, 1, S, rot/2]
+    sin = sin[:, None]
+
+    xr, xp = xh[..., :rot], xh[..., rot:]
+    if interleaved:
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+        r1 = x1 * cos - x2 * sin
+        r2 = x2 * cos + x1 * sin
+        rotated = jnp.stack([r1, r2], axis=-1).reshape(xr.shape)
+    else:
+        x1, x2 = xr[..., :rot_half], xr[..., rot_half:]
+        r1 = x1 * cos - x2 * sin
+        r2 = x2 * cos + x1 * sin
+        rotated = jnp.concatenate([r1, r2], axis=-1)
+    out = jnp.concatenate([rotated, xp], axis=-1) if xp.shape[-1] else rotated
+    if orig_ndim == 3:
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
+    return (out,)

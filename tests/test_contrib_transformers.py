@@ -112,3 +112,48 @@ def test_multi_head_attention():
     want = F.scaled_dot_product_attention(qh, kh, vh, attn_mask=am)
     want = want.transpose(1, 2).reshape(B, Sq, D).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rotary_embedding_matches_llama_convention():
+    """RotaryEmbedding (non-interleaved) == the llama rotate-half formula."""
+    B, H, S, hd = 2, 3, 5, 8
+    x = f32(B, H, S, hd)
+    max_pos = 16
+    inv = 1.0 / (10000.0 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(max_pos)[:, None] * inv[None, :]
+    cos_c = np.cos(t).astype(np.float32)  # [max_pos, hd/2]
+    sin_c = np.sin(t).astype(np.float32)
+    pos = np.tile(np.arange(S, dtype=np.int64)[None], (B, 1))
+
+    (got,) = run_op("RotaryEmbedding", {"x": x},
+                    {"pos": pos, "cos": cos_c, "sin": sin_c})
+    # reference: rotate-half with duplicated-frequency tables
+    emb = np.concatenate([t, t], -1)[:S]  # [S, hd]
+    cs, sn = np.cos(emb), np.sin(emb)
+    rot = np.concatenate([-x[..., hd // 2:], x[..., : hd // 2]], -1)
+    want = x * cs + rot * sn
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rotary_embedding_3d_interleaved():
+    B, S, D, H = 1, 4, 12, 2
+    x = f32(B, S, D)
+    hd = D // H
+    max_pos = 8
+    inv = 1.0 / (10000.0 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(max_pos)[:, None] * inv[None, :]
+    cos_c = np.cos(t).astype(np.float32)
+    sin_c = np.sin(t).astype(np.float32)
+    pos = np.arange(S, dtype=np.int64)[None]
+
+    (got,) = run_op("RotaryEmbedding", {"x": x},
+                    {"pos": pos, "cos": cos_c, "sin": sin_c},
+                    interleaved=1, num_heads=H)
+    xh = x.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    cs, sn = np.cos(t[:S]), np.sin(t[:S])
+    x1, x2 = xh[..., 0::2], xh[..., 1::2]
+    r1 = x1 * cs - x2 * sn
+    r2 = x2 * cs + x1 * sn
+    want = np.stack([r1, r2], -1).reshape(xh.shape)
+    want = want.transpose(0, 2, 1, 3).reshape(B, S, D)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
