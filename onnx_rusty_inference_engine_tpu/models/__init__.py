@@ -29,5 +29,5 @@ def decoder_family(name: str):
     if name == "llama":
         from .llama import build_llama, build_llama_decode
 
-        return build_llama, build_llama_decode, False
+        return build_llama, build_llama_decode, True
     raise KeyError(f"unknown decoder family {name!r}; have gpt2, llama")

@@ -221,19 +221,29 @@ def build_llama_decode(
     max_len: int = 64,
     opset: int = 17,
     seed: int = 0,
+    kv_dtype: str = "float32",
 ) -> onnx_io.ModelProto:
     """Single-token decode over a fixed GQA KV cache; pos [B] per slot
-    (continuous-batching-ready, like gpt2.build_gpt2_decode)."""
+    (continuous-batching-ready, like gpt2.build_gpt2_decode).
+
+    kv_dtype="int8" carries the QDQ inside the graph exactly like the GPT-2
+    decode graph (per-head scale inputs kv_scale_{key,value}_{i} [Hkv])."""
     b = GraphBuilder("llama_decode", opset=opset, seed=seed)
     B, T = batch, 1
     D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
     L = max_len
+    int8_kv = np.dtype(kv_dtype) == np.int8
+    cache_np = np.int8 if int8_kv else np.float32
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)
     pos = b.input("pos", [B], dtype=np.int64)
-    pasts = [(b.input(f"past_key_{i}", [B, Hkv, L, hd]),
-              b.input(f"past_value_{i}", [B, Hkv, L, hd]))
+    pasts = [(b.input(f"past_key_{i}", [B, Hkv, L, hd], dtype=cache_np),
+              b.input(f"past_value_{i}", [B, Hkv, L, hd], dtype=cache_np))
              for i in range(cfg.n_layer)]
+    kv_scales = [(b.input(f"kv_scale_key_{i}", [Hkv]),
+                  b.input(f"kv_scale_value_{i}", [Hkv]))
+                 for i in range(cfg.n_layer)] if int8_kv else None
+    zp8 = b.init("kv_zp8", np.int8(0)) if int8_kv else None
 
     emb = b.init("tok_embeddings", (b.rng.standard_normal(
         (cfg.vocab_size, D)) * 0.02).astype(np.float32))
@@ -285,8 +295,24 @@ def build_llama_decode(
         vh = _heads(v, "v", kvshape)
 
         pk, pv = pasts[i]
-        (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
-        (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
+        if int8_kv:
+            sk, sv = kv_scales[i]
+            (kh8,) = b.node("QuantizeLinear", [kh, sk, zp8],
+                            [f"l{i}_k_q8"], axis=1)
+            (vh8,) = b.node("QuantizeLinear", [vh, sv, zp8],
+                            [f"l{i}_v_q8"], axis=1)
+            (kc8,) = b.node("Where", [is_now4, kh8, pk],
+                            [f"present_key_{i}"])
+            (vc8,) = b.node("Where", [is_now4, vh8, pv],
+                            [f"present_value_{i}"])
+            (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
+                           [f"l{i}_k_dq"], axis=1)
+            (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
+                           [f"l{i}_v_dq"], axis=1)
+        else:
+            (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
+            (vc,) = b.node("Where", [is_now4, vh, pv],
+                           [f"present_value_{i}"])
 
         ctxt = _attention_block(b, qh, i, cfg, B, T, kc, vc, attn_bias4, L)
         o = _linear(b, ctxt, f"l{i}_wo", D, D)
@@ -307,6 +333,6 @@ def build_llama_decode(
     (logits,) = b.node("MatMul", [x, lm], ["logits"])
     b.output(logits, [B, T, cfg.vocab_size])
     for i in range(cfg.n_layer):
-        b.output(f"present_key_{i}", [B, Hkv, L, hd])
-        b.output(f"present_value_{i}", [B, Hkv, L, hd])
+        b.output(f"present_key_{i}", [B, Hkv, L, hd], dtype=cache_np)
+        b.output(f"present_value_{i}", [B, Hkv, L, hd], dtype=cache_np)
     return b.model()

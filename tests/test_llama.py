@@ -162,3 +162,20 @@ def test_llama_generator_and_decode_server():
     finally:
         srv.stop()
     assert got == want
+
+
+def test_llama_int8_kv_generation():
+    """In-graph INT8 GQA KV cache through the Generator driver."""
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+
+    P, n_new = 4, 5
+    ids = rng.integers(0, TINY.vocab_size, (1, P)).astype(np.int64)
+    gen_f = Generator(TINY, batch=1, prompt_len=P, max_len=16,
+                      family="llama")
+    gen_q = Generator(TINY, batch=1, prompt_len=P, max_len=16,
+                      family="llama", kv_dtype="int8")
+    tok_f, log_f = gen_f.generate(ids, n_new, return_logits=True)
+    tok_q, log_q = gen_q.generate(ids, n_new, return_logits=True)
+    assert (tok_f == tok_q).mean() >= 0.6
+    rel = np.abs(log_q[1] - log_f[1]).max() / np.abs(log_f[1]).max()
+    assert rel < 0.15
