@@ -1,0 +1,66 @@
+"""Regenerate docs/OPS.md from the lowering registry.
+
+Run: python docs/gen_ops.py
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import onnx_rusty_inference_engine_tpu.ops  # noqa: F401,E402  (registrations)
+from onnx_rusty_inference_engine_tpu.ops import registry  # noqa: E402
+
+TITLES = {
+    "standard": "Standard ONNX ops (opset ≤ 23)",
+    "quantized": "Quantized ops (QLinear / integer / INT4)",
+    "rnn": "Recurrent ops (lax.scan)",
+    "control_flow": "Control flow (lax.cond / lax.scan, subgraph closures)",
+    "contrib_transformers": "ORT contrib ops (com.microsoft)",
+}
+ORDER = list(TITLES)
+
+
+def main() -> None:
+    mods = {}
+    for op, fn in registry._REGISTRY.items():
+        mods.setdefault(fn.__module__.split(".")[-1], []).append(op)
+
+    lines = [
+        "# Supported operator coverage",
+        "",
+        f"{len(registry._REGISTRY)} operators with lowering rules "
+        "(`ops/registry.py`; unknown ops raise a clean `UnsupportedOpError`, "
+        "vs the reference's panic at model_inference.rs:158-160). "
+        "Generated from the registry — regenerate with "
+        "`python docs/gen_ops.py`.",
+        "",
+    ]
+    for m in ORDER + sorted(set(mods) - set(ORDER)):
+        ops = sorted(mods.get(m, []))
+        if not ops:
+            continue
+        lines += [f"## {TITLES.get(m, m)} ({len(ops)})", "",
+                  ", ".join(f"`{o}`" for o in ops), ""]
+    lines += [
+        "## Known unsupported (clean errors, documented reasons)",
+        "",
+        "- Dynamic-output-shape ops (`NonZero`, `Unique`, `NonMaxSuppression`,",
+        "  `Compress` with dynamic masks): XLA requires static shapes; these",
+        "  raise `UnsupportedOpError` naming the op.",
+        "- `Loop` with a data-dependent trip count or dynamic early-exit plus",
+        "  per-trip scan outputs (data-dependent result length).",
+        "- Training-only ops (gradients, optimizers): inference engine.",
+        "",
+    ]
+    out = pathlib.Path(__file__).parent / "OPS.md"
+    out.write_text("\n".join(lines))
+    print(f"wrote {out} ({len(registry._REGISTRY)} ops)")
+
+
+if __name__ == "__main__":
+    main()

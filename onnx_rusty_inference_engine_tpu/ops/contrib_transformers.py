@@ -224,3 +224,56 @@ def rotary_embedding(ctx: LoweringContext, node: Node, ins):
     if orig_ndim == 3:
         out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
     return (out,)
+
+
+@register("GroupQueryAttention")
+def group_query_attention(ctx: LoweringContext, node: Node, ins):
+    """com.microsoft.GroupQueryAttention (no-past form): GQA with optional
+    fused rotary embedding — the attention node in ORT llama exports.
+
+    Inputs: query [B,S,D], key/value [B,S,Hkv*hd], past_key/past_value
+    (unsupported), seqlens_k [B] (per-batch valid KEY length - 1),
+    total_sequence_length (scalar, ignored for the no-past static form),
+    cos_cache/sin_cache (optional -> rotary applied to q/k). Causal by
+    definition of the op.
+    """
+    q, k, v = ins[0], ins[1], ins[2]
+    if any(i is not None for i in ins[3:5]):
+        raise UnsupportedOpError(
+            "GroupQueryAttention: past-state inputs not supported")
+    seqlens_k = ins[5] if len(ins) > 5 and ins[5] is not None else None
+    cos_cache = ins[7] if len(ins) > 7 and ins[7] is not None else None
+    sin_cache = ins[8] if len(ins) > 8 and ins[8] is not None else None
+    H = int(node.attr("num_heads"))
+    Hkv = int(node.attr("kv_num_heads", H))
+    scale = node.attr("scale")
+    B, S, D = q.shape
+    hd = D // H
+
+    qh = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+
+    if cos_cache is not None:
+        pos = jnp.arange(S)
+        cos = jnp.concatenate([cos_cache[pos]] * 2, -1)[None, None]
+        sin = jnp.concatenate([sin_cache[pos]] * 2, -1)[None, None]
+
+        def rope(t):
+            rot = jnp.concatenate([-t[..., hd // 2:], t[..., : hd // 2]], -1)
+            return t * cos + rot * sin
+
+        qh, kh = rope(qh), rope(kh)
+
+    rep = H // Hkv
+    if rep > 1:
+        kh = jnp.repeat(kh, rep, axis=1)
+        vh = jnp.repeat(vh, rep, axis=1)
+
+    mb = 0.0
+    if seqlens_k is not None:  # ORT convention: seqlens_k = valid len - 1
+        valid = jnp.arange(S)[None, :] <= seqlens_k.reshape(B, 1)
+        mb = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+    out = _sdpa(qh, kh, vh, mb, unidirectional=1,
+                scale=float(scale) if scale is not None else None)
+    return (out.transpose(0, 2, 1, 3).reshape(B, S, D),)

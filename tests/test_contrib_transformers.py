@@ -157,3 +157,51 @@ def test_rotary_embedding_3d_interleaved():
     want = np.stack([r1, r2], -1).reshape(xh.shape)
     want = want.transpose(0, 2, 1, 3).reshape(B, S, D)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_group_query_attention():
+    """GQA + fused rotary + causal + per-batch key lengths vs a torch
+    reference built from repeat_interleave + sdpa."""
+    B, S, D, H, Hkv = 2, 6, 24, 4, 2
+    hd = D // H
+    q, k, v = f32(B, S, D), f32(B, S, Hkv * hd), f32(B, S, Hkv * hd)
+    max_pos = 16
+    inv = 1.0 / (10000.0 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(max_pos)[:, None] * inv[None, :]
+    cos_c = np.cos(t).astype(np.float32)
+    sin_c = np.sin(t).astype(np.float32)
+    seqlens_k = np.array([S - 1, 3], np.int32)  # valid len - 1
+
+    from util import make_model, node as mknode
+    from onnx_rusty_inference_engine_tpu import onnx_io
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+
+    n = mknode("GroupQueryAttention",
+               ["q", "k", "v", "", "", "sl", "", "cos", "sin"], ["out0"],
+               num_heads=H, kv_num_heads=Hkv)
+    m = make_model([n], {"q": q, "k": k, "v": v}, ["out0"],
+                   {"sl": seqlens_k, "cos": cos_c, "sin": sin_c})
+    m2 = onnx_io.parse_model(onnx_io.serialize_model(m))
+    got = Engine(import_model(m2)).run({"q": q, "k": k, "v": v})["out0"]
+
+    # torch reference
+    emb = np.concatenate([t, t], -1)[:S]
+    cs, sn = np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+    def rope(x):  # [B, h, S, hd]
+        rot = np.concatenate([-x[..., hd // 2:], x[..., : hd // 2]], -1)
+        return x * cs + rot * sn
+
+    qh = rope(q.reshape(B, S, H, hd).transpose(0, 2, 1, 3))
+    kh = rope(k.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3))
+    vh = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+    kh = np.repeat(kh, H // Hkv, axis=1)
+    vh = np.repeat(vh, H // Hkv, axis=1)
+    causal = np.tril(np.ones((S, S), bool))
+    key_ok = (np.arange(S)[None, :] <= seqlens_k[:, None])[:, None, None, :]
+    att = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(hd)
+    att = np.where(causal[None, None] & key_ok, att, -1e9)
+    probs = torch.softmax(torch.from_numpy(att), -1).numpy()
+    want = (probs @ vh).transpose(0, 2, 1, 3).reshape(B, S, D)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
