@@ -30,7 +30,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -81,12 +81,18 @@ class DecodeServer:
         mesh=None,
         param_sharding_fn=None,
         family: str = "gpt2",
+        prompt_buckets: Optional[Sequence[int]] = None,
     ):
         self.cfg = cfg
         self.B = slots
         self.prompt_len = prompt_len
         self.max_len = max_len
         self.kv_dtype = np.dtype(kv_dtype)
+        # prompts pad to the smallest compiled bucket >= their length:
+        # one XLA program per bucket (compiled lazily on first use), so
+        # short prompts don't pay full-length prefill FLOPs
+        self.prompt_buckets = tuple(sorted(prompt_buckets or (prompt_len,)))
+        assert self.prompt_buckets[-1] == prompt_len
 
         from .models import decoder_family
 
@@ -96,18 +102,27 @@ class DecodeServer:
                 f"{family}: in-graph INT8 KV cache not implemented")
         dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
         pkw = ({"past_len": 0} if family == "gpt2" else {})
-        prefill_graph = import_model(build_prefill(
-            cfg, batch=1, seq_len=prompt_len, with_presents=True,
-            seed=seed, **pkw))
         decode_graph = import_model(build_decode(
             cfg, batch=slots, max_len=max_len, seed=seed, **dkw))
         if int4_weights:
             from .quant import quantize_weights_int4
 
-            prefill_graph = quantize_weights_int4(prefill_graph)
             decode_graph = quantize_weights_int4(decode_graph)
         ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
-        self.prefill = Engine(prefill_graph, **ekw)
+        self._ekw = ekw
+        self._prefill_engines: Dict[int, Engine] = {}
+
+        def make_prefill(bucket: int) -> Engine:
+            g = import_model(build_prefill(
+                cfg, batch=1, seq_len=bucket, with_presents=True,
+                seed=seed, **pkw))
+            if int4_weights:
+                from .quant import quantize_weights_int4
+
+                g = quantize_weights_int4(g)
+            return Engine(g, **ekw)
+
+        self._make_prefill = make_prefill
         self.decode = Engine(decode_graph, **ekw)
 
         cache_np = np.int8 if self.kv_dtype == np.int8 else np.float32
@@ -133,6 +148,13 @@ class DecodeServer:
         self._latencies: List[float] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _prefill_for(self, plen: int) -> tuple:
+        """Smallest compiled bucket >= plen (lazy compile)."""
+        bucket = next(b for b in self.prompt_buckets if b >= plen)
+        if bucket not in self._prefill_engines:
+            self._prefill_engines[bucket] = self._make_prefill(bucket)
+        return bucket, self._prefill_engines[bucket]
 
     def stats(self) -> Dict[str, float]:
         """Serving counters (the LLM analog of serve.ServerStats)."""
@@ -177,10 +199,11 @@ class DecodeServer:
 
     def _admit(self, slot: int, r: _Request) -> None:
         plen = r.prompt.size
-        padded = np.zeros((1, self.prompt_len), np.int64)
+        bucket, prefill = self._prefill_for(plen)
+        padded = np.zeros((1, bucket), np.int64)
         padded[0, :plen] = r.prompt
-        out = self.prefill({"input_ids": padded})
-        logits = np.asarray(out["logits"])  # [1, prompt_len, V]
+        out = prefill({"input_ids": padded})
+        logits = np.asarray(out["logits"])  # [1, bucket, V]
 
         if self.kv_dtype == np.int8 and self._kv_scales is None:
             # one-time per-head calibration from the first admitted prompt
@@ -198,7 +221,7 @@ class DecodeServer:
                 q = self._quant_kv(kv, f"kv_scale_{kind}_{i}")[0]
                 name = f"past_{kind}_{i}"
                 self._cache[name] = self._cache[name].at[
-                    slot, :, : self.prompt_len].set(q)
+                    slot, :, : bucket].set(q)
 
         first = int(logits[0, plen - 1].argmax())
         r.tokens.append(first)

@@ -109,3 +109,23 @@ def test_decode_server_stats():
     assert s["tokens_out"] >= 6  # decode-step tokens (first token is prefill)
     assert 0 < s["mean_slot_occupancy"] <= 1
     assert s["p99_latency_s"] >= s["p50_latency_s"] > 0
+
+
+def test_decode_server_prompt_buckets():
+    """Prompts route to the smallest compiled prefill bucket; results stay
+    exactly equal to isolated generation regardless of bucket padding."""
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                       prompt_buckets=(2, 4, 8))
+    try:
+        reqs = []
+        for plen in (2, 3, 5, 8):
+            prompt = rng.integers(0, TINY.vocab_size, (plen,)).astype(np.int64)
+            reqs.append((prompt, srv.submit(prompt, 3)))
+        for prompt, fut in reqs:
+            assert fut.result(timeout=300) == _reference_tokens(
+                prompt, 3, 8, 24)
+        # only the needed buckets were compiled
+        assert set(srv._prefill_engines) <= {2, 4, 8}
+        assert len(srv._prefill_engines) >= 2
+    finally:
+        srv.stop()
