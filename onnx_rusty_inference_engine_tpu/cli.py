@@ -187,6 +187,30 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_serve_llm(args) -> int:
+    from .http_serve import serve_generate_http
+    from .serve_llm import DecodeServer
+
+    if args.family == "gpt2":
+        from .models.gpt2 import GPT2Config
+
+        cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
+                         n_embd=args.d, n_layer=args.layers,
+                         n_head=args.heads)
+    else:
+        from .models.llama import LlamaConfig
+
+        cfg = LlamaConfig(vocab_size=args.vocab, max_positions=args.max_len,
+                          dim=args.d, n_layer=args.layers, n_head=args.heads,
+                          n_kv_head=max(1, args.heads // 2))
+    srv = DecodeServer(cfg, slots=args.slots, prompt_len=args.prompt_len,
+                       max_len=args.max_len, kv_dtype=args.kv_dtype,
+                       int4_weights=args.int4, family=args.family)
+    print(f"serving on :{args.port} (POST /v1/generate)", file=sys.stderr)
+    serve_generate_http(srv, port=args.port)
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Collect a TensorBoard-viewable profiler trace of N inference steps.
 
@@ -288,6 +312,23 @@ def main(argv: Optional[list] = None) -> int:
                     help="INT4 weight-only quantization")
     pg.add_argument("--family", default="gpt2", choices=["gpt2", "llama"])
     pg.set_defaults(fn=cmd_generate)
+
+    psl = sub.add_parser("serve-llm",
+                         help="HTTP generation server over the "
+                              "continuous-batching slot pool")
+    psl.add_argument("--port", type=int, default=8001)
+    psl.add_argument("--slots", type=int, default=4)
+    psl.add_argument("--prompt-len", dest="prompt_len", type=int, default=32)
+    psl.add_argument("--layers", type=int, default=2)
+    psl.add_argument("--d", type=int, default=64)
+    psl.add_argument("--heads", type=int, default=4)
+    psl.add_argument("--vocab", type=int, default=256)
+    psl.add_argument("--max-len", dest="max_len", type=int, default=128)
+    psl.add_argument("--kv-dtype", dest="kv_dtype", default="float32",
+                     choices=["float32", "int8"])
+    psl.add_argument("--int4", action="store_true")
+    psl.add_argument("--family", default="gpt2", choices=["gpt2", "llama"])
+    psl.set_defaults(fn=cmd_serve_llm)
 
     pq = sub.add_parser("quantize",
                         help="offline INT8 PTQ: write a QLinear ONNX file")

@@ -86,3 +86,67 @@ def serve_http(engine, port: int = 8000, input_name: Optional[str] = None,
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
     return httpd, batcher
+
+
+def _make_generate_handler(server):
+    from .serve_llm import DecodeServer  # noqa: F401 (type only)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/v1/stats":
+                self._send(200, server.stats())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                prompt = np.asarray(req["prompt_ids"], dtype=np.int64)
+                n_new = int(req.get("max_new_tokens", 16))
+                toks = server.generate(
+                    prompt, n_new, timeout=float(req.get("timeout", 300)))
+                self._send(200, {"prompt_ids": prompt.tolist(),
+                                 "generated_ids": toks})
+            except Exception as e:  # request-level failure isolation
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve_generate_http(decode_server, port: int = 8001, block: bool = True):
+    """HTTP front end over the continuous-batching DecodeServer:
+
+      POST /v1/generate  {"prompt_ids": [...], "max_new_tokens": N}
+                         -> {"generated_ids": [...]}
+      GET  /v1/stats     -> DecodeServer.stats()
+      GET  /healthz      -> ok
+
+    Concurrent requests share the slot pool (token-level batching)."""
+    httpd = ThreadingHTTPServer(("0.0.0.0", port),
+                                _make_generate_handler(decode_server))
+    if block:
+        try:
+            httpd.serve_forever()
+        finally:
+            decode_server.stop()
+    else:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+    return httpd

@@ -56,3 +56,39 @@ def test_http_infer_roundtrip():
     finally:
         httpd.shutdown()
         batcher.stop()
+
+
+def test_http_generate_endpoint():
+    """POST /v1/generate over the continuous-batching decode server."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from onnx_rusty_inference_engine_tpu.http_serve import serve_generate_http
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=12)
+    httpd = serve_generate_http(srv, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        prompt = [3, 1, 4, 1]
+        body = json.dumps({"prompt_ids": prompt,
+                           "max_new_tokens": 4}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            resp = json.loads(r.read())
+        gen = Generator(TINY, batch=1, prompt_len=4, max_len=12)
+        want, _ = gen.generate(np.asarray([prompt], np.int64), 4)
+        assert resp["generated_ids"] == list(want[0])
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/stats", timeout=60) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 1
+    finally:
+        httpd.shutdown()
+        srv.stop()
