@@ -1031,3 +1031,59 @@ def cumsum(ctx, node, ins):
     if reverse:
         y = jnp.flip(y, axis)
     return (y,)
+
+
+@register("GridSample")
+def grid_sample(ctx, node, ins):
+    """2-D GridSample: bilinear/nearest, zeros/border padding,
+    align_corners. X [N,C,H,W], grid [N,Ho,Wo,2] in [-1,1] -> [N,C,Ho,Wo].
+    Pure gather formulation — XLA lowers it to dynamic-gathers on TPU."""
+    x, grid = ins
+    mode = node.attr("mode", b"linear")
+    mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+    pad = node.attr("padding_mode", b"zeros")
+    pad = pad.decode() if isinstance(pad, bytes) else str(pad)
+    align = int(node.attr("align_corners", 0))
+    if x.ndim != 4:
+        raise UnsupportedOpError("GridSample: only 2-D (NCHW) supported")
+    if mode in ("cubic", "bicubic") or pad == "reflection":
+        raise UnsupportedOpError(
+            f"GridSample: mode={mode}/padding={pad} not supported")
+    N, C, H, W = x.shape
+    gx, gy = grid[..., 0], grid[..., 1]  # [N,Ho,Wo]
+
+    def unnorm(g, size):
+        if align:
+            return (g + 1) * (size - 1) / 2
+        return ((g + 1) * size - 1) / 2
+
+    ix, iy = unnorm(gx, W), unnorm(gy, H)
+
+    def fetch(yi, xi):
+        """x[n, :, yi, xi] with padding; yi/xi int32 [N,Ho,Wo]."""
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        n_idx = jnp.arange(N).reshape(N, 1, 1)
+        v = x[n_idx, :, yc, xc]          # [N,Ho,Wo,C]
+        v = jnp.moveaxis(v, -1, 1)       # [N,C,Ho,Wo]
+        if pad == "zeros":
+            v = jnp.where(inb[:, None], v, 0)
+        return v
+
+    if mode == "nearest":
+        return (fetch(jnp.round(iy).astype(jnp.int32),
+                      jnp.round(ix).astype(jnp.int32)),)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = (ix - x0)[:, None]
+    wy = (iy - y0)[:, None]
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    v00 = fetch(y0i, x0i)
+    v01 = fetch(y0i, x0i + 1)
+    v10 = fetch(y0i + 1, x0i)
+    v11 = fetch(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return ((top * (1 - wy) + bot * wy).astype(x.dtype),)

@@ -151,3 +151,18 @@ def test_cumsum_modes():
     (got,) = run_op("CumSum", {"x": x}, {"axis": ax}, reverse=1)
     np.testing.assert_allclose(got, np.flip(np.cumsum(np.flip(x, 1), 1), 1),
                                rtol=1e-6)
+
+
+def test_grid_sample_vs_torch():
+    x = f32(2, 3, 7, 9)
+    grid = (rng.uniform(-1.2, 1.2, (2, 5, 6, 2))).astype(np.float32)
+    for mode, align, pad in [("linear", 0, "zeros"), ("linear", 1, "border"),
+                             ("nearest", 1, "zeros")]:
+        (got,) = run_op("GridSample", {"x": x}, {"g": grid}, mode=mode,
+                        align_corners=align, padding_mode=pad)
+        tmode = "bilinear" if mode == "linear" else mode
+        want = F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                             mode=tmode, padding_mode=pad,
+                             align_corners=bool(align)).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{mode}/{align}/{pad}")
