@@ -66,9 +66,13 @@ def lower(graph: Graph):
             # known statically; foldable ops over static values stay static
             if node.op_type in ("Shape", "Size") and node.inputs[0] in env:
                 shp = env[node.inputs[0]].shape
-                val = (np.asarray(shp, dtype=np.int64)
-                       if node.op_type == "Shape"
-                       else np.asarray(int(np.prod(shp)), dtype=np.int64))
+                if node.op_type == "Shape":
+                    from .ops.standard import _shape_slice
+
+                    val = np.asarray(shp[_shape_slice(node, len(shp))],
+                                     dtype=np.int64)
+                else:
+                    val = np.asarray(int(np.prod(shp)), dtype=np.int64)
                 ctx.static_env[node.outputs[0]] = val
                 env[node.outputs[0]] = jnp.asarray(val)
                 continue

@@ -229,7 +229,10 @@ def _fold_one(n: Node, consts: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
         tgt = _resolve_reshape(data.shape, shape, allowzero=int(n.attr("allowzero", 0)))
         return data.reshape(tgt)
     if op == "Shape":
-        return np.asarray(ins[0].shape, dtype=np.int64)
+        from .ops.standard import _shape_slice
+
+        return np.asarray(ins[0].shape[_shape_slice(n, ins[0].ndim)],
+                          dtype=np.int64)
     if op == "Gather":
         return np.take(ins[0], ins[1].astype(np.int64), axis=int(n.attr("axis", 0)))
     if op == "Concat":

@@ -593,9 +593,19 @@ def scatter_nd(ctx, node, ins):
     return (data.at[tuple(jnp.moveaxis(indices, -1, 0))].set(updates),)
 
 
+def _shape_slice(node: Node, rank: int):
+    """Shape-15 start/end attrs -> a python slice over the dims."""
+    start = int(node.attr("start", 0)) % rank if node.attr("start") else 0
+    end = node.attr("end")
+    end = (int(end) % rank if int(end) % rank else rank) if end is not None \
+        else rank
+    return slice(start, end)
+
+
 @register("Shape")
 def shape_op(ctx, node, ins):
-    return (jnp.asarray(ins[0].shape, dtype=jnp.int64),)
+    dims = ins[0].shape[_shape_slice(node, ins[0].ndim)]
+    return (jnp.asarray(dims, dtype=jnp.int64),)
 
 
 @register("Size")
@@ -647,6 +657,12 @@ def pad(ctx: LoweringContext, node: Node, ins):
         cval = float(node.attr("value", 0.0))
     n = x.ndim
     pad_width = [(int(pads[i]), int(pads[i + n])) for i in range(n)]
+    if any(lo < 0 or hi < 0 for lo, hi in pad_width):
+        # ONNX allows negative pads = cropping; slice those off first
+        idx = tuple(slice(max(0, -lo), x.shape[i] - max(0, -hi))
+                    for i, (lo, hi) in enumerate(pad_width))
+        x = x[idx]
+        pad_width = [(max(0, lo), max(0, hi)) for lo, hi in pad_width]
     if mode == "constant":
         return (jnp.pad(x, pad_width, constant_values=cval),)
     jmode = {"reflect": "reflect", "edge": "edge", "wrap": "wrap"}[mode]

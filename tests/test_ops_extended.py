@@ -166,3 +166,18 @@ def test_grid_sample_vs_torch():
                              align_corners=bool(align)).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
                                    err_msg=f"{mode}/{align}/{pad}")
+
+
+def test_shape_start_end_and_negative_pad():
+    x = f32(2, 3, 4)
+    (got,) = run_op("Shape", {"x": x}, start=1)
+    np.testing.assert_array_equal(got, [3, 4])
+    (got,) = run_op("Shape", {"x": x}, end=2)
+    np.testing.assert_array_equal(got, [2, 3])
+    (got,) = run_op("Shape", {"x": x}, start=-2)
+    np.testing.assert_array_equal(got, [3, 4])
+    # negative pads crop (ONNX spec); mixed signs compose
+    pads = np.array([1, -1, 0, 0, 0, 2], np.int64)
+    (got,) = run_op("Pad", {"x": x}, {"p": pads})
+    assert got.shape == (3, 2, 6)
+    np.testing.assert_array_equal(got[1:3, :, :4], x[:, 1:, :])
