@@ -54,10 +54,11 @@ class ServerStats:
 
 
 class _Item:
-    __slots__ = ("x", "future", "t_enqueue")
+    __slots__ = ("feed", "n", "future", "t_enqueue")
 
-    def __init__(self, x: np.ndarray):
-        self.x = x
+    def __init__(self, feed: Dict[str, np.ndarray]):
+        self.feed = feed  # every array shares the leading batch dim
+        self.n = int(next(iter(feed.values())).shape[0])
         self.future: Future = Future()
         self.t_enqueue = time.perf_counter()
 
@@ -97,12 +98,21 @@ class InferenceServer:
         self._thread.start()
 
     # -- client API ------------------------------------------------------
-    def submit(self, x: np.ndarray) -> Future:
-        """x: one example with or without the leading batch dim of 1."""
-        spec = self.engine.graph.inputs[0]
-        if x.ndim == len(spec.shape) - 1:
-            x = x[None]
-        item = _Item(np.asarray(x))
+    def submit(self, x) -> Future:
+        """x: one example — an array (single-input models, with or without
+        the leading batch dim of 1) or a dict {input_name: array} for
+        multi-input models (e.g. BERT's ids/type_ids/attention_mask)."""
+        if not isinstance(x, dict):
+            x = {self.input_name: np.asarray(x)}
+        feed = {}
+        for spec in self.engine.graph.inputs:
+            if spec.name not in x:
+                raise KeyError(f"missing input {spec.name!r}")
+            v = np.asarray(x[spec.name])
+            if v.ndim == len(spec.shape) - 1:
+                v = v[None]
+            feed[spec.name] = v
+        item = _Item(feed)
         self._q.put(item)
         return item.future
 
@@ -134,7 +144,7 @@ class InferenceServer:
         items.append(first)
         deadline = time.perf_counter() + self.max_delay_s
         max_bucket = self.buckets[-1]
-        while sum(i.x.shape[0] for i in items) < max_bucket:
+        while sum(i.n for i in items) < max_bucket:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 break
@@ -158,30 +168,32 @@ class InferenceServer:
             items = self._collect()
             if not items:
                 continue
-            n = sum(i.x.shape[0] for i in items)
+            n = sum(i.n for i in items)
             bucket = self._bucket_for(n)
-            xs = np.concatenate([i.x for i in items], axis=0)
-            if xs.shape[0] < bucket:  # pad to the compiled batch size
-                pad = np.zeros((bucket - xs.shape[0],) + xs.shape[1:], xs.dtype)
-                xs = np.concatenate([xs, pad], axis=0)
-            elif xs.shape[0] > bucket:  # overflow: requeue the tail
+            if n > bucket:  # overflow: requeue the tail
                 tail_items, kept, acc = [], [], 0
                 for i in items:
-                    if acc + i.x.shape[0] <= bucket:
+                    if acc + i.n <= bucket:
                         kept.append(i)
-                        acc += i.x.shape[0]
+                        acc += i.n
                     else:
                         tail_items.append(i)
                 for t in reversed(tail_items):
                     self._q.put(t)
                 items = kept
-                xs = np.concatenate([i.x for i in items], axis=0)
-                if xs.shape[0] < bucket:
-                    pad = np.zeros((bucket - xs.shape[0],) + xs.shape[1:], xs.dtype)
-                    xs = np.concatenate([xs, pad], axis=0)
 
+            def pack(name: str) -> np.ndarray:
+                xs = np.concatenate([i.feed[name] for i in items], axis=0)
+                if xs.shape[0] < bucket:  # pad to the compiled batch size
+                    pad = np.zeros((bucket - xs.shape[0],) + xs.shape[1:],
+                                   xs.dtype)
+                    xs = np.concatenate([xs, pad], axis=0)
+                return xs
+
+            feed = {spec.name: pack(spec.name)
+                    for spec in self.engine.graph.inputs}
             try:
-                out = self.engine({self.input_name: xs})
+                out = self.engine(feed)
                 out_np = {k: np.asarray(v) for k, v in out.items()}
             except Exception as e:  # request-level failure tolerance
                 for i in items:
@@ -191,10 +203,10 @@ class InferenceServer:
             now = time.perf_counter()
             offset = 0
             lats = []
+            total = int(next(iter(feed.values())).shape[0])
             for i in items:
-                b = i.x.shape[0]
                 i.future.set_result(
-                    {k: v[offset:offset + b] for k, v in out_np.items()})
+                    {k: v[offset:offset + i.n] for k, v in out_np.items()})
                 lats.append(now - i.t_enqueue)
-                offset += b
-            self.stats.record(len(items), int(xs.shape[0]), lats)
+                offset += i.n
+            self.stats.record(len(items), total, lats)

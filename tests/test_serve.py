@@ -86,3 +86,36 @@ def test_request_level_failure_isolation():
         assert out["Plus214_Output_0"].shape == (1, 10)
     finally:
         srv.stop()
+
+
+def test_multi_input_model_serving():
+    """Continuous batching for multi-input models (BERT-style feeds)."""
+    import numpy as np
+
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.models.bert import TINY, build_bert
+    from onnx_rusty_inference_engine_tpu.serve import InferenceServer
+
+    rng2 = np.random.default_rng(17)
+    B, T = 1, 6
+    g = import_model(build_bert(TINY, batch=4, seq_len=T))
+    eng = Engine(g)
+    srv = InferenceServer(eng, batch_buckets=(1, 2, 4), max_delay_s=0.02)
+    try:
+        feeds = []
+        for _ in range(5):
+            feeds.append({
+                "input_ids": rng2.integers(0, TINY.vocab_size, (T,)),
+                "token_type_ids": rng2.integers(0, 2, (T,)),
+                "attention_mask": np.ones((T,), np.int64),
+            })
+        futs = [srv.submit(f) for f in feeds]
+        outs = [fu.result(timeout=300) for fu in futs]
+    finally:
+        srv.stop()
+    # compare request 0 against a direct single-batch run
+    single = Engine(import_model(build_bert(TINY, batch=1, seq_len=T)))
+    want = single.run({k: np.asarray(v)[None] for k, v in feeds[0].items()})
+    np.testing.assert_allclose(outs[0]["pooler_output"],
+                               want["pooler_output"], rtol=1e-4, atol=1e-4)
