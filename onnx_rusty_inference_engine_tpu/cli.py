@@ -29,12 +29,17 @@ def _build_engine(args, graph=None):
         from .quant import quantize_graph
 
         calib = None
-        if getattr(args, "input", None):
+        inp = getattr(args, "input", None)
+        if inp:
             from . import onnx_io
 
-            calib = [{onnx_io.read_tensor_file(args.input).name or
-                      graph.input_names[0]:
-                      onnx_io.read_tensor_file(args.input).array}]
+            feed = {}
+            for spec_str in (inp if isinstance(inp, list) else [inp]):
+                name, _, path = spec_str.rpartition("=")
+                t = onnx_io.read_tensor_file(path or spec_str)
+                feed[name or t.name or
+                     graph.input_names[len(feed)]] = t.array
+            calib = [feed]
         graph = quantize_graph(graph, calibration_inputs=calib)
     return Engine(graph, dtype=getattr(args, "dtype", "float32"))
 
@@ -45,18 +50,24 @@ def cmd_run(args) -> int:
 
     graph = import_onnx(args.model)
     engine = _build_engine(args, graph)
-    t = onnx_io.read_tensor_file(args.input)
-    name = args.input_name or t.name or graph.input_names[0]
-    x = t.array
-    if args.batch and args.batch > 1:
-        x = np.repeat(x, args.batch, axis=0)
+    feed = {}
+    for spec_str in args.input:
+        # "--input path.pb" or "--input name=path.pb" (repeatable)
+        name, _, path = spec_str.rpartition("=")
+        t = onnx_io.read_tensor_file(path or spec_str)
+        key = name or args.input_name or t.name or graph.input_names[
+            len(feed)]
+        x = t.array
+        if args.batch and args.batch > 1:
+            x = np.repeat(x, args.batch, axis=0)
+        feed[key] = x
 
     if args.log_ops:
         for i, n in enumerate(graph.nodes):
             print(f"[node {i:3d}] {n.op_type:20s} {n.name} "
                   f"{n.inputs} -> {n.outputs}", file=sys.stderr)
 
-    res = engine.run({name: x})
+    res = engine.run(feed)
     print(json.dumps({
         "outputs": {k: v.reshape(v.shape[0], -1)[:, :16].tolist()
                     for k, v in res.outputs.items()},
@@ -246,7 +257,8 @@ def main(argv: Optional[list] = None) -> int:
 
     pr = sub.add_parser("run", help="run a model on a TensorProto input")
     pr.add_argument("--model", required=True)
-    pr.add_argument("--input", required=True)
+    pr.add_argument("--input", required=True, action="append",
+                    help="TensorProto .pb; repeatable, optionally name=path")
     pr.add_argument("--golden")
     pr.add_argument("--input-name", dest="input_name")
     pr.add_argument("--batch", type=int, default=1)
