@@ -14,10 +14,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Optional
 
 import numpy as np
+
+
+def _split_input_spec(spec: str):
+    """--input accepts "path.pb" or "name=path.pb". A plain path may itself
+    contain '=' (runs/lr=0.1/x.pb), so only split when the whole string is
+    not an existing file."""
+    if "=" in spec and not os.path.exists(spec):
+        name, _, path = spec.partition("=")
+        return name, path
+    return "", spec
 
 
 def _build_engine(args, graph=None):
@@ -35,8 +46,8 @@ def _build_engine(args, graph=None):
 
             feed = {}
             for spec_str in (inp if isinstance(inp, list) else [inp]):
-                name, _, path = spec_str.rpartition("=")
-                t = onnx_io.read_tensor_file(path or spec_str)
+                name, path = _split_input_spec(spec_str)
+                t = onnx_io.read_tensor_file(path)
                 feed[name or t.name or
                      graph.input_names[len(feed)]] = t.array
             calib = [feed]
@@ -52,9 +63,8 @@ def cmd_run(args) -> int:
     engine = _build_engine(args, graph)
     feed = {}
     for spec_str in args.input:
-        # "--input path.pb" or "--input name=path.pb" (repeatable)
-        name, _, path = spec_str.rpartition("=")
-        t = onnx_io.read_tensor_file(path or spec_str)
+        name, path = _split_input_spec(spec_str)
+        t = onnx_io.read_tensor_file(path)
         key = name or args.input_name or t.name or graph.input_names[
             len(feed)]
         x = t.array

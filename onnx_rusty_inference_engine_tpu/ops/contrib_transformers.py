@@ -197,13 +197,24 @@ def rotary_embedding(ctx: LoweringContext, node: Node, ins):
     orig_ndim = x.ndim
     if x.ndim == 3:
         B, S, D = x.shape
-        H = n_heads if n_heads else 1
+        if n_heads:
+            H = n_heads
+        else:
+            # ORT default: head_size inferred from the rotary cache
+            if D % rot:
+                raise UnsupportedOpError(
+                    "RotaryEmbedding: num_heads required when hidden is not "
+                    "a multiple of the rotary dim")
+            H = D // rot
         xh = x.reshape(B, S, H, D // H).transpose(0, 2, 1, 3)  # [B,H,S,hd]
     else:
         xh = x
         B, H, S, _ = xh.shape
 
     pid = pos_ids.reshape(pos_ids.shape[0], -1).astype(jnp.int32)
+    if pid.shape[-1] == 1 and S > 1:
+        # ORT shape-(B,1)/(1,) position_ids = per-sequence STARTING offset
+        pid = pid + jnp.arange(S, dtype=jnp.int32)[None]
     cos = cos_cache[pid]  # [B|1, S, rot/2]
     sin = sin_cache[pid]
     cos = cos[:, None]    # [B|1, 1, S, rot/2]
@@ -246,7 +257,17 @@ def group_query_attention(ctx: LoweringContext, node: Node, ins):
     sin_cache = ins[8] if len(ins) > 8 and ins[8] is not None else None
     H = int(node.attr("num_heads"))
     Hkv = int(node.attr("kv_num_heads", H))
+    # ORT: scale=0.0 (the serialized default) means 1/sqrt(head_size)
     scale = node.attr("scale")
+    if scale is not None and float(scale) == 0.0:
+        scale = None
+    if float(node.attr("softcap", 0.0)) != 0.0:
+        raise UnsupportedOpError("GroupQueryAttention: softcap not supported")
+    if int(node.attr("local_window_size", -1)) not in (-1, 0):
+        raise UnsupportedOpError(
+            "GroupQueryAttention: local_window_size (sliding window) "
+            "not supported")
+    rot_interleaved = int(node.attr("rotary_interleaved", 0))
     B, S, D = q.shape
     hd = D // H
 
@@ -255,13 +276,27 @@ def group_query_attention(ctx: LoweringContext, node: Node, ins):
     vh = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
 
     if cos_cache is not None:
+        if 2 * cos_cache.shape[-1] != hd:
+            raise UnsupportedOpError(
+                "GroupQueryAttention: partial rotary dims not supported "
+                f"(cache covers {2 * cos_cache.shape[-1]} of head_dim {hd})")
         pos = jnp.arange(S)
-        cos = jnp.concatenate([cos_cache[pos]] * 2, -1)[None, None]
-        sin = jnp.concatenate([sin_cache[pos]] * 2, -1)[None, None]
+        if rot_interleaved:
+            cos = jnp.repeat(cos_cache[pos], 2, -1)[None, None]
+            sin = jnp.repeat(sin_cache[pos], 2, -1)[None, None]
 
-        def rope(t):
-            rot = jnp.concatenate([-t[..., hd // 2:], t[..., : hd // 2]], -1)
-            return t * cos + rot * sin
+            def rope(t):
+                t1, t2 = t[..., 0::2], t[..., 1::2]
+                r = jnp.stack([-t2, t1], axis=-1).reshape(t.shape)
+                return t * cos + r * sin
+        else:
+            cos = jnp.concatenate([cos_cache[pos]] * 2, -1)[None, None]
+            sin = jnp.concatenate([sin_cache[pos]] * 2, -1)[None, None]
+
+            def rope(t):
+                rot = jnp.concatenate(
+                    [-t[..., hd // 2:], t[..., : hd // 2]], -1)
+                return t * cos + rot * sin
 
         qh, kh = rope(qh), rope(kh)
 

@@ -594,12 +594,21 @@ def scatter_nd(ctx, node, ins):
 
 
 def _shape_slice(node: Node, rank: int):
-    """Shape-15 start/end attrs -> a python slice over the dims."""
-    start = int(node.attr("start", 0)) % rank if node.attr("start") else 0
-    end = node.attr("end")
-    end = (int(end) % rank if int(end) % rank else rank) if end is not None \
-        else rank
-    return slice(start, end)
+    """Shape-15 start/end attrs -> a python slice over the dims.
+
+    Spec semantics: negatives count from the end, then CLAMP to [0, rank]
+    (exporters emit sentinels like end=INT64_MAX meaning "to the end");
+    start >= end yields an empty result."""
+
+    def norm(v, default):
+        if v is None:
+            return default
+        v = int(v)
+        if v < 0:
+            v += rank
+        return max(0, min(rank, v))
+
+    return slice(norm(node.attr("start"), 0), norm(node.attr("end"), rank))
 
 
 @register("Shape")
@@ -658,10 +667,14 @@ def pad(ctx: LoweringContext, node: Node, ins):
     n = x.ndim
     pad_width = [(int(pads[i]), int(pads[i + n])) for i in range(n)]
     if any(lo < 0 or hi < 0 for lo, hi in pad_width):
-        # ONNX allows negative pads = cropping; slice those off first
-        idx = tuple(slice(max(0, -lo), x.shape[i] - max(0, -hi))
-                    for i, (lo, hi) in enumerate(pad_width))
-        x = x[idx]
+        # ONNX allows negative pads = cropping; slice those off first.
+        # Over-cropping clamps to an empty axis rather than wrapping.
+        def stops(i, lo, hi):
+            start = min(max(0, -lo), x.shape[i])
+            return slice(start, max(start, x.shape[i] - max(0, -hi)))
+
+        x = x[tuple(stops(i, lo, hi)
+                    for i, (lo, hi) in enumerate(pad_width))]
         pad_width = [(max(0, lo), max(0, hi)) for lo, hi in pad_width]
     if mode == "constant":
         return (jnp.pad(x, pad_width, constant_values=cval),)

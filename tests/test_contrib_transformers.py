@@ -205,3 +205,58 @@ def test_group_query_attention():
     probs = torch.softmax(torch.from_numpy(att), -1).numpy()
     want = (probs @ vh).transpose(0, 2, 1, 3).reshape(B, S, D)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rotary_embedding_scalar_position_offset():
+    """ORT shape-(B,1) position_ids = per-sequence starting OFFSET: token s
+    rotates at offset+s, not all tokens at the offset."""
+    B, H, S, hd = 1, 2, 4, 8
+    x = f32(B, H, S, hd)
+    max_pos = 16
+    inv = 1.0 / (10000.0 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(max_pos)[:, None] * inv[None, :]
+    cos_c, sin_c = np.cos(t).astype(np.float32), np.sin(t).astype(np.float32)
+    off = 3
+    (got,) = run_op("RotaryEmbedding", {"x": x},
+                    {"pos": np.array([[off]], np.int64),
+                     "cos": cos_c, "sin": sin_c})
+    (want,) = run_op("RotaryEmbedding", {"x": x},
+                     {"pos": np.arange(off, off + S, dtype=np.int64)[None],
+                      "cos": cos_c, "sin": sin_c})
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_rotary_embedding_infers_num_heads():
+    """3-D input without num_heads: heads derived from the rotary cache."""
+    B, S, H, hd = 1, 3, 4, 8
+    x = f32(B, S, H * hd)
+    t = np.arange(8)[:, None] * (1.0 / (10000.0 ** (np.arange(0, hd, 2) / hd)))
+    cos_c, sin_c = np.cos(t).astype(np.float32), np.sin(t).astype(np.float32)
+    (got,) = run_op("RotaryEmbedding", {"x": x},
+                    {"pos": np.arange(S, dtype=np.int64)[None],
+                     "cos": cos_c, "sin": sin_c})
+    (want,) = run_op("RotaryEmbedding", {"x": x},
+                     {"pos": np.arange(S, dtype=np.int64)[None],
+                      "cos": cos_c, "sin": sin_c}, num_heads=H)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # every head must actually be rotated (H=1 would leave channels 64+ alone)
+    assert not np.allclose(got[..., hd:], x[..., hd:])
+
+
+def test_gqa_scale_zero_means_default():
+    B, S, D, H = 1, 4, 16, 2
+    q, k, v = f32(B, S, D), f32(B, S, D), f32(B, S, D)
+    from util import make_model, node as mknode
+    from onnx_rusty_inference_engine_tpu import onnx_io
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+
+    def run_gqa(**attrs):
+        n = mknode("GroupQueryAttention",
+                   ["q", "k", "v", "", "", "", "", "", ""], ["out0"],
+                   num_heads=H, kv_num_heads=H, **attrs)
+        m = make_model([n], {"q": q, "k": k, "v": v}, ["out0"])
+        m2 = onnx_io.parse_model(onnx_io.serialize_model(m))
+        return Engine(import_model(m2)).run({"q": q, "k": k, "v": v})["out0"]
+
+    np.testing.assert_allclose(run_gqa(scale=0.0), run_gqa(), rtol=1e-6)

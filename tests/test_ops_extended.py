@@ -181,3 +181,14 @@ def test_shape_start_end_and_negative_pad():
     (got,) = run_op("Pad", {"x": x}, {"p": pads})
     assert got.shape == (3, 2, 6)
     np.testing.assert_array_equal(got[1:3, :, :4], x[:, 1:, :])
+
+
+def test_shape_sentinel_bounds():
+    """Shape-15 clamp semantics: exporter sentinels like end=INT64_MAX."""
+    x = f32(2, 3, 4)
+    (got,) = run_op("Shape", {"x": x}, end=2**62)
+    np.testing.assert_array_equal(got, [2, 3, 4])
+    (got,) = run_op("Shape", {"x": x}, start=5)
+    assert got.size == 0
+    (got,) = run_op("Shape", {"x": x}, start=2, end=1)
+    assert got.size == 0
