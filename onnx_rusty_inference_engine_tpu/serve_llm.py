@@ -45,11 +45,14 @@ __all__ = ["DecodeServer"]
 
 
 class _Request:
-    __slots__ = ("prompt", "max_new", "future", "tokens", "t_enqueue")
+    __slots__ = ("prompt", "max_new", "eos_id", "future", "tokens",
+                 "t_enqueue")
 
-    def __init__(self, prompt: np.ndarray, max_new: int):
+    def __init__(self, prompt: np.ndarray, max_new: int,
+                 eos_id: Optional[int] = None):
         self.prompt = prompt
         self.max_new = max_new
+        self.eos_id = eos_id
         self.future: Future = Future()
         self.tokens: List[int] = []
         self.t_enqueue = time.perf_counter()
@@ -171,19 +174,23 @@ class DecodeServer:
         }
 
     # -- client API ------------------------------------------------------
-    def submit(self, prompt_ids: np.ndarray, max_new_tokens: int) -> Future:
+    def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
+               eos_id: Optional[int] = None) -> Future:
         """prompt_ids: [plen] int64, plen <= prompt_len. Resolves to the
-        list of generated token ids (greedy)."""
+        list of generated token ids (greedy); generation stops early when
+        eos_id is produced (the eos token is included in the result)."""
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         assert 1 <= prompt_ids.size <= self.prompt_len
         assert prompt_ids.size + max_new_tokens <= self.max_len
-        r = _Request(prompt_ids, max_new_tokens)
+        r = _Request(prompt_ids, max_new_tokens, eos_id)
         self._q.put(r)
         return r.future
 
     def generate(self, prompt_ids: np.ndarray, max_new_tokens: int,
-                 timeout: Optional[float] = None) -> List[int]:
-        return self.submit(prompt_ids, max_new_tokens).result(timeout)
+                 timeout: Optional[float] = None,
+                 eos_id: Optional[int] = None) -> List[int]:
+        return self.submit(prompt_ids, max_new_tokens,
+                           eos_id=eos_id).result(timeout)
 
     def stop(self) -> None:
         self._running = False
@@ -226,7 +233,7 @@ class DecodeServer:
         first = int(logits[0, plen - 1].argmax())
         r.tokens.append(first)
         self.tokens_out += 1
-        if len(r.tokens) >= r.max_new:  # prompt-only request: done already
+        if len(r.tokens) >= r.max_new or first == r.eos_id:  # done already
             r.future.set_result(r.tokens)
             self.requests_done += 1
             self._latencies.append(time.perf_counter() - r.t_enqueue)
@@ -260,7 +267,7 @@ class DecodeServer:
             r.tokens.append(tok)
             self._last_tok[s] = tok
             self.tokens_out += 1
-            if len(r.tokens) >= r.max_new:
+            if len(r.tokens) >= r.max_new or tok == r.eos_id:
                 r.future.set_result(r.tokens)
                 self.requests_done += 1
                 self._latencies.append(time.perf_counter() - r.t_enqueue)

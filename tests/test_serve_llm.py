@@ -129,3 +129,18 @@ def test_decode_server_prompt_buckets():
         assert len(srv._prefill_engines) >= 2
     finally:
         srv.stop()
+
+
+def test_decode_server_eos_stop():
+    """Generation stops at eos_id and frees the slot early."""
+    prompt = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+    ref = _reference_tokens(prompt, 6, 8, 24)
+    eos = ref[2]
+    stop_at = ref.index(eos)  # greedy tiny models may repeat tokens
+    srv = DecodeServer(TINY, slots=1, prompt_len=8, max_len=24)
+    try:
+        got = srv.generate(prompt, 6, timeout=300, eos_id=eos)
+    finally:
+        srv.stop()
+    assert got == ref[: stop_at + 1]
+    assert got[-1] == eos
