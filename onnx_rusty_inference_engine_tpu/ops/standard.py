@@ -862,9 +862,44 @@ def resize(ctx: LoweringContext, node: Node, ins):
             idx = np.floor(np.arange(do) * (di / do)).astype(np.int32)
             out = jnp.take(out, jnp.asarray(idx), axis=ax)
         return (out,)
-    # general path: jax.image.resize (half_pixel semantics)
+    if method == "linear":
+        # separable per-axis gather-lerp with the exact ONNX coordinate
+        # transform (jax.image.resize only implements half_pixel)
+        out = x.astype(jnp.float32)
+        for ax, (do, di) in enumerate(zip(out_shape, x.shape)):
+            if do != di:
+                out = _resize_linear_axis(out, ax, do, coord)
+        return (out.astype(x.dtype),)
+    # cubic path: jax.image.resize (half_pixel semantics)
     out = jax.image.resize(x, out_shape, method=method)
     return (out.astype(x.dtype),)
+
+
+def _resize_linear_axis(x, ax: int, do: int, coord: str):
+    """1-D linear interpolation along `ax` to length `do` under an ONNX
+    coordinate_transformation_mode."""
+    di = x.shape[ax]
+    i = jnp.arange(do, dtype=jnp.float32)
+    if coord == "align_corners":
+        src = i * ((di - 1) / max(do - 1, 1))
+    elif coord == "asymmetric":
+        src = i * (di / do)
+    elif coord == "pytorch_half_pixel":
+        src = (i + 0.5) * (di / do) - 0.5 if do > 1 else jnp.zeros_like(i)
+    elif coord in ("half_pixel", "half_pixel_symmetric"):
+        src = (i + 0.5) * (di / do) - 0.5
+    else:
+        raise UnsupportedOpError(
+            f"Resize: coordinate_transformation_mode {coord!r} not supported")
+    src = jnp.clip(src, 0.0, di - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, di - 1)
+    w = src - lo
+    shape = [1] * x.ndim
+    shape[ax] = do
+    w = w.reshape(shape)
+    return (jnp.take(x, lo, axis=ax) * (1 - w)
+            + jnp.take(x, hi, axis=ax) * w)
 
 
 @register("Range")

@@ -132,3 +132,28 @@ def test_gpt2_block_vs_torch():
     want = (x @ C["wte_T"]).numpy()
 
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_resize_bilinear_vs_torch_half_pixel():
+    """Resize linear + half_pixel == torch interpolate(align_corners=False)."""
+    x = f32(2, 3, 7, 9)
+    scales = np.array([1.0, 1.0, 2.0, 2.0], np.float32)
+    (got,) = run_op("Resize", {"x": x},
+                    {"roi": np.zeros(0, np.float32), "s": scales},
+                    mode="linear",
+                    coordinate_transformation_mode="half_pixel")
+    want = F.interpolate(torch.from_numpy(x), scale_factor=2.0,
+                         mode="bilinear", align_corners=False).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_bilinear_vs_torch_align_corners():
+    x = f32(1, 2, 5, 6)
+    scales = np.array([1.0, 1.0, 2.0, 2.0], np.float32)
+    (got,) = run_op("Resize", {"x": x},
+                    {"roi": np.zeros(0, np.float32), "s": scales},
+                    mode="linear",
+                    coordinate_transformation_mode="align_corners")
+    want = F.interpolate(torch.from_numpy(x), scale_factor=2.0,
+                         mode="bilinear", align_corners=True).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -179,3 +179,29 @@ def test_llama_int8_kv_generation():
     assert (tok_f == tok_q).mean() >= 0.6
     rel = np.abs(log_q[1] - log_f[1]).max() / np.abs(log_f[1]).max()
     assert rel < 0.15
+
+
+def test_llama_sharded_decode_matches_replicated():
+    """Tensor-sharded llama decode (matmul out-features over 'model'):
+    tokens equal the replicated run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+    from onnx_rusty_inference_engine_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 1, "model": 4})
+
+    def shard(name, arr):
+        if arr.ndim == 2 and arr.shape[-1] % 4 == 0:
+            return NamedSharding(mesh, P_(None, "model"))
+        return NamedSharding(mesh, P_())
+
+    ids = rng.integers(0, TINY.vocab_size, (1, 4)).astype(np.int64)
+    with mesh:
+        gen_s = Generator(TINY, batch=1, prompt_len=4, max_len=12,
+                          family="llama", mesh=mesh, param_sharding_fn=shard)
+        tok_s, _ = gen_s.generate(ids, 4)
+    gen_r = Generator(TINY, batch=1, prompt_len=4, max_len=12,
+                      family="llama")
+    tok_r, _ = gen_r.generate(ids, 4)
+    np.testing.assert_array_equal(tok_s, tok_r)
