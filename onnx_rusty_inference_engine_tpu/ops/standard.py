@@ -853,13 +853,31 @@ def resize(ctx: LoweringContext, node: Node, ins):
     else:
         raise UnsupportedOpError(f"Resize mode {mode!r}")
 
-    if method == "nearest" and coord in ("asymmetric",):
-        # exact ONNX asymmetric+floor nearest via integer gather
+    if method == "nearest":
+        # exact ONNX nearest: coordinate transform + nearest_mode rounding
+        nm = node.attr("nearest_mode", "round_prefer_floor")
+        nm = nm.decode() if isinstance(nm, bytes) else str(nm)
+        if node.op_type == "Upsample" or (ctx.opset < 11
+                                          and coord == "half_pixel"):
+            # opset-10 Resize / Upsample semantics: asymmetric + floor
+            coord_n, nm = "asymmetric", "floor"
+        else:
+            coord_n = coord
         out = x
         for ax, (do, di) in enumerate(zip(out_shape, x.shape)):
             if do == di:
                 continue
-            idx = np.floor(np.arange(do) * (di / do)).astype(np.int32)
+            src = _resize_src(np.arange(do, dtype=np.float64), di, do,
+                              coord_n)
+            if nm == "floor":
+                idx = np.floor(src)
+            elif nm == "ceil":
+                idx = np.ceil(src)
+            elif nm == "round_prefer_ceil":
+                idx = np.floor(src + 0.5)
+            else:  # round_prefer_floor
+                idx = np.ceil(src - 0.5)
+            idx = np.clip(idx, 0, di - 1).astype(np.int32)
             out = jnp.take(out, jnp.asarray(idx), axis=ax)
         return (out,)
     if method == "linear":
@@ -875,22 +893,26 @@ def resize(ctx: LoweringContext, node: Node, ins):
     return (out.astype(x.dtype),)
 
 
+def _resize_src(i, di: int, do: int, coord: str):
+    """Output index -> source coordinate per coordinate_transformation_mode
+    (works on numpy or jnp index vectors)."""
+    if coord == "align_corners":
+        return i * ((di - 1) / max(do - 1, 1))
+    if coord == "asymmetric":
+        return i * (di / do)
+    if coord == "pytorch_half_pixel":
+        return (i + 0.5) * (di / do) - 0.5 if do > 1 else i * 0.0
+    if coord in ("half_pixel", "half_pixel_symmetric"):
+        return (i + 0.5) * (di / do) - 0.5
+    raise UnsupportedOpError(
+        f"Resize: coordinate_transformation_mode {coord!r} not supported")
+
+
 def _resize_linear_axis(x, ax: int, do: int, coord: str):
     """1-D linear interpolation along `ax` to length `do` under an ONNX
     coordinate_transformation_mode."""
     di = x.shape[ax]
-    i = jnp.arange(do, dtype=jnp.float32)
-    if coord == "align_corners":
-        src = i * ((di - 1) / max(do - 1, 1))
-    elif coord == "asymmetric":
-        src = i * (di / do)
-    elif coord == "pytorch_half_pixel":
-        src = (i + 0.5) * (di / do) - 0.5 if do > 1 else jnp.zeros_like(i)
-    elif coord in ("half_pixel", "half_pixel_symmetric"):
-        src = (i + 0.5) * (di / do) - 0.5
-    else:
-        raise UnsupportedOpError(
-            f"Resize: coordinate_transformation_mode {coord!r} not supported")
+    src = _resize_src(jnp.arange(do, dtype=jnp.float32), di, do, coord)
     src = jnp.clip(src, 0.0, di - 1)
     lo = jnp.floor(src).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, di - 1)

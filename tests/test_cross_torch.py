@@ -157,3 +157,29 @@ def test_resize_bilinear_vs_torch_align_corners():
     want = F.interpolate(torch.from_numpy(x), scale_factor=2.0,
                          mode="bilinear", align_corners=True).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_nearest_vs_torch():
+    """ONNX nearest (asymmetric+floor) == torch interpolate nearest."""
+    x = f32(1, 3, 5, 7)
+    scales = np.array([1.0, 1.0, 2.0, 3.0], np.float32)
+    (got,) = run_op("Resize", {"x": x},
+                    {"roi": np.zeros(0, np.float32), "s": scales},
+                    mode="nearest",
+                    coordinate_transformation_mode="asymmetric",
+                    nearest_mode="floor")
+    want = F.interpolate(torch.from_numpy(x), scale_factor=(2.0, 3.0),
+                         mode="nearest").numpy()
+    np.testing.assert_array_equal(got, want)
+    # half_pixel + round_prefer_floor downscale (ORT default form)
+    scales = np.array([1.0, 1.0, 0.6, 0.6], np.float32)
+    (got,) = run_op("Resize", {"x": x},
+                    {"roi": np.zeros(0, np.float32), "s": scales},
+                    mode="nearest")
+    assert got.shape == (1, 3, 3, 4)
+    # reference: manual half_pixel + round_prefer_floor gather
+    def idx(di, do):
+        src = (np.arange(do) + 0.5) * (di / do) - 0.5
+        return np.clip(np.ceil(src - 0.5), 0, di - 1).astype(int)
+    want = x[:, :, idx(5, 3)][:, :, :, idx(7, 4)]
+    np.testing.assert_array_equal(got, want)
