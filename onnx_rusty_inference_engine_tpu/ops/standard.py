@@ -129,20 +129,26 @@ def conv_transpose(ctx: LoweringContext, node: Node, ins):
     strides = [int(s) for s in node.attr("strides", [1] * spatial)]
     dilations = [int(d) for d in node.attr("dilations", [1] * spatial)]
     group = int(node.attr("group", 1))
-    if group != 1:
-        raise UnsupportedOpError("grouped ConvTranspose not supported yet")
     pads = node.attr("pads", [0] * (2 * spatial))
     out_pads = node.attr("output_padding", [0] * spatial)
     # ONNX ConvTranspose == gradient of Conv: lhs-dilate input by stride,
     # pad with (eff_k - 1 - pad) on both sides, then stride-1 conv with
-    # the kernel flipped and its I/O axes swapped (kernel layout is I O *k).
+    # the kernel flipped and its I/O axes swapped (kernel layout is
+    # [C_in, C_out/g, *k]; for groups the I/O swap happens WITHIN each
+    # group, then feature_group_count carries the grouping).
     eff_k = [(int(k) - 1) * d + 1 for k, d in zip(kernel, dilations)]
     padding = [
         (ek - 1 - int(pads[i]), ek - 1 - int(pads[i + spatial]) + int(out_pads[i]))
         for i, ek in enumerate(eff_k)
     ]
     w_flip = jnp.flip(w, axis=tuple(range(2, 2 + spatial)))
-    w_t = jnp.swapaxes(w_flip, 0, 1)
+    if group == 1:
+        w_t = jnp.swapaxes(w_flip, 0, 1)
+    else:
+        cin, cog = w.shape[0], w.shape[1]
+        wg = w_flip.reshape((group, cin // group, cog) + w.shape[2:])
+        wg = jnp.swapaxes(wg, 1, 2)  # [g, C_out/g, C_in/g, *k]
+        w_t = wg.reshape((group * cog, cin // group) + w.shape[2:])
     out = lax.conv_general_dilated(
         x,
         w_t,
@@ -151,6 +157,7 @@ def conv_transpose(ctx: LoweringContext, node: Node, ins):
         lhs_dilation=strides,
         rhs_dilation=dilations,
         dimension_numbers=_conv_dimension_numbers(spatial),
+        feature_group_count=group,
         precision=_fp32_precision(x),
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )

@@ -183,3 +183,13 @@ def test_resize_nearest_vs_torch():
         return np.clip(np.ceil(src - 0.5), 0, di - 1).astype(int)
     want = x[:, :, idx(5, 3)][:, :, :, idx(7, 4)]
     np.testing.assert_array_equal(got, want)
+
+
+def test_grouped_conv_transpose_vs_torch():
+    x, w = f32(2, 8, 6, 6), f32(8, 3, 3, 3)  # groups=4: w [Cin, Cout/g, k, k]
+    (got,) = run_op("ConvTranspose", {"x": x}, {"w": w}, group=4,
+                    strides=[2, 2], pads=[1, 1, 1, 1], output_padding=[1, 1])
+    want = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                              stride=2, padding=1, output_padding=1,
+                              groups=4).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
