@@ -850,6 +850,12 @@ def resize(ctx: LoweringContext, node: Node, ins):
             raise UnsupportedOpError("Resize needs static scales or sizes")
         out_shape = tuple(int(np.floor(d * s))
                           for d, s in zip(x.shape, scales))
+    # the spec's coordinate transforms are defined in terms of the SCALE,
+    # which differs from do/di whenever floor(di*scale) != di*scale
+    axis_scales = (tuple(float(v) for v in scales) if scales is not None
+                   else tuple(do / di for do, di in zip(out_shape, x.shape)))
+    if node.op_type == "Upsample" or ctx.opset < 11:
+        coord = "asymmetric"  # opset-10 Resize / Upsample semantics
 
     if mode in (b"nearest", "nearest"):
         method = "nearest"
@@ -864,26 +870,24 @@ def resize(ctx: LoweringContext, node: Node, ins):
         # exact ONNX nearest: coordinate transform + nearest_mode rounding
         nm = node.attr("nearest_mode", "round_prefer_floor")
         nm = nm.decode() if isinstance(nm, bytes) else str(nm)
-        if node.op_type == "Upsample" or (ctx.opset < 11
-                                          and coord == "half_pixel"):
-            # opset-10 Resize / Upsample semantics: asymmetric + floor
-            coord_n, nm = "asymmetric", "floor"
-        else:
-            coord_n = coord
+        if node.op_type == "Upsample" or ctx.opset < 11:
+            nm = "floor"  # legacy semantics
         out = x
         for ax, (do, di) in enumerate(zip(out_shape, x.shape)):
             if do == di:
                 continue
             src = _resize_src(np.arange(do, dtype=np.float64), di, do,
-                              coord_n)
+                              axis_scales[ax], coord)
             if nm == "floor":
                 idx = np.floor(src)
             elif nm == "ceil":
                 idx = np.ceil(src)
             elif nm == "round_prefer_ceil":
                 idx = np.floor(src + 0.5)
-            else:  # round_prefer_floor
+            elif nm == "round_prefer_floor":
                 idx = np.ceil(src - 0.5)
+            else:
+                raise UnsupportedOpError(f"Resize nearest_mode {nm!r}")
             idx = np.clip(idx, 0, di - 1).astype(np.int32)
             out = jnp.take(out, jnp.asarray(idx), axis=ax)
         return (out,)
@@ -893,33 +897,40 @@ def resize(ctx: LoweringContext, node: Node, ins):
         out = x.astype(jnp.float32)
         for ax, (do, di) in enumerate(zip(out_shape, x.shape)):
             if do != di:
-                out = _resize_linear_axis(out, ax, do, coord)
+                out = _resize_linear_axis(out, ax, do, axis_scales[ax],
+                                          coord)
         return (out.astype(x.dtype),)
     # cubic path: jax.image.resize (half_pixel semantics)
     out = jax.image.resize(x, out_shape, method=method)
     return (out.astype(x.dtype),)
 
 
-def _resize_src(i, di: int, do: int, coord: str):
+def _resize_src(i, di: int, do: int, scale: float, coord: str):
     """Output index -> source coordinate per coordinate_transformation_mode
-    (works on numpy or jnp index vectors)."""
+    (spec formulas are in terms of the SCALE; works on numpy or jnp
+    index vectors)."""
     if coord == "align_corners":
         return i * ((di - 1) / max(do - 1, 1))
     if coord == "asymmetric":
-        return i * (di / do)
+        return i / scale
     if coord == "pytorch_half_pixel":
-        return (i + 0.5) * (di / do) - 0.5 if do > 1 else i * 0.0
-    if coord in ("half_pixel", "half_pixel_symmetric"):
-        return (i + 0.5) * (di / do) - 0.5
+        return (i + 0.5) / scale - 0.5 if do > 1 else i * 0.0
+    if coord == "half_pixel":
+        return (i + 0.5) / scale - 0.5
+    if coord == "half_pixel_symmetric":
+        adjustment = do / (scale * di)
+        offset = di / 2 * (1 - adjustment)
+        return offset + (i + 0.5) / scale - 0.5
     raise UnsupportedOpError(
         f"Resize: coordinate_transformation_mode {coord!r} not supported")
 
 
-def _resize_linear_axis(x, ax: int, do: int, coord: str):
+def _resize_linear_axis(x, ax: int, do: int, scale: float, coord: str):
     """1-D linear interpolation along `ax` to length `do` under an ONNX
     coordinate_transformation_mode."""
     di = x.shape[ax]
-    src = _resize_src(jnp.arange(do, dtype=jnp.float32), di, do, coord)
+    src = _resize_src(jnp.arange(do, dtype=jnp.float32), di, do, scale,
+                      coord)
     src = jnp.clip(src, 0.0, di - 1)
     lo = jnp.floor(src).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, di - 1)

@@ -177,9 +177,10 @@ def test_resize_nearest_vs_torch():
                     {"roi": np.zeros(0, np.float32), "s": scales},
                     mode="nearest")
     assert got.shape == (1, 3, 3, 4)
-    # reference: manual half_pixel + round_prefer_floor gather
+    # independent spec reference: src = (i + 0.5) / SCALE - 0.5 (the scale,
+    # NOT the do/di ratio — they differ when floor(di*scale) != di*scale)
     def idx(di, do):
-        src = (np.arange(do) + 0.5) * (di / do) - 0.5
+        src = (np.arange(do) + 0.5) / 0.6 - 0.5
         return np.clip(np.ceil(src - 0.5), 0, di - 1).astype(int)
     want = x[:, :, idx(5, 3)][:, :, :, idx(7, 4)]
     np.testing.assert_array_equal(got, want)

@@ -76,10 +76,12 @@ def test_regression_golden(name, build, feed, out_name):
         f"golden missing — regenerate: python {__file__}"
     golden = onnx_io.read_tensor_file(path)
     got = _compute(build, feed, out_name)
+    assert got.shape == golden.array.shape, \
+        f"{name}: output shape changed {got.shape} vs {golden.array.shape}"
     # run-to-run XLA-CPU conv reassociation wobbles ~1e-4 abs; real emitter
     # or pass regressions move outputs orders of magnitude more
     np.testing.assert_allclose(
-        got.reshape(golden.array.shape), golden.array, rtol=1e-3, atol=1e-3,
+        got, golden.array, rtol=1e-3, atol=1e-3,
         err_msg=f"{name}: output drifted from the pinned golden")
 
 
