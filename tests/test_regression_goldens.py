@@ -37,6 +37,8 @@ def _cases():
     from onnx_rusty_inference_engine_tpu.models.resnet import build_resnet50
     from onnx_rusty_inference_engine_tpu.models.squeezenet import (
         build_squeezenet)
+    from onnx_rusty_inference_engine_tpu.models.vit import (
+        TINY as VIT_TINY, build_vit)
 
     rng = np.random.default_rng(123)
     img64 = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
@@ -59,6 +61,10 @@ def _cases():
         ("llama", lambda: build_llama(LLAMA_TINY, batch=1, seq_len=8,
                                       with_presents=False),
          {"input_ids": ids % LLAMA_TINY.vocab_size}, "logits"),
+        ("vit", lambda: build_vit(VIT_TINY, batch=1),
+         {"pixel_values": rng.standard_normal(
+             (1, 3, VIT_TINY.image_size, VIT_TINY.image_size)
+         ).astype(np.float32)}, "logits"),
     ]
 
 
