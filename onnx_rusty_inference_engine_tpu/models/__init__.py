@@ -13,6 +13,7 @@ from .mobilenet import build_mobilenetv2  # noqa: F401
 from .bert import build_bert  # noqa: F401
 from .llama import build_llama  # noqa: F401
 from .vit import build_vit  # noqa: F401
+from .unet import build_unet  # noqa: F401
 from .gpt2 import build_gpt2  # noqa: F401
 from .zoo import get_model_path, MODELS  # noqa: F401
 

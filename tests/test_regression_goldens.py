@@ -37,6 +37,8 @@ def _cases():
     from onnx_rusty_inference_engine_tpu.models.resnet import build_resnet50
     from onnx_rusty_inference_engine_tpu.models.squeezenet import (
         build_squeezenet)
+    from onnx_rusty_inference_engine_tpu.models.unet import (
+        TINY as UNET_TINY, build_unet)
     from onnx_rusty_inference_engine_tpu.models.vit import (
         TINY as VIT_TINY, build_vit)
 
@@ -65,6 +67,9 @@ def _cases():
          {"pixel_values": rng.standard_normal(
              (1, 3, VIT_TINY.image_size, VIT_TINY.image_size)
          ).astype(np.float32)}, "logits"),
+        ("unet", lambda: build_unet(UNET_TINY, batch=1, size=32),
+         {"image": rng.standard_normal((1, 3, 32, 32)).astype(np.float32)},
+         "mask_logits"),
     ]
 
 
