@@ -80,3 +80,36 @@ def test_native_tensor_loader(lib):
         assert t_c.name == t_py.name
         assert t_c.array.dtype == t_py.array.dtype
         assert np.array_equal(t_c.array, t_py.array)
+
+
+def test_native_parser_control_flow_subgraphs(tmp_path):
+    """GRAPH-typed attributes survive the C++ fast path (raw attr bytes are
+    decoded by the shared Python decoder, subgraphs included)."""
+    import numpy as np
+
+    from onnx_rusty_inference_engine_tpu import onnx_io
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.native_loader import (
+        load_model_native)
+    from util import make_model, node
+
+    then_g = onnx_io.GraphProto(name="t")
+    then_g.nodes = [node("Add", ["x", "x"], ["o"])]
+    then_g.outputs.append(onnx_io.ValueInfo(name="o"))
+    else_g = onnx_io.GraphProto(name="e")
+    else_g.nodes = [node("Neg", ["x"], ["o"])]
+    else_g.outputs.append(onnx_io.ValueInfo(name="o"))
+    x = np.ones((2, 2), np.float32)
+    m = make_model(
+        [node("If", ["p"], ["out0"], then_branch=then_g, else_branch=else_g)],
+        {"x": x}, ["out0"], {"p": np.array(True)})
+    path = str(tmp_path / "cf.onnx")
+    onnx_io.save_model(path, m)
+    native = load_model_native(path)
+    if native is None:
+        import pytest
+
+        pytest.skip("native parser unavailable in this environment")
+    out = Engine(import_model(native)).run({"x": x})["out0"]
+    np.testing.assert_array_equal(out, x + x)
