@@ -47,6 +47,33 @@ def _mobilenetv2_path() -> str:
     return _synth("mobilenetv2.synth", build_mobilenetv2)
 
 
+def _bert_path() -> str:
+    from .bert import TINY, build_bert
+
+    return _synth("bert-tiny.synth",
+                  lambda: build_bert(TINY, batch=1, seq_len=16))
+
+
+def _vit_path() -> str:
+    from .vit import TINY, build_vit
+
+    return _synth("vit-tiny.synth", lambda: build_vit(TINY))
+
+
+def _unet_path() -> str:
+    from .unet import TINY, build_unet
+
+    return _synth("unet-tiny.synth", lambda: build_unet(TINY))
+
+
+def _llama_path() -> str:
+    from .llama import TINY, build_llama
+
+    return _synth("llama-tiny.synth",
+                  lambda: build_llama(TINY, batch=1, seq_len=16,
+                                      with_presents=False))
+
+
 def _gpt2_path() -> str:
     from .gpt2 import SMALL, build_gpt2
 
@@ -61,6 +88,10 @@ MODELS: Dict[str, Callable[[], str]] = {
     "squeezenet": _squeezenet_path,
     "resnet50": _resnet50_path,
     "mobilenetv2": _mobilenetv2_path,
+    "bert": _bert_path,
+    "vit": _vit_path,
+    "unet": _unet_path,
+    "llama": _llama_path,
     "gpt2": _gpt2_path,
 }
 
