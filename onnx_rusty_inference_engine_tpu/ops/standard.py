@@ -754,11 +754,16 @@ def topk(ctx: LoweringContext, node: Node, ins):
     else:
         k = int(node.attr("k"))
     axis = int(node.attr("axis", -1))
-    if axis not in (-1, x.ndim - 1):
-        x_m = jnp.moveaxis(x, axis, -1)
+    largest = int(node.attr("largest", 1))
+    x_m = jnp.moveaxis(x, axis, -1) if axis not in (-1, x.ndim - 1) else x
+    if largest:
         v, i = lax.top_k(x_m, k)
-        return (jnp.moveaxis(v, -1, axis), jnp.moveaxis(i, -1, axis).astype(jnp.int64))
-    v, i = lax.top_k(x, k)
+    else:  # smallest-k, ascending (lax.top_k of the negation)
+        v, i = lax.top_k(-x_m, k)
+        v = -v
+    if axis not in (-1, x.ndim - 1):
+        v = jnp.moveaxis(v, -1, axis)
+        i = jnp.moveaxis(i, -1, axis)
     return (v, i.astype(jnp.int64))
 
 

@@ -192,3 +192,15 @@ def test_shape_sentinel_bounds():
     assert got.size == 0
     (got,) = run_op("Shape", {"x": x}, start=2, end=1)
     assert got.size == 0
+
+
+def test_topk_smallest_and_einsum():
+    x = f32(3, 8)
+    vals, idx = run_op("TopK", {"x": x}, {"k": np.array([3], np.int64)},
+                       axis=-1, largest=0, sorted=1, n_outputs=2)
+    np.testing.assert_allclose(vals, np.sort(x, -1)[:, :3], rtol=1e-6)
+    np.testing.assert_array_equal(np.take_along_axis(x, idx.astype(int), -1),
+                                  vals)
+    a, bm = f32(2, 3, 4), f32(2, 4, 5)
+    (got,) = run_op("Einsum", {"a": a, "b": bm}, equation="bij,bjk->bik")
+    np.testing.assert_allclose(got, a @ bm, rtol=1e-4, atol=1e-5)
