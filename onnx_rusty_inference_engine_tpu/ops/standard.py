@@ -724,26 +724,26 @@ register("ReduceSumSquare")(_reduce(lambda x, axis, keepdims: jnp.sum(
     x * x, axis=axis, keepdims=keepdims)))
 
 
-@register("ArgMax")
-def argmax(ctx, node, ins):
-    x = ins[0]
-    axis = int(node.attr("axis", 0))
-    keepdims = bool(int(node.attr("keepdims", 1)))
-    out = jnp.argmax(x, axis=axis).astype(jnp.int64)
-    if keepdims:
-        out = jnp.expand_dims(out, axis)
-    return (out,)
+def _arg_reduce(fn):
+    def emit(ctx, node, ins):
+        x = ins[0]
+        axis = int(node.attr("axis", 0))
+        keepdims = bool(int(node.attr("keepdims", 1)))
+        if int(node.attr("select_last_index", 0)):
+            # ONNX: ties resolve to the LAST occurrence; argmax/argmin give
+            # the first, so run on the reversed axis and re-map the index
+            rev = jnp.flip(x, axis)
+            out = (x.shape[axis] - 1 - fn(rev, axis=axis)).astype(jnp.int64)
+        else:
+            out = fn(x, axis=axis).astype(jnp.int64)
+        if keepdims:
+            out = jnp.expand_dims(out, axis)
+        return (out,)
+    return emit
 
 
-@register("ArgMin")
-def argmin(ctx, node, ins):
-    x = ins[0]
-    axis = int(node.attr("axis", 0))
-    keepdims = bool(int(node.attr("keepdims", 1)))
-    out = jnp.argmin(x, axis=axis).astype(jnp.int64)
-    if keepdims:
-        out = jnp.expand_dims(out, axis)
-    return (out,)
+register("ArgMax")(_arg_reduce(jnp.argmax))
+register("ArgMin")(_arg_reduce(jnp.argmin))
 
 
 @register("TopK")

@@ -204,3 +204,16 @@ def test_topk_smallest_and_einsum():
     a, bm = f32(2, 3, 4), f32(2, 4, 5)
     (got,) = run_op("Einsum", {"a": a, "b": bm}, equation="bij,bjk->bik")
     np.testing.assert_allclose(got, a @ bm, rtol=1e-4, atol=1e-5)
+
+
+def test_argmax_select_last_index():
+    x = np.array([[1.0, 3.0, 3.0, 2.0],
+                  [5.0, 5.0, 1.0, 5.0]], np.float32)
+    (got,) = run_op("ArgMax", {"x": x}, axis=1, keepdims=0)
+    np.testing.assert_array_equal(got, [1, 0])
+    (got,) = run_op("ArgMax", {"x": x}, axis=1, keepdims=0,
+                    select_last_index=1)
+    np.testing.assert_array_equal(got, [2, 3])
+    (got,) = run_op("ArgMin", {"x": x}, axis=0, keepdims=0,
+                    select_last_index=1)
+    np.testing.assert_array_equal(got, [0, 1, 1, 0])
