@@ -216,4 +216,4 @@ def test_argmax_select_last_index():
     np.testing.assert_array_equal(got, [2, 3])
     (got,) = run_op("ArgMin", {"x": x}, axis=0, keepdims=0,
                     select_last_index=1)
-    np.testing.assert_array_equal(got, [0, 1, 1, 0])
+    np.testing.assert_array_equal(got, [0, 0, 1, 0])
