@@ -304,7 +304,13 @@ register("Or")(_binary(jnp.logical_or))
 register("Xor")(_binary(jnp.logical_xor))
 register("BitwiseAnd")(_binary(jnp.bitwise_and))
 register("BitwiseOr")(_binary(jnp.bitwise_or))
-register("Mod")(_binary(jnp.mod))
+@register("Mod")
+def mod(ctx, node, ins):
+    a, b = ins
+    # fmod=1: C fmod (sign follows the dividend); fmod=0: Python-style
+    if int(node.attr("fmod", 0)):
+        return (jnp.fmod(a, b),)
+    return (jnp.mod(a, b),)
 
 
 @register("Min")

@@ -217,3 +217,14 @@ def test_argmax_select_last_index():
     (got,) = run_op("ArgMin", {"x": x}, axis=0, keepdims=0,
                     select_last_index=1)
     np.testing.assert_array_equal(got, [0, 0, 1, 0])
+
+
+def test_mod_fmod_modes():
+    a = np.array([-4.3, 7.2, 5.0, -3.0], np.float32)
+    b = np.array([2.1, -3.0, 8.0, 5.0], np.float32)
+    (got,) = run_op("Mod", {"a": a, "b": b}, fmod=1)
+    np.testing.assert_allclose(got, np.fmod(a, b), rtol=1e-5, atol=1e-6)
+    ai = np.array([-7, 7, -7], np.int32)
+    bi = np.array([3, -3, -3], np.int32)
+    (got,) = run_op("Mod", {"a": ai, "b": bi})
+    np.testing.assert_array_equal(got, np.mod(ai, bi))
