@@ -334,6 +334,27 @@ def quantize_graph(
                                   node.name, dict(node.attrs)))
             qdomain[node.outputs[0]] = qdomain[node.inputs[0]]
 
+        elif op == "Add" and len(node.inputs) == 2 and \
+                all(i in qdomain for i in node.inputs):
+            # residual adds stay in the int8 domain via the ORT-contrib
+            # QLinearAdd (dequant-add-requant fused on the VPU) instead of
+            # an fp32 island between QLinearConvs
+            a, b_in = node.inputs
+            y_name = node.outputs[0]
+            y_s = act_scale(y_name)
+            ys_name = add_const(f"{y_name}__ys", np.float32(y_s),
+                                is_weight=False)
+            yzp_name = add_const(f"{y_name}__yzp", np.int8(0),
+                                 is_weight=False)
+            zp_a = add_const(f"{a}__azp", np.int8(0), is_weight=False)
+            zp_b = add_const(f"{b_in}__bzp", np.int8(0), is_weight=False)
+            new_nodes.append(Node(
+                "QLinearAdd",
+                [a, scale_const(a), zp_a, b_in, scale_const(b_in), zp_b,
+                 ys_name, yzp_name],
+                node.outputs, node.name))
+            qdomain[y_name] = y_s
+
         elif op == "Concat" and all(i in qdomain for i in node.inputs):
             scales = {round(qdomain[i], 12) for i in node.inputs}
             if len(scales) == 1:

@@ -190,3 +190,27 @@ def test_bias_correction_reduces_mean_error():
     qc = bias_correct(q, g, calib)
     after = np.abs(Engine(qc).run({"input": xt})["r2_y"] - ref).mean()
     assert after < before, (before, after)
+
+
+def test_residual_adds_stay_int8():
+    """MobileNet/ResNet residual Adds become QLinearAdd (no fp32 islands)."""
+    import numpy as np
+
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.models.mobilenet import (
+        build_mobilenetv2)
+    from onnx_rusty_inference_engine_tpu.quant import quantize_graph
+
+    g = import_model(build_mobilenetv2())
+    rng2 = np.random.default_rng(19)
+    x = rng2.standard_normal((2, 3, 96, 96)).astype(np.float32)
+    q = quantize_graph(g, calibration_inputs=[{"input": x}])
+    ops = {}
+    for n in q.nodes:
+        ops[n.op_type] = ops.get(n.op_type, 0) + 1
+    assert ops.get("QLinearAdd", 0) == 10  # every inverted-residual skip
+    assert "Add" not in ops
+    ref = Engine(g).run({"input": x})["output"]
+    got = Engine(q).run({"input": x})["output"]
+    assert np.abs(got - ref).max() < 0.25
