@@ -144,3 +144,30 @@ def test_decode_server_eos_stop():
         srv.stop()
     assert got == ref[: stop_at + 1]
     assert got[-1] == eos
+
+
+def test_decode_server_concurrent_clients():
+    """Many client threads submitting simultaneously: every request completes
+    with its exact isolated-generation tokens."""
+    import threading
+
+    srv = DecodeServer(TINY, slots=4, prompt_len=6, max_len=20)
+    prompts = [rng.integers(0, TINY.vocab_size, (int(rng.integers(2, 7)),))
+               .astype(np.int64) for _ in range(12)]
+    results = [None] * len(prompts)
+
+    def client(i):
+        results[i] = srv.generate(prompts[i], 4, timeout=300)
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        srv.stop()
+    for p, got in zip(prompts, results):
+        assert got == _reference_tokens(p, 4, 6, 20)
+    assert srv.stats()["requests"] == len(prompts)
