@@ -312,3 +312,18 @@ def group_query_attention(ctx: LoweringContext, node: Node, ins):
     out = _sdpa(qh, kh, vh, mb, unidirectional=1,
                 scale=float(scale) if scale is not None else None)
     return (out.transpose(0, 2, 1, 3).reshape(B, S, D),)
+
+
+@register("FusedMatMul")
+def fused_matmul(ctx, node, ins):
+    """com.microsoft.FusedMatMul: alpha * op(A) @ op(B) with trans/batch
+    transpose flags (ORT's transformer optimizer emits these)."""
+    a, b_ = ins
+    if int(node.attr("transBatchA", 0)) or int(node.attr("transBatchB", 0)):
+        raise UnsupportedOpError("FusedMatMul: transBatchA/B not supported")
+    if int(node.attr("transA", 0)):
+        a = jnp.swapaxes(a, -1, -2)
+    if int(node.attr("transB", 0)):
+        b_ = jnp.swapaxes(b_, -1, -2)
+    out = jnp.matmul(a, b_, preferred_element_type=jnp.float32)
+    return ((float(node.attr("alpha", 1.0)) * out).astype(a.dtype),)

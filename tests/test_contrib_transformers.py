@@ -260,3 +260,15 @@ def test_gqa_scale_zero_means_default():
         return Engine(import_model(m2)).run({"q": q, "k": k, "v": v})["out0"]
 
     np.testing.assert_allclose(run_gqa(scale=0.0), run_gqa(), rtol=1e-6)
+
+
+def test_fused_matmul():
+    a = f32(3, 4)
+    bm = f32(5, 4)
+    (got,) = run_op("FusedMatMul", {"a": a, "b": bm}, transB=1, alpha=0.5)
+    np.testing.assert_allclose(got, 0.5 * (a @ bm.T), rtol=1e-5, atol=1e-6)
+    a3 = f32(2, 4, 3)
+    b3 = f32(2, 4, 5)
+    (got,) = run_op("FusedMatMul", {"a": a3, "b": b3}, transA=1)
+    np.testing.assert_allclose(got, np.swapaxes(a3, -1, -2) @ b3, rtol=1e-5,
+                               atol=1e-6)
