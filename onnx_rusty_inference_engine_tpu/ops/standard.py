@@ -205,7 +205,73 @@ def max_pool(ctx: LoweringContext, node: Node, ins):
     else:
         dtype_min = jnp.array(jnp.iinfo(x.dtype).min, dtype=x.dtype)
     out, _, _, _ = _pool(node, x, dtype_min, lax.max)
-    return (out,)
+    if len([o for o in node.outputs if o]) < 2:
+        return (out,)
+    return (out, _max_pool_indices(node, x, out.shape))
+
+
+def _max_pool_indices(node: Node, x, out_shape):
+    """ONNX MaxPool's second output: int64 flat indices into the WHOLE input
+    tensor (row-major incl. the N and C strides), first-max tie-breaking.
+    Computed from window patches: argmax per window -> (kh, kw) offset ->
+    global position. 2-D spatial, storage_order=0 (row-major)."""
+    if x.ndim != 4:
+        raise UnsupportedOpError("MaxPool Indices: only 2-D spatial supported")
+    if int(node.attr("storage_order", 0)):
+        raise UnsupportedOpError("MaxPool Indices: storage_order=1 (col-major)")
+    N, C, H, W = x.shape
+    OH, OW = out_shape[2], out_shape[3]
+    kh, kw = [int(k) for k in node.attr("kernel_shape")]
+    sh, sw = [int(s) for s in node.attr("strides", [1, 1])]
+    dh, dw = [int(d) for d in node.attr("dilations", [1, 1])]
+    padding = _conv_padding(node, x.shape[2:], (kh, kw), (sh, sw), (dh, dw))
+    (pt, pb), (pl, pr) = padding
+    neg = (jnp.array(-jnp.inf, x.dtype)
+           if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.array(jnp.iinfo(x.dtype).min, x.dtype))
+    # pad enough for ceil_mode windows too
+    need_h = (OH - 1) * sh + (kh - 1) * dh + 1 - (H + pt)
+    need_w = (OW - 1) * sw + (kw - 1) * dw + 1 - (W + pl)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pt, max(pb, need_h)),
+                     (pl, max(pr, need_w))), constant_values=neg)
+    # gather each window's elements: [N, C, KH*KW, OH, OW]
+    oh = jnp.arange(OH)[:, None, None, None] * sh
+    ow = jnp.arange(OW)[None, :, None, None] * sw
+    kh_i = jnp.arange(kh)[None, None, :, None] * dh
+    kw_i = jnp.arange(kw)[None, None, None, :] * dw
+    hs = (oh + kh_i)  # [OH, 1, KH, 1]
+    ws = (ow + kw_i)  # [1, OW, 1, KW]
+    win = xp[:, :, hs, ws]  # [N, C, OH, OW, KH, KW]
+    win = win.reshape(N, C, OH, OW, kh * kw)
+    off = jnp.argmax(win, axis=-1)  # first max, row-major in-window
+    off_h = off // kw * dh
+    off_w = off % kw * dw
+    gh = jnp.arange(OH)[None, None, :, None] * sh - pt + off_h
+    gw = jnp.arange(OW)[None, None, None, :] * sw - pl + off_w
+    base = (jnp.arange(N)[:, None, None, None] * C
+            + jnp.arange(C)[None, :, None, None]) * (H * W)
+    return (base + gh * W + gw).astype(jnp.int64)
+
+
+@register("MaxUnpool")
+def max_unpool(ctx: LoweringContext, node: Node, ins):
+    """Scatter pooled values back to their MaxPool positions (SegNet-style
+    unpooling). Indices follow the ONNX whole-tensor flat convention."""
+    x, idx = ins[0], ins[1]
+    if len(ins) > 2 and ins[2] is not None:
+        out_shape = tuple(int(v) for v in
+                          ctx.require_constant(node.inputs[2],
+                                               "MaxUnpool output_shape"))
+    else:
+        kh, kw = [int(k) for k in node.attr("kernel_shape")]
+        sh, sw = [int(s) for s in node.attr("strides", [1, 1])]
+        pads = [int(p) for p in node.attr("pads", [0, 0, 0, 0])]
+        N, C, OH, OW = x.shape
+        out_shape = (N, C, (OH - 1) * sh + kh - pads[0] - pads[2],
+                     (OW - 1) * sw + kw - pads[1] - pads[3])
+    total = int(np.prod(out_shape))
+    flat = jnp.zeros((total,), x.dtype).at[idx.reshape(-1)].set(x.reshape(-1))
+    return (flat.reshape(out_shape),)
 
 
 @register("AveragePool")

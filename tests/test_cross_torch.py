@@ -194,3 +194,39 @@ def test_grouped_conv_transpose_vs_torch():
                               stride=2, padding=1, output_padding=1,
                               groups=4).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_maxpool_indices_and_unpool_vs_torch():
+    """MaxPool's Indices output (ONNX whole-tensor flat convention) and the
+    MaxUnpool scatter round-trip, validated against torch."""
+    x = f32(2, 3, 9, 10)
+    vals, idx = run_op("MaxPool", {"x": x}, kernel_shape=[2, 2],
+                       strides=[2, 2], n_outputs=2)
+    tv, ti = F.max_pool2d(torch.from_numpy(x), 2, stride=2,
+                          return_indices=True)
+    np.testing.assert_allclose(vals, tv.numpy(), rtol=1e-6)
+    # torch indices are per-(N,C) plane; ONNX adds the (n*C + c)*H*W base
+    N, C, H, W = x.shape
+    base = (np.arange(N)[:, None, None, None] * C
+            + np.arange(C)[None, :, None, None]) * (H * W)
+    np.testing.assert_array_equal(idx, ti.numpy() + base)
+
+    (rec,) = run_op("MaxUnpool", {"v": vals, "i": idx},
+                    {"os": np.array([N, C, H, W], np.int64)},
+                    kernel_shape=[2, 2], strides=[2, 2])
+    want = F.max_unpool2d(tv, ti, 2, stride=2,
+                          output_size=(H, W)).numpy()
+    assert rec.shape == want.shape
+    np.testing.assert_allclose(rec, want, rtol=1e-6)
+
+
+def test_maxpool_indices_with_padding_and_dilation():
+    x = f32(1, 2, 7, 7)
+    vals, idx = run_op("MaxPool", {"x": x}, kernel_shape=[3, 3],
+                       strides=[2, 2], pads=[1, 1, 1, 1], n_outputs=2)
+    tv, ti = F.max_pool2d(torch.from_numpy(x), 3, stride=2, padding=1,
+                          return_indices=True)
+    np.testing.assert_allclose(vals, tv.numpy(), rtol=1e-6)
+    base = (np.arange(1)[:, None, None, None] * 2
+            + np.arange(2)[None, :, None, None]) * 49
+    np.testing.assert_array_equal(idx, ti.numpy() + base)
