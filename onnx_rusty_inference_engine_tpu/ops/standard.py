@@ -1268,3 +1268,22 @@ def grid_sample(ctx, node, ins):
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return ((top * (1 - wy) + bot * wy).astype(x.dtype),)
+
+
+@register("ReverseSequence")
+def reverse_sequence(ctx, node, ins):
+    """Per-batch reversal of each sequence's valid prefix (same gather trick
+    as the RNN emitters' _flip_valid, generalized to attribute axes)."""
+    x, seq_lens = ins
+    batch_axis = int(node.attr("batch_axis", 1))
+    time_axis = int(node.attr("time_axis", 0))
+    T = x.shape[time_axis]
+    t = jnp.arange(T)
+    lens = seq_lens.astype(jnp.int32)
+    # idx[t, b]: position to read for output step t of sequence b
+    idx = jnp.where(t[:, None] < lens[None, :], lens[None, :] - 1 - t[:, None],
+                    t[:, None])  # [T, B]
+    xm = jnp.moveaxis(x, (time_axis, batch_axis), (0, 1))
+    gathered = jnp.take_along_axis(
+        xm, idx.reshape(idx.shape + (1,) * (xm.ndim - 2)), axis=0)
+    return (jnp.moveaxis(gathered, (0, 1), (time_axis, batch_axis)),)

@@ -228,3 +228,19 @@ def test_mod_fmod_modes():
     bi = np.array([3, -3, -3], np.int32)
     (got,) = run_op("Mod", {"a": ai, "b": bi})
     np.testing.assert_array_equal(got, np.mod(ai, bi))
+
+
+def test_reverse_sequence():
+    x = np.arange(24, dtype=np.float32).reshape(4, 2, 3)  # [T=4, B=2, D=3]
+    sl = np.array([4, 2], np.int64)
+    (got,) = run_op("ReverseSequence", {"x": x}, {"sl": sl},
+                    batch_axis=1, time_axis=0)
+    want = x.copy()
+    want[:4, 0] = x[3::-1, 0]
+    want[:2, 1] = x[1::-1, 1]
+    np.testing.assert_array_equal(got, want)
+    # batch-major layout
+    xb = np.transpose(x, (1, 0, 2))  # [B, T, D]
+    (got,) = run_op("ReverseSequence", {"x": xb}, {"sl": sl},
+                    batch_axis=0, time_axis=1)
+    np.testing.assert_array_equal(got, np.transpose(want, (1, 0, 2)))
