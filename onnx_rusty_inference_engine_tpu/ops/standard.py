@@ -669,7 +669,14 @@ def gather_elements(ctx, node, ins):
 @register("ScatterND")
 def scatter_nd(ctx, node, ins):
     data, indices, updates = ins
-    return (data.at[tuple(jnp.moveaxis(indices, -1, 0))].set(updates),)
+    red = node.attr("reduction", "none")
+    red = red.decode() if isinstance(red, bytes) else str(red)
+    at = data.at[tuple(jnp.moveaxis(indices, -1, 0))]
+    ops = {"none": at.set, "add": at.add, "mul": at.multiply,
+           "max": at.max, "min": at.min}
+    if red not in ops:
+        raise UnsupportedOpError(f"ScatterND reduction {red!r}")
+    return (ops[red](updates),)
 
 
 def _shape_slice(node: Node, rank: int):

@@ -244,3 +244,21 @@ def test_reverse_sequence():
     (got,) = run_op("ReverseSequence", {"x": xb}, {"sl": sl},
                     batch_axis=0, time_axis=1)
     np.testing.assert_array_equal(got, np.transpose(want, (1, 0, 2)))
+
+
+def test_scatter_nd_reductions():
+    data = np.zeros((4, 3), np.float32)
+    idx = np.array([[0], [2], [0]], np.int64)
+    upd = np.array([[1, 2, 3], [4, 5, 6], [10, 20, 30]], np.float32)
+    (got,) = run_op("ScatterND", {"x": data}, {"i": idx, "u": upd},
+                    reduction="add")
+    want = np.zeros((4, 3), np.float32)
+    want[0] = upd[0] + upd[2]
+    want[2] = upd[1]
+    np.testing.assert_array_equal(got, want)
+    (got,) = run_op("ScatterND", {"x": np.ones((4, 3), np.float32)},
+                    {"i": idx, "u": upd}, reduction="max")
+    want = np.ones((4, 3), np.float32)
+    want[0] = np.maximum(np.maximum(upd[0], upd[2]), 1)
+    want[2] = np.maximum(upd[1], 1)
+    np.testing.assert_array_equal(got, want)
