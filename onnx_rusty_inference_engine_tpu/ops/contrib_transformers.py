@@ -321,9 +321,12 @@ def fused_matmul(ctx, node, ins):
     a, b_ = ins
     if int(node.attr("transBatchA", 0)) or int(node.attr("transBatchB", 0)):
         raise UnsupportedOpError("FusedMatMul: transBatchA/B not supported")
+    from .standard import _accum_dtype, _fp32_precision
+
     if int(node.attr("transA", 0)):
         a = jnp.swapaxes(a, -1, -2)
     if int(node.attr("transB", 0)):
         b_ = jnp.swapaxes(b_, -1, -2)
-    out = jnp.matmul(a, b_, preferred_element_type=jnp.float32)
+    out = jnp.matmul(a, b_, precision=_fp32_precision(a),
+                     preferred_element_type=_accum_dtype(a))
     return ((float(node.attr("alpha", 1.0)) * out).astype(a.dtype),)

@@ -220,6 +220,10 @@ def _max_pool_indices(node: Node, x, out_shape):
     if int(node.attr("storage_order", 0)):
         raise UnsupportedOpError("MaxPool Indices: storage_order=1 (col-major)")
     N, C, H, W = x.shape
+    if N * C * H * W > np.iinfo(np.int32).max:
+        # JAX runs without x64 here: int64 indices would silently truncate
+        raise UnsupportedOpError(
+            "MaxPool Indices: flat index range exceeds int32 (enable x64)")
     OH, OW = out_shape[2], out_shape[3]
     kh, kw = [int(k) for k in node.attr("kernel_shape")]
     sh, sw = [int(s) for s in node.attr("strides", [1, 1])]
@@ -1282,15 +1286,10 @@ def reverse_sequence(ctx, node, ins):
     """Per-batch reversal of each sequence's valid prefix (same gather trick
     as the RNN emitters' _flip_valid, generalized to attribute axes)."""
     x, seq_lens = ins
+    from .rnn import _flip_valid
+
     batch_axis = int(node.attr("batch_axis", 1))
     time_axis = int(node.attr("time_axis", 0))
-    T = x.shape[time_axis]
-    t = jnp.arange(T)
-    lens = seq_lens.astype(jnp.int32)
-    # idx[t, b]: position to read for output step t of sequence b
-    idx = jnp.where(t[:, None] < lens[None, :], lens[None, :] - 1 - t[:, None],
-                    t[:, None])  # [T, B]
     xm = jnp.moveaxis(x, (time_axis, batch_axis), (0, 1))
-    gathered = jnp.take_along_axis(
-        xm, idx.reshape(idx.shape + (1,) * (xm.ndim - 2)), axis=0)
-    return (jnp.moveaxis(gathered, (0, 1), (time_axis, batch_axis)),)
+    return (jnp.moveaxis(_flip_valid(xm, seq_lens), (0, 1),
+                         (time_axis, batch_axis)),)

@@ -230,3 +230,10 @@ def test_maxpool_indices_with_padding_and_dilation():
     base = (np.arange(1)[:, None, None, None] * 2
             + np.arange(2)[None, :, None, None]) * 49
     np.testing.assert_array_equal(idx, ti.numpy() + base)
+    # dilated windows exercise the off_h/off_w * dilation factors
+    vals, idx = run_op("MaxPool", {"x": x}, kernel_shape=[3, 3],
+                       strides=[1, 1], dilations=[2, 2], n_outputs=2)
+    tv, ti = F.max_pool2d(torch.from_numpy(x), 3, stride=1, dilation=2,
+                          return_indices=True)
+    np.testing.assert_allclose(vals, tv.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(idx, ti.numpy() + base)
