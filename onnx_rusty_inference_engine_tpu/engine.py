@@ -91,7 +91,7 @@ def lower(graph: Graph):
                     env[node.outputs[0]] = jnp.asarray(folded)
                     continue
 
-            emitter = get_emitter(node.op_type)
+            emitter = get_emitter(node.op_type, node.domain)
             ins = [env[i] if i else None for i in node.inputs]
             # named_scope threads the ONNX node identity into XLA/HLO
             # metadata, so profiler traces map back to graph nodes (the

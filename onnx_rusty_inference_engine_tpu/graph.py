@@ -36,6 +36,7 @@ class Node:
     outputs: List[str]
     name: str = ""
     attrs: Dict[str, object] = dataclasses.field(default_factory=dict)
+    domain: str = ""  # "" = ai.onnx; e.g. "com.microsoft" for contrib ops
 
     def attr(self, key: str, default=None):
         return self.attrs.get(key, default)
@@ -64,7 +65,9 @@ class Graph:
     constants: Dict[str, np.ndarray]  # initializers + folded values
     inputs: List[InputSpec]  # real model inputs only (initializers excluded)
     outputs: List[str]
-    opset: int = 13
+    opset: int = 13  # ai.onnx (default-domain) opset version
+    # all opset_import entries, domain -> version (e.g. com.microsoft: 1)
+    opsets: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     # names of constants that were *initializers* (weights) vs folded scalars
     weight_names: List[str] = dataclasses.field(default_factory=list)
@@ -127,6 +130,7 @@ def _node_from_proto(n: NodeProto) -> Node:
         outputs=list(n.output),
         name=n.name,
         attrs=attrs,
+        domain=n.domain,
     )
 
 
@@ -392,6 +396,7 @@ def import_model(model: ModelProto) -> Graph:
         inputs=inputs,
         outputs=[vi.name for vi in gp.outputs],
         opset=model.opset_version,
+        opsets=dict(model.opset_imports),
         weight_names=list(gp.initializers.keys()),
     )
     available = set(constants) | {i.name for i in inputs}
@@ -415,7 +420,8 @@ def export_model(g: Graph) -> ModelProto:
     gp = onnx_io.GraphProto(name=g.name)
     for n in g.nodes:
         proto = onnx_io.NodeProto(op_type=n.op_type, input=list(n.inputs),
-                                  output=list(n.outputs), name=n.name)
+                                  output=list(n.outputs), name=n.name,
+                                  domain=n.domain)
         for k, v in n.attrs.items():
             if k.startswith("__"):  # internal bookkeeping (captures)
                 continue
@@ -431,8 +437,14 @@ def export_model(g: Graph) -> ModelProto:
         ))
     for o in g.outputs:
         gp.outputs.append(onnx_io.ValueInfo(name=o))
-    return ModelProto(graph=gp, ir_version=8, opset_version=max(g.opset, 13),
-                      producer_name="oriet")
+    imports = {dom: ver for dom, ver in g.opsets.items() if dom}
+    imports[""] = max(g.opset, 13)
+    # declare contrib domains actually used by the graph's nodes
+    for n in g.nodes:
+        if n.domain and n.domain not in imports:
+            imports[n.domain] = 1
+    return ModelProto(graph=gp, ir_version=8, opset_version=imports[""],
+                      opset_imports=imports, producer_name="oriet")
 
 
 def save_graph(path: str, g: Graph) -> None:

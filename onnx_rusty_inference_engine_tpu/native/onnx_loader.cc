@@ -51,6 +51,10 @@ struct ValueInfo {
 
 struct Model {
   int64_t ir_version = 0, opset_version = 0, model_version = 0;
+  // ALL opset_import entries (domain, version) — opset_import is
+  // `repeated`; opset_version above tracks only the ai.onnx ("" domain)
+  // entry so contrib imports can never flip default-domain semantics.
+  std::vector<std::pair<std::string, int64_t>> opset_imports;
   std::string producer_name, producer_version, domain, graph_name;
   std::vector<Node> nodes;
   std::vector<Tensor> initializers;
@@ -325,11 +329,18 @@ void* oriet_parse_model(const uint8_t* buf, size_t len) {
           break;
         }
         break;
-      case 8: {  // opset_import
+      case 8: {  // opset_import (repeated OperatorSetIdProto)
         Reader orr(bytes.ptr, bytes.len);
         uint32_t f2, w2; uint64_t v2; Slice b2;
+        std::string dom;
+        int64_t ver = -1;
         while (orr.next(&f2, &w2, &v2, &b2)) {
-          if (f2 == 2) m->opset_version = zz_to_i64(v2);
+          if (f2 == 1) dom = to_string(b2);
+          else if (f2 == 2) ver = zz_to_i64(v2);
+        }
+        if (ver >= 0) {
+          m->opset_imports.emplace_back(dom, ver);
+          if (dom.empty() || dom == "ai.onnx") m->opset_version = ver;
         }
         break;
       }
@@ -348,6 +359,9 @@ const char* oriet_error(void* h) {
 
 int64_t oriet_ir_version(void* h) { return static_cast<Model*>(h)->ir_version; }
 int64_t oriet_opset(void* h) { return static_cast<Model*>(h)->opset_version; }
+size_t oriet_num_opset_imports(void* h) { return static_cast<Model*>(h)->opset_imports.size(); }
+const char* oriet_opset_import_domain(void* h, size_t i) { return static_cast<Model*>(h)->opset_imports[i].first.c_str(); }
+int64_t oriet_opset_import_version(void* h, size_t i) { return static_cast<Model*>(h)->opset_imports[i].second; }
 int64_t oriet_model_version(void* h) { return static_cast<Model*>(h)->model_version; }
 const char* oriet_producer(void* h) { return static_cast<Model*>(h)->producer_name.c_str(); }
 const char* oriet_producer_version(void* h) { return static_cast<Model*>(h)->producer_version.c_str(); }

@@ -52,6 +52,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         "oriet_error": (c_char_p, [c_void_p]),
         "oriet_ir_version": (ctypes.c_int64, [c_void_p]),
         "oriet_opset": (ctypes.c_int64, [c_void_p]),
+        "oriet_num_opset_imports": (c_size_t, [c_void_p]),
+        "oriet_opset_import_domain": (c_char_p, [c_void_p, c_size_t]),
+        "oriet_opset_import_version": (ctypes.c_int64, [c_void_p, c_size_t]),
         "oriet_model_version": (ctypes.c_int64, [c_void_p]),
         "oriet_producer": (c_char_p, [c_void_p]),
         "oriet_producer_version": (c_char_p, [c_void_p]),
@@ -223,10 +226,16 @@ def load_model_native(path: str) -> Optional[onnx_io.ModelProto]:
         g.outputs = _vi_list(lib, h, 1)
         g.value_infos = _vi_list(lib, h, 2)
 
+        imports = {
+            (lib.oriet_opset_import_domain(h, i) or b"").decode():
+                int(lib.oriet_opset_import_version(h, i))
+            for i in range(int(lib.oriet_num_opset_imports(h)))
+        }
         return onnx_io.ModelProto(
             graph=g,
             ir_version=int(lib.oriet_ir_version(h)),
-            opset_version=int(lib.oriet_opset(h)),
+            opset_version=int(lib.oriet_opset(h)) or 13,
+            opset_imports=imports,
             producer_name=(lib.oriet_producer(h) or b"").decode(),
             producer_version=(lib.oriet_producer_version(h) or b"").decode(),
             domain=(lib.oriet_domain(h) or b"").decode(),

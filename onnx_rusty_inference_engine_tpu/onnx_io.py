@@ -118,12 +118,17 @@ class GraphProto:
 class ModelProto:
     graph: GraphProto
     ir_version: int = 8
-    opset_version: int = 13
+    opset_version: int = 13  # the ai.onnx (default-domain) opset
     opset_domain: str = ""
     producer_name: str = ""
     producer_version: str = ""
     domain: str = ""
     model_version: int = 0
+    # ALL opset_import entries, domain -> version (opset_import is
+    # `repeated` in the schema — real ORT exports carry e.g.
+    # {"": 17, "com.microsoft": 1}); opset_version above is always the
+    # ai.onnx entry regardless of entry order.
+    opset_imports: Dict[str, int] = dataclasses.field(default_factory=dict)
 
 
 # --------------------------------------------------------------------------
@@ -183,7 +188,16 @@ def parse_tensor_proto(buf: bytes, base_dir: Optional[str] = None
         loc = external.get("location")
         if loc is None:
             raise ValueError(f"external tensor {name!r} has no location")
-        path = os.path.join(base_dir or ".", loc)
+        # The .onnx file is untrusted input: reject absolute locations and
+        # '../' escapes so a hostile model can't read arbitrary host files
+        # into graph constants (path traversal).
+        root = os.path.realpath(base_dir or ".")
+        path = os.path.realpath(os.path.join(root, loc))
+        if os.path.isabs(loc) or not (
+                path == root or path.startswith(root + os.sep)):
+            raise ValueError(
+                f"external tensor {name!r}: location {loc!r} escapes the "
+                f"model directory")
         offset = int(external.get("offset", 0))
         length = external.get("length")
         with open(path, "rb") as f:
@@ -353,14 +367,25 @@ def parse_model(buf: bytes, base_dir: Optional[str] = None) -> ModelProto:
             m_kwargs["model_version"] = WireReader.as_int64(value)
         elif field == 7:
             graph = _parse_graph(bytes(value), base_dir)  # type: ignore[arg-type]
-        elif field == 8:  # opset_import
+        elif field == 8:  # opset_import (repeated OperatorSetIdProto)
+            dom, ver = "", None
             for f2, w2, v2 in WireReader(bytes(value)):  # type: ignore[arg-type]
                 if f2 == 1:
-                    m_kwargs["opset_domain"] = WireReader.as_string(v2)
+                    dom = WireReader.as_string(v2)
                 elif f2 == 2:
-                    m_kwargs["opset_version"] = WireReader.as_int64(v2)
+                    ver = WireReader.as_int64(v2)
+            if ver is not None:
+                m_kwargs.setdefault("opset_imports", {})[dom] = ver
     if graph is None:
         raise ValueError("ModelProto has no graph")
+    imports = m_kwargs.get("opset_imports", {})
+    # the ai.onnx entry (domain "" or the alias "ai.onnx") drives all
+    # opset-conditional op semantics; contrib entries never overwrite it
+    ai_ver = imports.get("", imports.get("ai.onnx"))
+    if ai_ver is not None:
+        m_kwargs["opset_version"] = ai_ver
+    elif imports:  # no default-domain entry at all: keep the dataclass
+        pass       # default (13) rather than a contrib domain's version
     return ModelProto(graph=graph, **m_kwargs)  # type: ignore[arg-type]
 
 
@@ -469,11 +494,14 @@ def serialize_model(m: ModelProto) -> bytes:
     if m.model_version:
         w.varint(5, m.model_version)
     w.bytes_field(7, _encode_graph(m.graph))
-    op = WireWriter()
-    if m.opset_domain:
-        op.string(1, m.opset_domain)
-    op.varint(2, m.opset_version)
-    w.bytes_field(8, op.getvalue())
+    imports = dict(m.opset_imports) if m.opset_imports else {}
+    imports.setdefault(m.opset_domain, m.opset_version)
+    for dom, ver in imports.items():
+        op = WireWriter()
+        if dom:
+            op.string(1, dom)
+        op.varint(2, ver)
+        w.bytes_field(8, op.getvalue())
     return w.getvalue()
 
 

@@ -17,13 +17,13 @@ from ..graph import Node
 from .registry import LoweringContext, UnsupportedOpError, register
 
 
-@register("BiasGelu")
+@register("BiasGelu", domain="com.microsoft")
 def bias_gelu(ctx, node, ins):
     x, b = ins
     return (jax.nn.gelu(x + b, approximate=False),)
 
 
-@register("FastGelu")
+@register("FastGelu", domain="com.microsoft")
 def fast_gelu(ctx, node, ins):
     x = ins[0]
     if len(ins) > 1 and ins[1] is not None:
@@ -31,7 +31,7 @@ def fast_gelu(ctx, node, ins):
     return (jax.nn.gelu(x, approximate=True),)
 
 
-@register("SkipLayerNormalization")
+@register("SkipLayerNormalization", domain="com.microsoft")
 def skip_layer_normalization(ctx, node, ins):
     x, skip, gamma = ins[0], ins[1], ins[2]
     beta = ins[3] if len(ins) > 3 and ins[3] is not None else None
@@ -45,13 +45,15 @@ def skip_layer_normalization(ctx, node, ins):
     out = (h - mean) * jax.lax.rsqrt(var + eps) * gamma
     if beta is not None:
         out = out + beta
-    # outputs: [ln, (mean), (inv_std), (input_skip_bias_sum)]
-    n_out = len([o for o in node.outputs if o])
-    extras = [mean.squeeze(-1), jax.lax.rsqrt(var + eps).squeeze(-1), h]
-    return tuple([out] + extras[: n_out - 1])
+    # outputs: [ln, (mean), (inv_std), (input_skip_bias_sum)] — aligned by
+    # SLOT, not by count of non-empty names: ORT's fused form commonly emits
+    # ['ln', '', '', 'sum'] and the engine binds positionally (skipping
+    # empty names), so every slot must carry its own value.
+    extras = (mean.squeeze(-1), jax.lax.rsqrt(var + eps).squeeze(-1), h)
+    return ((out,) + extras)[: len(node.outputs)]
 
 
-@register("EmbedLayerNormalization")
+@register("EmbedLayerNormalization", domain="com.microsoft")
 def embed_layer_normalization(ctx, node, ins):
     (ids, seg_ids, word_emb, pos_emb) = ins[:4]
     seg_emb = ins[4] if len(ins) > 4 and ins[4] is not None else None
@@ -75,10 +77,9 @@ def embed_layer_normalization(ctx, node, ins):
     out = (e - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
     mask_index = (jnp.sum(mask.astype(jnp.int32), axis=1) if mask is not None
                   else jnp.full((B,), S, jnp.int32))
-    n_out = len([o for o in node.outputs if o])
-    extras = [mask_index, e]
-    return tuple([out] + extras[: n_out - 1]) if n_out > 1 else (
-        out, mask_index)
+    # outputs: [ln, mask_index, (embedding_sum)] — slot-aligned (see
+    # SkipLayerNormalization above for why).
+    return (out, mask_index, e)[: max(len(node.outputs), 2)]
 
 
 def _mask_bias(mask_index, B, S_q, S_kv):
@@ -110,7 +111,7 @@ def _sdpa(q, k, v, bias, unidirectional, scale=None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-@register("Attention")
+@register("Attention", domain="com.microsoft")
 def attention(ctx: LoweringContext, node: Node, ins):
     """com.microsoft.Attention: fused packed-QKV self-attention."""
     x, w = ins[0], ins[1]
@@ -147,7 +148,7 @@ def attention(ctx: LoweringContext, node: Node, ins):
     return (out.transpose(0, 2, 1, 3).reshape(B, S, dv),)
 
 
-@register("MultiHeadAttention")
+@register("MultiHeadAttention", domain="com.microsoft")
 def multi_head_attention(ctx: LoweringContext, node: Node, ins):
     """com.microsoft.MultiHeadAttention: separate Q/K/V tensors."""
     q, k, v = ins[0], ins[1], ins[2]
@@ -179,7 +180,7 @@ def multi_head_attention(ctx: LoweringContext, node: Node, ins):
     return (out.transpose(0, 2, 1, 3).reshape(B, S_q, dv),)
 
 
-@register("RotaryEmbedding")
+@register("RotaryEmbedding", domain="com.microsoft")
 def rotary_embedding(ctx: LoweringContext, node: Node, ins):
     """com.microsoft.RotaryEmbedding: apply RoPE with precomputed caches.
 
@@ -237,7 +238,7 @@ def rotary_embedding(ctx: LoweringContext, node: Node, ins):
     return (out,)
 
 
-@register("GroupQueryAttention")
+@register("GroupQueryAttention", domain="com.microsoft")
 def group_query_attention(ctx: LoweringContext, node: Node, ins):
     """com.microsoft.GroupQueryAttention (no-past form): GQA with optional
     fused rotary embedding — the attention node in ORT llama exports.
@@ -314,7 +315,7 @@ def group_query_attention(ctx: LoweringContext, node: Node, ins):
     return (out.transpose(0, 2, 1, 3).reshape(B, S, D),)
 
 
-@register("FusedMatMul")
+@register("FusedMatMul", domain="com.microsoft")
 def fused_matmul(ctx, node, ins):
     """com.microsoft.FusedMatMul: alpha * op(A) @ op(B) with trans/batch
     transpose flags (ORT's transformer optimizer emits these)."""

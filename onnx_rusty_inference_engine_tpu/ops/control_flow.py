@@ -121,8 +121,14 @@ def loop(ctx: LoweringContext, node: Node, ins):
         # scan outputs only when the body's cond output provably stays at a
         # statically-true initial value (Identity passthrough of the cond
         # input, or a constant-true initializer).
-        init_static = (not cond_name) or ctx.constant(cond_name) is not None
-        if not (init_static and _body_cond_is_passthrough_or_true(body)):
+        # the initial cond must be statically TRUE, not merely static: a
+        # constant-false start means 0 iterations, so scan outputs must have
+        # length 0 — which the fixed-M scan below cannot produce.
+        cond0_static = ctx.constant(cond_name) if cond_name else True
+        init_static_true = (not cond_name) or (
+            cond0_static is not None
+            and bool(np.asarray(cond0_static).reshape(())))
+        if not (init_static_true and _body_cond_is_passthrough_or_true(body)):
             raise UnsupportedOpError(
                 "Loop: per-iteration scan outputs with a dynamic exit "
                 "condition imply dynamic shapes; make the trip count static "

@@ -195,8 +195,13 @@ def conv_integer(ctx: LoweringContext, node: Node, ins):
     strides = [int(s) for s in node.attr("strides", [1] * spatial)]
     dilations = [int(d) for d in node.attr("dilations", [1] * spatial)]
     padding = _conv_padding(node, x.shape[2:], kernel, strides, dilations)
+    w_zp = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    x = x.astype(jnp.int32)
+    w = w.astype(jnp.int32)
     if x_zp is not None:
-        x = x.astype(jnp.int32) - x_zp.astype(jnp.int32)
+        x = x - x_zp.astype(jnp.int32)
+    if w_zp is not None:
+        w = w - w_zp.astype(jnp.int32)
     acc = lax.conv_general_dilated(
         x, w, window_strides=strides, padding=padding,
         rhs_dilation=dilations,
@@ -207,7 +212,7 @@ def conv_integer(ctx: LoweringContext, node: Node, ins):
     return (acc,)
 
 
-@register("MatMulNBits")
+@register("MatMulNBits", domain="com.microsoft")
 def matmul_nbits(ctx: LoweringContext, node: Node, ins):
     """Weight-only INT4 matmul (quant.pack_int4 layout): activations stay
     floating; packed nibbles are expanded + block-dequantized on the fly and
@@ -296,8 +301,8 @@ def _qlinear_binary(fn):
     return emit
 
 
-register("QLinearAdd")(_qlinear_binary(jnp.add))
-register("QLinearMul")(_qlinear_binary(jnp.multiply))
+register("QLinearAdd", domain="com.microsoft")(_qlinear_binary(jnp.add))
+register("QLinearMul", domain="com.microsoft")(_qlinear_binary(jnp.multiply))
 
 
 def _qlinear_unary(fn):
@@ -308,12 +313,12 @@ def _qlinear_unary(fn):
     return emit
 
 
-register("QLinearSigmoid")(_qlinear_unary(lambda n, x: jax.nn.sigmoid(x)))
-register("QLinearLeakyRelu")(_qlinear_unary(
+register("QLinearSigmoid", domain="com.microsoft")(_qlinear_unary(lambda n, x: jax.nn.sigmoid(x)))
+register("QLinearLeakyRelu", domain="com.microsoft")(_qlinear_unary(
     lambda n, x: jnp.where(x >= 0, x, x * float(n.attr("alpha", 0.01)))))
 
 
-@register("QLinearGlobalAveragePool")
+@register("QLinearGlobalAveragePool", domain="com.microsoft")
 def qlinear_global_average_pool(ctx: LoweringContext, node: Node, ins):
     x, x_s, x_zp, y_s = ins[0], ins[1], ins[2], ins[3]
     y_zp = ins[4] if len(ins) > 4 else None
@@ -324,7 +329,7 @@ def qlinear_global_average_pool(ctx: LoweringContext, node: Node, ins):
     return (_q(out, y_s, y_zp, x.dtype),)
 
 
-@register("QLinearAveragePool")
+@register("QLinearAveragePool", domain="com.microsoft")
 def qlinear_average_pool(ctx: LoweringContext, node: Node, ins):
     from .standard import average_pool
 
@@ -334,7 +339,7 @@ def qlinear_average_pool(ctx: LoweringContext, node: Node, ins):
     return (_q(out, y_s, y_zp, x.dtype),)
 
 
-@register("QLinearConcat")
+@register("QLinearConcat", domain="com.microsoft")
 def qlinear_concat(ctx: LoweringContext, node: Node, ins):
     y_s, y_zp = ins[0], ins[1]
     parts = [_dq(ins[i], ins[i + 1], ins[i + 2])
@@ -343,7 +348,7 @@ def qlinear_concat(ctx: LoweringContext, node: Node, ins):
     return (_q(out, y_s, y_zp, ins[2].dtype),)
 
 
-@register("QGemm")
+@register("QGemm", domain="com.microsoft")
 def qgemm(ctx: LoweringContext, node: Node, ins):
     (a, a_s, a_zp, b, b_s, b_zp) = ins[:6]
     bias = ins[6] if len(ins) > 6 else None          # int32, scale a_s*b_s

@@ -15,32 +15,50 @@ import numpy as np
 
 from ..graph import Graph, Node
 
-_REGISTRY: Dict[str, Callable] = {}
+# keyed by (domain, op_type); domain "" is ai.onnx (the spec treats
+# "ai.onnx" as an alias for the default domain)
+_REGISTRY: Dict[tuple, Callable] = {}
 
 
 class UnsupportedOpError(NotImplementedError):
     """Clean error for unknown ops (the reference panics: model_inference.rs:158-160)."""
 
 
-def register(*op_types: str):
+def _norm_domain(domain: str) -> str:
+    return "" if domain in ("", "ai.onnx") else domain
+
+
+def register(*op_types: str, domain: str = ""):
     def deco(fn):
         for op in op_types:
-            _REGISTRY[op] = fn
+            _REGISTRY[(_norm_domain(domain), op)] = fn
         return fn
     return deco
 
 
-def get_emitter(op_type: str) -> Callable:
-    fn = _REGISTRY.get(op_type)
+def get_emitter(op_type: str, domain: str = "") -> Callable:
+    """Dispatch by (domain, op_type).
+
+    Lookup order: the node's own domain first, then the default domain
+    (many exporters leave node.domain empty even for contrib ops, and some
+    stamp com.microsoft on nodes we lower with default-domain semantics)."""
+    dom = _norm_domain(domain)
+    fn = _REGISTRY.get((dom, op_type))
+    if fn is None and dom:
+        fn = _REGISTRY.get(("", op_type))
+    if fn is None and not dom:
+        # bare contrib node (exporters frequently omit the domain)
+        fn = _REGISTRY.get(("com.microsoft", op_type))
     if fn is None:
         raise UnsupportedOpError(
-            f"op '{op_type}' has no lowering rule; supported: {sorted(_REGISTRY)}"
+            f"op '{op_type}' (domain {domain!r}) has no lowering rule; "
+            f"supported: {supported_ops()}"
         )
     return fn
 
 
 def supported_ops():
-    return sorted(_REGISTRY)
+    return sorted({op for _, op in _REGISTRY})
 
 
 class LoweringContext:
@@ -95,7 +113,7 @@ class LoweringContext:
             {k: np.asarray(v) for k, v in gproto.initializers.items()})
         for nproto in gproto.nodes:
             node = _node_from_proto(nproto)
-            emitter = get_emitter(node.op_type)
+            emitter = get_emitter(node.op_type, node.domain)
             ins = [env[i] if i else None for i in node.inputs]
             outs = emitter(sub, node, ins)
             for name, val in zip(node.outputs, outs):

@@ -254,6 +254,10 @@ def _max_pool_indices(node: Node, x, out_shape):
     gw = jnp.arange(OW)[None, None, None, :] * sw - pl + off_w
     base = (jnp.arange(N)[:, None, None, None] * C
             + jnp.arange(C)[None, :, None, None]) * (H * W)
+    # ONNX mandates int64 Indices; under JAX's default x64-disabled config
+    # this lands as int32 on device (values are range-guarded so they fit).
+    # The host boundary (InferenceResult) widens to int64 for consumers
+    # that check the dtype — same policy as ArgMax/TopK/Shape.
     return (base + gh * W + gw).astype(jnp.int64)
 
 
@@ -441,7 +445,19 @@ register("Softsign")(_unary(jax.nn.soft_sign))
 register("Sin")(_unary(jnp.sin))
 register("Cos")(_unary(jnp.cos))
 register("IsNaN")(_unary(jnp.isnan))
-register("IsInf")(_unary(jnp.isinf))
+@register("IsInf")
+def is_inf(ctx, node, ins):
+    x = ins[0]
+    pos = bool(int(node.attr("detect_positive", 1)))
+    neg = bool(int(node.attr("detect_negative", 1)))
+    out = jnp.isinf(x)
+    if pos and not neg:
+        out = out & (x > 0)
+    elif neg and not pos:
+        out = out & (x < 0)
+    elif not pos and not neg:
+        out = jnp.zeros_like(out)
+    return (out,)
 
 
 @register("LeakyRelu")
@@ -988,7 +1004,12 @@ def resize(ctx: LoweringContext, node: Node, ins):
                 out = _resize_linear_axis(out, ax, do, axis_scales[ax],
                                           coord)
         return (out.astype(x.dtype),)
-    # cubic path: jax.image.resize (half_pixel semantics)
+    # cubic path: jax.image.resize implements ONLY half_pixel semantics —
+    # reject other coordinate transforms instead of silently mis-resampling
+    if coord != "half_pixel":
+        raise UnsupportedOpError(
+            f"Resize mode=cubic with coordinate_transformation_mode="
+            f"{coord!r} not supported (only half_pixel)")
     out = jax.image.resize(x, out_shape, method=method)
     return (out.astype(x.dtype),)
 
@@ -1041,7 +1062,10 @@ def range_op(ctx: LoweringContext, node: Node, ins):
 @register("Trilu")
 def trilu(ctx, node, ins):
     x = ins[0]
-    k = int(ins[1]) if len(ins) > 1 and ins[1] is not None else 0
+    k = 0
+    if len(node.inputs) > 1 and node.inputs[1]:
+        # jnp.triu/tril need a static diagonal offset
+        k = int(ctx.require_constant(node.inputs[1], "Trilu k").reshape(()))
     upper = int(node.attr("upper", 1))
     return ((jnp.triu(x, k) if upper else jnp.tril(x, k)),)
 

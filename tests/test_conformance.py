@@ -1,0 +1,384 @@
+"""Registry-wide op conformance sweep.
+
+Round-1 verdict: ~50 registered ops had no test at all — "registered" is not
+"done". This file gives every previously-uncovered registry entry at least
+one single-node conformance case (built in memory, serialized through the
+wire codec, imported, lowered, jitted, compared against an inline numpy
+reference — same style as the ONNX backend tests the reference bundles,
+/root/reference/models/model.onnx).
+
+A meta-test at the bottom enforces the invariant going forward: every name
+in supported_ops() must appear in at least one test file.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from util import run_op
+
+rng = np.random.default_rng(7)
+
+
+def f32(*shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+def pos32(*shape):
+    return (rng.random(shape).astype(np.float32) + 0.1)
+
+
+# ---------------------------------------------------------------------------
+# unary float ops
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("op,fn,gen", [
+    ("Ceil", np.ceil, f32),
+    ("Floor", np.floor, f32),
+    ("Round", lambda x: np.round(x, 0), f32),  # banker's rounding, matches
+    ("Sign", np.sign, f32),
+    ("Reciprocal", np.reciprocal, pos32),
+    ("Log", np.log, pos32),
+    ("Cos", np.cos, f32),
+    ("Sin", np.sin, f32),
+    ("Softplus", lambda x: np.log1p(np.exp(x)), f32),
+    ("Softsign", lambda x: x / (1 + np.abs(x)), f32),
+])
+def test_unary(op, fn, gen):
+    x = gen(3, 4, 5)
+    (out,) = run_op(op, {"x": x})
+    np.testing.assert_allclose(out, fn(x), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("op,ref", [
+    ("Elu", lambda x, a: np.where(x > 0, x, a * (np.exp(x) - 1))),
+    ("LeakyRelu", lambda x, a: np.where(x >= 0, x, a * x)),
+])
+def test_alpha_activations(op, ref):
+    x = f32(2, 3, 4)
+    (out,) = run_op(op, {"x": x}, alpha=0.3)
+    np.testing.assert_allclose(out, ref(x, 0.3), rtol=1e-5, atol=1e-6)
+
+
+def test_selu():
+    x = f32(3, 4)
+    a, g = 1.6732632, 1.050701
+    (out,) = run_op("Selu", {"x": x}, alpha=a, gamma=g)
+    ref = g * np.where(x > 0, x, a * (np.exp(x) - 1))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_hard_sigmoid():
+    x = f32(3, 4)
+    (out,) = run_op("HardSigmoid", {"x": x}, alpha=0.2, beta=0.5)
+    np.testing.assert_allclose(out, np.clip(0.2 * x + 0.5, 0, 1), rtol=1e-5)
+
+
+def test_prelu_per_channel_slope():
+    x = f32(2, 3, 4, 5)
+    slope = pos32(3, 1, 1)
+    (out,) = run_op("PRelu", {"x": x}, {"slope": slope})
+    np.testing.assert_allclose(out, np.where(x >= 0, x, slope * x), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# binary / variadic / comparison / logical / bitwise
+# ---------------------------------------------------------------------------
+def test_pow():
+    a, b = pos32(3, 4), f32(3, 4)
+    (out,) = run_op("Pow", {"a": a, "b": b})
+    np.testing.assert_allclose(out, a ** b, rtol=1e-4)
+
+
+@pytest.mark.parametrize("op,fn", [
+    ("Max", lambda xs: np.maximum.reduce(xs)),
+    ("Min", lambda xs: np.minimum.reduce(xs)),
+    ("Sum", lambda xs: np.sum(xs, axis=0)),
+    ("Mean", lambda xs: np.mean(xs, axis=0)),
+])
+def test_variadic(op, fn):
+    xs = [f32(2, 3), f32(2, 3), f32(2, 3)]
+    (out,) = run_op(op, {"a": xs[0], "b": xs[1], "c": xs[2]})
+    np.testing.assert_allclose(out, fn(np.stack(xs)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("op,fn", [
+    ("Equal", np.equal),
+    ("GreaterOrEqual", np.greater_equal),
+    ("LessOrEqual", np.less_equal),
+])
+def test_comparisons(op, fn):
+    a = rng.integers(-2, 3, (4, 5)).astype(np.float32)
+    b = rng.integers(-2, 3, (4, 5)).astype(np.float32)
+    (out,) = run_op(op, {"a": a, "b": b})
+    np.testing.assert_array_equal(out, fn(a, b))
+
+
+@pytest.mark.parametrize("op,fn", [
+    ("And", np.logical_and), ("Or", np.logical_or), ("Xor", np.logical_xor),
+])
+def test_logical_binary(op, fn):
+    a = rng.random((3, 4)) > 0.5
+    b = rng.random((3, 4)) > 0.5
+    (out,) = run_op(op, {"a": a, "b": b})
+    np.testing.assert_array_equal(out, fn(a, b))
+
+
+def test_not():
+    a = rng.random((3, 4)) > 0.5
+    (out,) = run_op("Not", {"a": a})
+    np.testing.assert_array_equal(out, ~a)
+
+
+@pytest.mark.parametrize("op,fn", [
+    ("BitwiseAnd", np.bitwise_and), ("BitwiseOr", np.bitwise_or),
+])
+def test_bitwise_binary(op, fn):
+    a = rng.integers(-100, 100, (3, 4)).astype(np.int32)
+    b = rng.integers(-100, 100, (3, 4)).astype(np.int32)
+    (out,) = run_op(op, {"a": a, "b": b}, opset=18)
+    np.testing.assert_array_equal(out, fn(a, b))
+
+
+def test_isinf_isnan():
+    x = np.array([1.0, np.inf, -np.inf, np.nan, 0.0], np.float32)
+    (out,) = run_op("IsInf", {"x": x})
+    np.testing.assert_array_equal(out, np.isinf(x))
+    (out,) = run_op("IsNaN", {"x": x})
+    np.testing.assert_array_equal(out, np.isnan(x))
+
+
+def test_isinf_detect_flags():
+    x = np.array([1.0, np.inf, -np.inf], np.float32)
+    (out,) = run_op("IsInf", {"x": x}, detect_negative=0)
+    np.testing.assert_array_equal(out, np.array([False, True, False]))
+    (out,) = run_op("IsInf", {"x": x}, detect_positive=0)
+    np.testing.assert_array_equal(out, np.array([False, False, True]))
+
+
+# ---------------------------------------------------------------------------
+# reductions (opset-13 axes attribute AND opset-18 axes input)
+# ---------------------------------------------------------------------------
+REDUCES = [
+    ("ReduceMax", lambda x, ax: np.max(x, axis=ax)),
+    ("ReduceMin", lambda x, ax: np.min(x, axis=ax)),
+    ("ReduceProd", lambda x, ax: np.prod(x, axis=ax)),
+    ("ReduceL1", lambda x, ax: np.sum(np.abs(x), axis=ax)),
+    ("ReduceL2", lambda x, ax: np.sqrt(np.sum(x * x, axis=ax))),
+    ("ReduceSumSquare", lambda x, ax: np.sum(x * x, axis=ax)),
+    ("ReduceLogSumExp",
+     lambda x, ax: np.log(np.sum(np.exp(x), axis=ax))),
+]
+
+
+@pytest.mark.parametrize("op,fn", REDUCES)
+def test_reduce_axes_attr(op, fn):
+    x = f32(2, 3, 4)
+    (out,) = run_op(op, {"x": x}, axes=[1], keepdims=0)
+    np.testing.assert_allclose(out, fn(x, 1), rtol=1e-5)
+
+
+@pytest.mark.parametrize("op,fn", REDUCES)
+def test_reduce_axes_input_opset18(op, fn):
+    x = f32(2, 3, 4)
+    (out,) = run_op(op, {"x": x},
+                    {"axes": np.array([2], np.int64)}, opset=18, keepdims=1)
+    np.testing.assert_allclose(out, fn(x, 2)[..., None], rtol=1e-5)
+
+
+def test_logsoftmax():
+    x = f32(3, 5)
+    (out,) = run_op("LogSoftmax", {"x": x}, axis=-1)
+    ref = x - np.log(np.sum(np.exp(x - x.max(-1, keepdims=True)),
+                            axis=-1, keepdims=True)) - x.max(-1, keepdims=True)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# shape / indexing / construction
+# ---------------------------------------------------------------------------
+def test_constant_node():
+    val = f32(2, 3)
+    (out,) = run_op("Constant", {}, value=val)
+    np.testing.assert_array_equal(out, val)
+
+
+def test_constant_of_shape():
+    (out,) = run_op("ConstantOfShape", {},
+                    {"shape": np.array([2, 3], np.int64)},
+                    value=np.array([7.5], np.float32))
+    np.testing.assert_array_equal(out, np.full((2, 3), 7.5, np.float32))
+
+
+def test_cast_like():
+    a = f32(3, 4) * 10
+    b = np.zeros((1,), np.int32)
+    (out,) = run_op("CastLike", {"a": a, "b": b}, opset=15)
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out, a.astype(np.int32))
+
+
+def test_expand():
+    x = f32(1, 3, 1)
+    (out,) = run_op("Expand", {"x": x}, {"shape": np.array([2, 3, 4], np.int64)})
+    np.testing.assert_array_equal(out, np.broadcast_to(x, (2, 3, 4)))
+
+
+def test_tile():
+    x = f32(2, 3)
+    (out,) = run_op("Tile", {"x": x}, {"repeats": np.array([2, 3], np.int64)})
+    np.testing.assert_array_equal(out, np.tile(x, (2, 3)))
+
+
+def test_range():
+    (out,) = run_op("Range", {}, {
+        "start": np.array(2.0, np.float32),
+        "limit": np.array(11.0, np.float32),
+        "delta": np.array(3.0, np.float32)})
+    np.testing.assert_allclose(out, np.arange(2.0, 11.0, 3.0))
+
+
+def test_trilu():
+    x = f32(4, 4)
+    (out,) = run_op("Trilu", {"x": x}, upper=1)
+    np.testing.assert_array_equal(out, np.triu(x))
+    (out,) = run_op("Trilu", {"x": x}, {"k": np.array(1, np.int64)}, upper=0)
+    np.testing.assert_array_equal(out, np.tril(x, 1))
+
+
+def test_one_hot():
+    idx = np.array([0, 2, 1, 2], np.int64)
+    (out,) = run_op("OneHot", {"indices": idx}, {
+        "depth": np.array(3, np.int64),
+        "values": np.array([0.5, 2.0], np.float32)}, axis=-1)
+    ref = np.eye(3, dtype=np.float32)[idx] * 1.5 + 0.5
+    np.testing.assert_allclose(out, ref)
+
+
+def test_gather_elements():
+    x = f32(3, 4)
+    idx = rng.integers(0, 3, (2, 4)).astype(np.int64)
+    (out,) = run_op("GatherElements", {"x": x}, {"idx": idx}, axis=0)
+    np.testing.assert_array_equal(out, np.take_along_axis(x, idx, axis=0))
+
+
+def test_squeeze_axes_input_opset13():
+    x = f32(1, 3, 1, 4)
+    (out,) = run_op("Squeeze", {"x": x},
+                    {"axes": np.array([0, 2], np.int64)})
+    np.testing.assert_array_equal(out, x.reshape(3, 4))
+
+
+def test_size():
+    x = f32(2, 3, 4)
+    (out,) = run_op("Size", {"x": x})
+    assert int(out) == 24
+
+
+def test_global_max_pool():
+    x = f32(2, 3, 5, 7)
+    (out,) = run_op("GlobalMaxPool", {"x": x})
+    np.testing.assert_array_equal(out, x.max(axis=(2, 3), keepdims=True))
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+def test_instance_normalization():
+    x = f32(2, 3, 4, 5)
+    scale, bias = pos32(3), f32(3)
+    (out,) = run_op("InstanceNormalization", {"x": x},
+                    {"scale": scale, "bias": bias}, epsilon=1e-5)
+    mean = x.mean(axis=(2, 3), keepdims=True)
+    var = x.var(axis=(2, 3), keepdims=True)
+    ref = ((x - mean) / np.sqrt(var + 1e-5)
+           * scale.reshape(1, 3, 1, 1) + bias.reshape(1, 3, 1, 1))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_simplified_layer_normalization():
+    x, scale = f32(2, 5, 8), pos32(8)
+    (out,) = run_op("SimplifiedLayerNormalization", {"x": x},
+                    {"scale": scale}, axis=-1, epsilon=1e-6)
+    ref = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6) * scale
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# integer / quantized tail
+# ---------------------------------------------------------------------------
+def test_matmul_integer():
+    a = rng.integers(0, 255, (4, 6)).astype(np.uint8)
+    b = rng.integers(0, 255, (6, 5)).astype(np.uint8)
+    azp = np.array(128, np.uint8)
+    bzp = np.array(120, np.uint8)
+    (out,) = run_op("MatMulInteger", {"a": a, "b": b},
+                    {"azp": azp, "bzp": bzp})
+    ref = (a.astype(np.int32) - 128) @ (b.astype(np.int32) - 120)
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_conv_integer():
+    x = rng.integers(0, 255, (1, 2, 5, 5)).astype(np.uint8)
+    w = rng.integers(-100, 100, (3, 2, 3, 3)).astype(np.int8)
+    xzp = np.array(128, np.uint8)
+    (out,) = run_op("ConvInteger", {"x": x, "w": w}, {"xzp": xzp})
+    xi = x.astype(np.int32) - 128
+    ref = np.zeros((1, 3, 3, 3), np.int32)
+    for o in range(3):
+        for i in range(3):
+            for j in range(3):
+                patch = xi[0, :, i:i + 3, j:j + 3]
+                ref[0, o, i, j] = np.sum(patch * w[o].astype(np.int32))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_dynamic_quantize_linear():
+    x = f32(3, 4) * 5
+    y, scale, zp = run_op("DynamicQuantizeLinear", {"x": x}, n_outputs=3)
+    assert y.dtype == np.uint8 and zp.dtype == np.uint8
+    xmin, xmax = min(x.min(), 0.0), max(x.max(), 0.0)
+    ref_scale = (xmax - xmin) / 255.0
+    np.testing.assert_allclose(scale, ref_scale, rtol=1e-6)
+    ref_zp = np.clip(round(-xmin / ref_scale), 0, 255)
+    assert int(zp) == int(ref_zp)
+    ref_y = np.clip(np.round(x / ref_scale) + ref_zp, 0, 255).astype(np.uint8)
+    # round-half-to-even boundary values may differ by 1 ulp of the scale
+    assert np.abs(y.astype(int) - ref_y.astype(int)).max() <= 1
+
+
+def test_qlinear_average_pool():
+    x = rng.integers(0, 255, (1, 2, 4, 4)).astype(np.uint8)
+    xs = np.array(0.05, np.float32)
+    xzp = np.array(128, np.uint8)
+    ys = np.array(0.04, np.float32)
+    yzp = np.array(100, np.uint8)
+    (out,) = run_op("QLinearAveragePool",
+                    {"x": x}, {"xs": xs, "xzp": xzp, "ys": ys, "yzp": yzp},
+                    kernel_shape=[2, 2], strides=[2, 2])
+    xf = (x.astype(np.float32) - 128) * 0.05
+    pooled = xf.reshape(1, 2, 2, 2, 2, 2).mean(axis=(3, 5))
+    ref = np.clip(np.round(pooled / 0.04) + 100, 0, 255).astype(np.uint8)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# meta: every registered op must appear in at least one test file
+# ---------------------------------------------------------------------------
+def test_every_registered_op_is_tested():
+    import onnx_rusty_inference_engine_tpu.ops  # noqa: F401  (fills registry)
+    from onnx_rusty_inference_engine_tpu.ops.registry import supported_ops
+
+    here = os.path.dirname(__file__)
+    mentioned = set()
+    for fname in os.listdir(here):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(here, fname)) as f:
+            mentioned.update(re.findall(r'"([A-Za-z][A-Za-z0-9]*)"', f.read()))
+    missing = [op for op in supported_ops() if op not in mentioned]
+    assert not missing, (
+        f"registered ops with no test coverage: {missing} — add a "
+        f"conformance case in this file when registering a new op")

@@ -161,3 +161,72 @@ def test_fp16_model_runs():
     assert got.dtype == np.float16
     np.testing.assert_allclose(got.astype(np.float32), want, rtol=1e-2,
                                atol=1e-3)
+
+
+def _tiny_relu_model_bytes(opset_entries):
+    """Hand-encode a one-node Relu model with the given opset_import
+    entries, in exactly the given order (parse_model must pick the
+    ai.onnx entry regardless of order — ORT exports carry
+    [ai.onnx, com.microsoft] and either may parse last)."""
+    from onnx_rusty_inference_engine_tpu.utils.protowire import WireWriter
+
+    node = WireWriter()
+    node.string(1, "x").string(2, "y").string(4, "Relu")
+    vi_x = WireWriter()
+    vi_x.string(1, "x")
+    vi_y = WireWriter()
+    vi_y.string(1, "y")
+    g = WireWriter()
+    g.bytes_field(1, node.getvalue()).string(2, "g")
+    g.bytes_field(11, vi_x.getvalue()).bytes_field(12, vi_y.getvalue())
+    m = WireWriter()
+    m.varint(1, 8)  # ir_version
+    m.bytes_field(7, g.getvalue())
+    for dom, ver in opset_entries:
+        op = WireWriter()
+        if dom:
+            op.string(1, dom)
+        op.varint(2, ver)
+        m.bytes_field(8, op.getvalue())
+    return m.getvalue()
+
+
+@pytest.mark.parametrize("entries", [
+    [("", 17), ("com.microsoft", 1)],
+    [("com.microsoft", 1), ("", 17)],
+    [("com.microsoft", 1), ("ai.onnx", 17)],
+])
+def test_multi_domain_opset_imports(entries):
+    m = onnx_io.parse_model(_tiny_relu_model_bytes(entries))
+    assert m.opset_version == 17, entries
+    assert m.opset_imports == {d or "": v for d, v in entries} or \
+        m.opset_imports == dict(entries)
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+
+    g = import_model(m)
+    assert g.opset == 17
+    assert g.opsets.get("com.microsoft") == 1
+
+
+def test_multi_domain_opset_roundtrip():
+    m = onnx_io.parse_model(
+        _tiny_relu_model_bytes([("com.microsoft", 1), ("", 17)]))
+    m2 = onnx_io.parse_model(onnx_io.serialize_model(m))
+    assert m2.opset_version == 17
+    assert m2.opset_imports.get("com.microsoft") == 1
+
+
+def test_external_data_path_traversal_rejected(tmp_path):
+    """A hostile .onnx must not read files outside the model directory."""
+    from onnx_rusty_inference_engine_tpu.utils.protowire import WireWriter
+
+    t = WireWriter()
+    t.varint(1, 4)              # dims: [4]
+    t.varint(2, 1)              # float32
+    t.string(8, "w")            # name
+    ext = WireWriter()
+    ext.string(1, "location").string(2, "../../etc/hostname")
+    t.bytes_field(13, ext.getvalue())
+    t.varint(14, 1)             # data_location = EXTERNAL
+    with pytest.raises(ValueError, match="escapes"):
+        onnx_io.parse_tensor_proto(t.getvalue(), base_dir=str(tmp_path))
