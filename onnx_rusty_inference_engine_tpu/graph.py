@@ -214,6 +214,7 @@ _FOLDABLE = {
     "Reshape", "Shape", "Gather", "Concat", "Cast", "Slice", "Squeeze",
     "Unsqueeze", "Transpose", "Add", "Sub", "Mul", "Div", "ConstantOfShape",
     "Range", "Expand", "Constant", "Identity", "Flatten", "Where", "Equal",
+    "Mod", "Neg", "Floor", "Ceil", "Min", "Max", "Sqrt",
 }
 
 
@@ -271,6 +272,23 @@ def _fold_one(n: Node, consts: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
         if op == "Div" and np.issubdtype(ins[0].dtype, np.integer):
             out = (ins[0] // ins[1]).astype(ins[0].dtype)
         return out
+    if op == "Mod":
+        # fmod=0 (default): result follows the DIVISOR's sign (python %)
+        if int(n.attr("fmod", 0)):
+            return np.fmod(ins[0], ins[1])
+        return np.mod(ins[0], ins[1])
+    if op == "Neg":
+        return np.negative(ins[0])
+    if op == "Floor":
+        return np.floor(ins[0])
+    if op == "Ceil":
+        return np.ceil(ins[0])
+    if op == "Sqrt":
+        return np.sqrt(ins[0])
+    if op == "Min":
+        return np.minimum.reduce([x for x in ins])
+    if op == "Max":
+        return np.maximum.reduce([x for x in ins])
     if op == "Equal":
         return np.equal(ins[0], ins[1])
     if op == "Where":
