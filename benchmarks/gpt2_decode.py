@@ -52,36 +52,62 @@ def main() -> None:
     g_kv8 = import_model(build_gpt2_decode(cfg, batch=args.batch,
                                            max_len=args.max_len,
                                            kv_dtype="int8"))
+    g_scan = import_model(build_gpt2_decode(cfg, batch=args.batch,
+                                            max_len=args.max_len,
+                                            scan_layers=True))
+    g_scan_kv8 = import_model(build_gpt2_decode(cfg, batch=args.batch,
+                                                max_len=args.max_len,
+                                                kv_dtype="int8",
+                                                scan_layers=True))
 
     rng = np.random.default_rng(0)
     B, H, L, hd = args.batch, cfg.n_head, args.max_len, cfg.head_dim
+    NL = cfg.n_layer
 
-    def make_feed(int8_kv: bool):
+    def make_feed(int8_kv: bool, stacked: bool = False):
         feed = {"input_ids": jnp.asarray(
                     rng.integers(0, cfg.vocab_size, (B, 1)).astype(np.int64)),
                 "pos": jnp.full((B,), L // 2, dtype=np.int64)}
-        for i in range(cfg.n_layer):
-            for kind in ("key", "value"):
-                kv = rng.standard_normal((B, H, L, hd)).astype(np.float32)
-                if int8_kv:
-                    feed[f"past_{kind}_{i}"] = jnp.asarray(
-                        np.clip(np.round(kv * 32), -127, 127).astype(np.int8))
-                    feed[f"kv_scale_{kind}_{i}"] = jnp.full(
-                        (H,), 1 / 32, jnp.float32)
+        shape = (NL, B, H, L, hd) if stacked else (B, H, L, hd)
+        kinds = ("key", "value")
+        for kind in kinds:
+            kv = rng.standard_normal(shape).astype(np.float32)
+            name = f"past_{kind}" if stacked else None
+            if int8_kv:
+                q = jnp.asarray(
+                    np.clip(np.round(kv * 32), -127, 127).astype(np.int8))
+                s_shape = (NL, H) if stacked else (H,)
+                if stacked:
+                    feed[f"past_{kind}"] = q
+                    feed[f"kv_scale_{kind}"] = jnp.full(s_shape, 1 / 32,
+                                                        jnp.float32)
                 else:
-                    feed[f"past_{kind}_{i}"] = jnp.asarray(kv)
+                    for i in range(NL):
+                        feed[f"past_{kind}_{i}"] = q
+                        feed[f"kv_scale_{kind}_{i}"] = jnp.full(
+                            s_shape, 1 / 32, jnp.float32)
+            else:
+                if stacked:
+                    feed[f"past_{kind}"] = jnp.asarray(kv)
+                else:
+                    for i in range(NL):
+                        feed[f"past_{kind}_{i}"] = jnp.asarray(kv)
         return feed
 
-    def bench(graph, label, feed):
+    def bench(graph, label, feed, stacked: bool = False):
         eng = Engine(graph)
 
         def step(params, carry):
             out = eng._fn(params, carry)
             new = dict(carry)
             # feed presents back in (the real decode loop does exactly this)
-            for i in range(cfg.n_layer):
-                for kind in ("key", "value"):
-                    new[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
+            if stacked:
+                new["past_key"] = out["present_key"]
+                new["past_value"] = out["present_value"]
+            else:
+                for i in range(cfg.n_layer):
+                    for kind in ("key", "value"):
+                        new[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
             tok = jnp.argmax(out["logits"][:, -1, :], axis=-1)
             new["input_ids"] = tok[:, None].astype(jnp.int64)
             return new
@@ -104,10 +130,21 @@ def main() -> None:
     t_4 = bench(g4, "int4_weights", feed_f)
     g4kv8 = quantize_weights_int4(g_kv8)
     t_48 = bench(g4kv8, "int4_weights_int8_kv", feed_q)
+    # scan-over-layers forms: same math, ONE lax.scan body instead of
+    # n_layer inlined blocks -> far fewer HLO ops per step (dispatch-gap fix)
+    t_sf = bench(g_scan, "scan_fp32", make_feed(False, stacked=True),
+                 stacked=True)
+    g_scan48 = quantize_weights_int4(g_scan_kv8)
+    t_s48 = bench(g_scan48, "scan_int4_weights_int8_kv",
+                  make_feed(True, stacked=True), stacked=True)
     print(json.dumps({"metric": "gpt2_decode_int4_speedup",
                       "value": round(t_f / t_4, 3)}))
     print(json.dumps({"metric": "gpt2_decode_int4_int8kv_speedup",
                       "value": round(t_f / t_48, 3)}))
+    print(json.dumps({"metric": "gpt2_decode_scan_speedup_vs_fp32",
+                      "value": round(t_f / t_sf, 3)}))
+    print(json.dumps({"metric": "gpt2_decode_scan_int4_int8kv_speedup",
+                      "value": round(t_f / t_s48, 3)}))
 
 
 if __name__ == "__main__":

@@ -49,31 +49,48 @@ def main() -> None:
     B, L, Hkv, hd = args.batch, args.max_len, cfg.n_kv_head, cfg.head_dim
     rng = np.random.default_rng(0)
 
-    def make_feed(int8_kv: bool):
+    NL = cfg.n_layer
+
+    def make_feed(int8_kv: bool, stacked: bool = False):
         feed = {"input_ids": jnp.asarray(
                     rng.integers(0, cfg.vocab_size, (B, 1)).astype(np.int64)),
                 "pos": jnp.full((B,), L // 2, dtype=jnp.int64)}
-        for i in range(cfg.n_layer):
-            for kind in ("key", "value"):
-                kv = rng.standard_normal((B, Hkv, L, hd)).astype(np.float32)
-                if int8_kv:
-                    feed[f"past_{kind}_{i}"] = jnp.asarray(
-                        np.clip(np.round(kv * 32), -127, 127).astype(np.int8))
-                    feed[f"kv_scale_{kind}_{i}"] = jnp.full(
-                        (Hkv,), 1 / 32, jnp.float32)
+        shape = (NL, B, Hkv, L, hd) if stacked else (B, Hkv, L, hd)
+        for kind in ("key", "value"):
+            kv = rng.standard_normal(shape).astype(np.float32)
+            if int8_kv:
+                q = jnp.asarray(
+                    np.clip(np.round(kv * 32), -127, 127).astype(np.int8))
+                if stacked:
+                    feed[f"past_{kind}"] = q
+                    feed[f"kv_scale_{kind}"] = jnp.full((NL, Hkv), 1 / 32,
+                                                        jnp.float32)
                 else:
-                    feed[f"past_{kind}_{i}"] = jnp.asarray(kv)
+                    for i in range(NL):
+                        feed[f"past_{kind}_{i}"] = q
+                        feed[f"kv_scale_{kind}_{i}"] = jnp.full(
+                            (Hkv,), 1 / 32, jnp.float32)
+            else:
+                if stacked:
+                    feed[f"past_{kind}"] = jnp.asarray(kv)
+                else:
+                    for i in range(NL):
+                        feed[f"past_{kind}_{i}"] = jnp.asarray(kv)
         return feed
 
-    def bench(graph, label, feed):
+    def bench(graph, label, feed, stacked: bool = False):
         eng = Engine(graph)
 
         def step(params, carry):
             out = eng._fn(params, carry)
             new = dict(carry)
-            for i in range(cfg.n_layer):
-                for kind in ("key", "value"):
-                    new[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
+            if stacked:
+                new["past_key"] = out["present_key"]
+                new["past_value"] = out["present_value"]
+            else:
+                for i in range(cfg.n_layer):
+                    for kind in ("key", "value"):
+                        new[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
             tok = jnp.argmax(out["logits"][:, -1, :], axis=-1)
             new["input_ids"] = tok[:, None].astype(jnp.int64)
             return new
@@ -92,11 +109,19 @@ def main() -> None:
     g = import_model(build_llama_decode(cfg, batch=B, max_len=L))
     g_kv8 = import_model(build_llama_decode(cfg, batch=B, max_len=L,
                                             kv_dtype="int8"))
+    g_scan_kv8 = import_model(build_llama_decode(cfg, batch=B, max_len=L,
+                                                 kv_dtype="int8",
+                                                 scan_layers=True))
     t_f = bench(g, "fp32", make_feed(False))
     t_48 = bench(quantize_weights_int4(g_kv8), "int4_weights_int8_kv",
                  make_feed(True))
+    t_s48 = bench(quantize_weights_int4(g_scan_kv8),
+                  "scan_int4_weights_int8_kv",
+                  make_feed(True, stacked=True), stacked=True)
     print(json.dumps({"metric": "llama_decode_int4_int8kv_speedup",
                       "value": round(t_f / t_48, 3)}))
+    print(json.dumps({"metric": "llama_decode_scan_int4_int8kv_speedup",
+                      "value": round(t_f / t_s48, 3)}))
 
 
 if __name__ == "__main__":

@@ -38,6 +38,7 @@ class Generator:
         kv_dtype: str = "float32",
         int4_weights: bool = False,
         family: str = "gpt2",
+        scan_layers: bool = False,
     ):
         assert max_len >= prompt_len
         self.cfg = cfg
@@ -53,6 +54,14 @@ class Generator:
             raise NotImplementedError(
                 f"{family}: in-graph INT8 KV cache not implemented")
         dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
+        # scan-over-layers decode graph: ONE lax.scan over stacked weights
+        # instead of n_layer inlined blocks — collapses the per-step HLO op
+        # count (and with it the dispatch gaps that dominate the step on a
+        # tunnel-dispatched chip, PERF.md). Cache I/O becomes stacked:
+        # past_key/past_value [n_layer, B, H, max_len, hd].
+        self._stacked = bool(scan_layers)
+        if scan_layers:
+            dkw["scan_layers"] = True
         pkw = ({"past_len": 0, "with_presents": True} if family == "gpt2"
                else {"with_presents": True})
         prefill_graph = import_model(
@@ -135,16 +144,35 @@ class Generator:
                     amax = np.maximum(np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
                     self._kv_scales[f"kv_scale_{kind}_{i}"] = (
                         amax / 127.0).astype(np.float32)
+            if self._stacked:  # stacked graph takes kv_scale_key [L, H]
+                self._kv_scales = {
+                    f"kv_scale_{kind}": np.stack(
+                        [self._kv_scales[f"kv_scale_{kind}_{i}"]
+                         for i in range(L)])
+                    for kind in ("key", "value")}
 
         # seed the fixed-size cache with the prefill presents
         cache: Dict[str, jax.Array] = {}
-        for i in range(L):
-            for kind in ("key", "value"):
+        for kind in ("key", "value"):
+            full = []
+            for i in range(L):
                 kv = out[f"present_{kind}_{i}"]  # [B,H,P,hd]
                 pad = self.max_len - kv.shape[2]
                 kv_full = jnp.pad(kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
-                cache[f"past_{kind}_{i}"] = self._store(
-                    kv_full, f"kv_scale_{kind}_{i}")
+                if self._stacked:
+                    full.append(kv_full)
+                else:
+                    cache[f"past_{kind}_{i}"] = self._store(
+                        kv_full, f"kv_scale_{kind}_{i}")
+            if self._stacked:
+                stacked = jnp.stack(full)  # [L,B,H,max_len,hd]
+                if self.kv_dtype == np.int8:
+                    s = self._kv_scales[f"kv_scale_{kind}"]
+                    s = jnp.asarray(s)[:, None, :, None, None]
+                    stacked = jnp.clip(jnp.round(stacked / s), -127, 127
+                                       ).astype(jnp.int8)
+                cache[f"past_{kind}"] = stacked.astype(
+                    jnp.int8 if self.kv_dtype == np.int8 else jnp.float32)
 
         tokens = [np.asarray(next_tok)]
         all_logits = [np.asarray(logits)] if return_logits else None
@@ -160,9 +188,13 @@ class Generator:
             key, sub = jax.random.split(key)
             next_tok = self._select(step_logits[:, -1, :], sub, temperature,
                                     top_k, top_p)
-            for i in range(L):
-                for kind in ("key", "value"):
-                    cache[f"past_{kind}_{i}"] = step[f"present_{kind}_{i}"]
+            if self._stacked:
+                cache["past_key"] = step["present_key"]
+                cache["past_value"] = step["present_value"]
+            else:
+                for i in range(L):
+                    for kind in ("key", "value"):
+                        cache[f"past_{kind}_{i}"] = step[f"present_{kind}_{i}"]
             tokens.append(np.asarray(next_tok))
             if return_logits:
                 all_logits.append(np.asarray(step_logits))

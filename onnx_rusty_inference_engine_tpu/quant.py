@@ -521,6 +521,105 @@ def pack_int4(w: np.ndarray, block_size: int = 256
     return packed, scales
 
 
+def _int4_scan_body(node: Node, consts: Dict[str, np.ndarray],
+                    weights: List[str], min_elems: int,
+                    block_size: int) -> Node:
+    """INT4-quantize the stacked per-layer weights of a scan-over-layers
+    decode graph (models/gpt2._build_gpt2_decode_scan).
+
+    For each Scan input that is a stacked 3-D float constant [n_layer,K,N]
+    consumed in the body ONLY as the B operand of one MatMul: pack every
+    layer (pack_int4), stack to packed [n_layer,Nw,K//2] + scales
+    [n_layer,Nw,nb], replace the single scan input with these two, and
+    rewrite the body MatMul to MatMulNBits over the per-iteration slices."""
+    from . import onnx_io
+    from .models._builder import _attr
+
+    body = node.attr("body")
+    n_scan = int(node.attr("num_scan_inputs"))
+    n_state = len(node.inputs) - n_scan
+    body_in_names = [vi.name for vi in body.inputs]
+    outer_for = {body_in_names[j]: j for j in range(n_state,
+                                                    len(body_in_names))}
+
+    # body tensor usage counts (a weight consumed twice can't be rewritten)
+    use_count: Dict[str, int] = {}
+    for bn in body.nodes:
+        for i in bn.input:
+            if i:
+                use_count[i] = use_count.get(i, 0) + 1
+
+    scan_inputs = list(node.inputs)
+    body_inputs = list(body.inputs)
+    new_body_nodes = []
+    changed = False
+    # positions shift as we insert scales inputs; track by name
+    for bn in body.nodes:
+        if (bn.op_type == "MatMul" and len(bn.input) == 2
+                and bn.input[1] in outer_for
+                and use_count.get(bn.input[1], 0) == 1):
+            slice_name = bn.input[1]
+            outer_name = scan_inputs[
+                [vi.name for vi in body_inputs].index(slice_name)]
+            w_stack = consts.get(outer_name)
+            if (w_stack is not None and w_stack.ndim == 3
+                    and w_stack[0].size >= min_elems
+                    and np.issubdtype(w_stack.dtype, np.floating)
+                    and w_stack.shape[1] % 2 == 0):
+                NLyr, K, N = w_stack.shape
+                packs, scls = zip(*(pack_int4(w_stack[l].astype(np.float32),
+                                              block_size)
+                                    for l in range(NLyr)))
+                packed = np.stack(packs)   # [NL, N, K//2]
+                scales = np.stack(scls)    # [NL, N, nb]
+                n_pad = -(-N // 256) * 256 - N  # Pallas N-block pre-pad
+                if n_pad:
+                    packed = np.pad(packed, ((0, 0), (0, n_pad), (0, 0)))
+                    scales = np.pad(scales, ((0, 0), (0, n_pad), (0, 0)))
+                pname, sname = f"{outer_name}__w4", f"{outer_name}__w4s"
+                consts[pname] = packed
+                consts[sname] = scales
+                weights.append(pname)
+                weights.append(sname)
+                # swap the outer scan input, append the scales input
+                j = scan_inputs.index(outer_name)
+                scan_inputs[j] = pname
+                scan_inputs.insert(j + 1, sname)
+                bslice_p, bslice_s = f"{slice_name}__w4", f"{slice_name}__w4s"
+                jb = [vi.name for vi in body_inputs].index(slice_name)
+                body_inputs[jb] = onnx_io.ValueInfo(
+                    name=bslice_p, elem_type=onnx_io.NUMPY_TO_DTYPE[
+                        np.dtype(np.uint8)],
+                    shape=list(packed.shape[1:]))
+                body_inputs.insert(jb + 1, onnx_io.ValueInfo(
+                    name=bslice_s, elem_type=onnx_io.NUMPY_TO_DTYPE[
+                        np.dtype(np.float32)],
+                    shape=list(scales.shape[1:])))
+                nb = onnx_io.NodeProto(
+                    op_type="MatMulNBits",
+                    input=[bn.input[0], bslice_p, bslice_s],
+                    output=list(bn.output), name=bn.name,
+                    domain="com.microsoft")
+                for k_, v_ in {"K": K, "N": N, "bits": 4,
+                               "block_size": K // scales.shape[2]}.items():
+                    nb.attributes[k_] = _attr(k_, v_)
+                new_body_nodes.append(nb)
+                changed = True
+                n_scan += 1
+                continue
+        new_body_nodes.append(bn)
+
+    if not changed:
+        return node
+    body.nodes = new_body_nodes
+    body.inputs = body_inputs
+    attrs = dict(node.attrs)
+    attrs["body"] = body
+    attrs["num_scan_inputs"] = n_scan
+    return Node(node.op_type, scan_inputs, list(node.outputs), node.name,
+                attrs, node.domain)
+
+
 def quantize_weights_int4(
     graph: Graph,
     min_elems: int = 4096,
@@ -533,6 +632,11 @@ def quantize_weights_int4(
     consts = dict(graph.constants)
     weights = list(graph.weight_names)
     for node in graph.nodes:
+        if node.op_type == "Scan":
+            node = _int4_scan_body(node, consts, weights, min_elems,
+                                   block_size)
+            new_nodes.append(node)
+            continue
         if node.op_type == "MatMul" and len(node.inputs) == 2:
             w = consts.get(node.inputs[1])
             if (w is not None and w.ndim == 2 and w.size >= min_elems
