@@ -52,39 +52,46 @@ def main() -> None:
 
     from onnx_rusty_inference_engine_tpu.engine import Engine
     from onnx_rusty_inference_engine_tpu.graph import import_model
-    from onnx_rusty_inference_engine_tpu.quant import quantize_graph
+    from onnx_rusty_inference_engine_tpu.quant import (QuantConfig,
+                                                       quantize_graph)
 
     input_name, shape, build = _BUILDERS[args.model]
     graph = import_model(build())
 
     rng = np.random.default_rng(7)
     calib = rng.standard_normal((8,) + shape).astype(np.float32)
-    qgraph = quantize_graph(graph, calibration_inputs=[{input_name: calib}])
+    engines = {
+        method: Engine(quantize_graph(
+            graph, calibration_inputs=[{input_name: calib}],
+            config=QuantConfig(calibration=method)))
+        for method in ("minmax", "percentile", "mse")
+    }
 
     eng_f = Engine(graph)
-    eng_q = Engine(qgraph)
     # bf16 flip rate = the model's intrinsic top-1 conditioning floor: on
     # synthetic (random) weights some families have near-uniform logits, so
     # ANY perturbation flips top-1 — compare int8 against that floor, not
     # against zero.
     eng_b = Engine(graph, dtype="bfloat16")
-    agree = agree_b = total = 0
+    agree = {m: 0 for m in engines}
+    agree_b = total = 0
     for _ in range(args.batches):
         x = rng.standard_normal((args.batch,) + shape).astype(np.float32)
         top_f = eng_f.run({input_name: x}).top1()
-        top_q = eng_q.run({input_name: x}).top1()
-        top_b = eng_b.run({input_name: x}).top1()
-        agree += int((top_f == top_q).sum())
-        agree_b += int((top_f == top_b).sum())
+        agree_b += int((top_f == eng_b.run({input_name: x}).top1()).sum())
+        for m, eng in engines.items():
+            agree[m] += int((top_f == eng.run({input_name: x}).top1()).sum())
         total += args.batch
-    print(json.dumps({
-        "metric": f"{args.model}_int8_top1_disagreement",
-        "value": round(1.0 - agree / total, 4),
-        "bf16_floor": round(1.0 - agree_b / total, 4),
-        "unit": "fraction",
-        "n": total,
-        "target": "<= 0.005 (+ floor)",
-    }))
+    for m in engines:
+        print(json.dumps({
+            "metric": f"{args.model}_int8_top1_disagreement",
+            "calibration": m,
+            "value": round(1.0 - agree[m] / total, 4),
+            "bf16_floor": round(1.0 - agree_b / total, 4),
+            "unit": "fraction",
+            "n": total,
+            "target": "<= 0.005 (+ floor)",
+        }))
 
 
 if __name__ == "__main__":

@@ -77,6 +77,20 @@ def cmd_run(args) -> int:
             print(f"[node {i:3d}] {n.op_type:20s} {n.name} "
                   f"{n.inputs} -> {n.outputs}", file=sys.stderr)
 
+    if args.dump_stats or args.dump_tensors:
+        # reference debug_prints parity (convolution_op.rs:165-168): surface
+        # every intermediate tensor via ONE probe-graph run (debug.py)
+        from .debug import dump_intermediates, tensor_stats
+
+        vals = dump_intermediates(graph, feed)
+        if args.dump_tensors:
+            np.savez(args.dump_tensors, **vals)
+            print(f"wrote {len(vals)} tensors to {args.dump_tensors}",
+                  file=sys.stderr)
+        if args.dump_stats:
+            for row in tensor_stats(vals):
+                print(json.dumps(row), file=sys.stderr)
+
     res = engine.run(feed)
     print(json.dumps({
         "outputs": {k: v.reshape(v.shape[0], -1)[:, :16].tolist()
@@ -279,6 +293,11 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--atol", type=float, default=1e-3)
     pr.add_argument("--log-ops", action="store_true",
                     help="per-node log (parity with reference debug_prints)")
+    pr.add_argument("--dump-stats", action="store_true",
+                    help="print per-intermediate-tensor min/max/mean/shape "
+                         "JSON rows to stderr (probe-graph run)")
+    pr.add_argument("--dump-tensors", metavar="OUT.npz",
+                    help="save every intermediate tensor to a .npz")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="throughput benchmark")

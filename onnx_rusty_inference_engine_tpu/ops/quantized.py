@@ -224,7 +224,38 @@ def matmul_nbits(ctx: LoweringContext, node: Node, ins):
     bits = int(node.attr("bits", 4))
     if bits != 4:
         raise UnsupportedOpError("MatMulNBits: only bits=4 supported")
+    layout = node.attr("layout", "")
+    if isinstance(layout, bytes):
+        layout = layout.decode()
     block = int(node.attr("block_size", K))
+    lead = a.shape[:-1]
+    interp = jax.default_backend() != "tpu"
+
+    if layout == "planar":
+        # our quantizer's TPU-native layout (quant.pack_int4_planar):
+        # nibble planes = contiguous halves of K, per-half block scales
+        from .kernels.qmatmul_int4 import (int4_planar_supported,
+                                           qmatmul_int4_planar)
+
+        if ((jax.default_backend() == "tpu" or _use_pallas())
+                and int4_planar_supported(K, scales.shape[1])):
+            out = qmatmul_int4_planar(a.reshape(-1, K), packed, scales,
+                                      interpret=interp)
+            return (out[:, :N].reshape(*lead, N).astype(a.dtype),)
+        Nw, Kh = packed.shape
+        nbh = scales.shape[1] // 2
+        lo = (packed & 0xF).astype(jnp.int8) - 8       # [Nw, Kh] (k < Kh)
+        hi = (packed >> 4).astype(jnp.int8) - 8        # [Nw, Kh] (k >= Kh)
+        s = scales.astype(jnp.bfloat16).reshape(Nw, 2, nbh)
+        planes = []
+        for plane, sp in ((lo, s[:, 0]), (hi, s[:, 1])):
+            wq = plane.reshape(Nw, nbh, Kh // nbh).astype(jnp.bfloat16)
+            planes.append((wq * sp[:, :, None]).reshape(Nw, Kh))
+        w = jnp.concatenate(planes, axis=1)[:N]
+        out = jnp.matmul(a.astype(jnp.bfloat16), w.T,
+                         preferred_element_type=jnp.float32)
+        return (out.astype(a.dtype),)
+
     n_blocks = K // block
 
     from .kernels.qmatmul_int4 import int4_fused_supported
@@ -237,9 +268,7 @@ def matmul_nbits(ctx: LoweringContext, node: Node, ins):
         # memory-bound at 4x the traffic)
         from .kernels.qmatmul_int4 import qmatmul_int4_bf16
 
-        lead = a.shape[:-1]
         a2 = a.reshape(-1, K)
-        interp = jax.default_backend() != "tpu"
         out = qmatmul_int4_bf16(a2, packed, scales, interpret=interp)
         return (out[:, :N].reshape(*lead, N).astype(a.dtype),)
 

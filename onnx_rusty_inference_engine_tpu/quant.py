@@ -37,7 +37,7 @@ from .graph import Graph, Node, prune_dead, topo_sort
 from .engine import lower
 
 __all__ = ["calibrate", "quantize_graph", "QuantConfig", "bias_correct",
-           "quantize_weights_int4", "pack_int4"]
+           "quantize_weights_int4", "pack_int4", "pack_int4_planar"]
 
 
 @dataclasses.dataclass
@@ -52,6 +52,11 @@ class QuantConfig:
     # their fp32 form (e.g. lambda n: int(n.attr("group", 1)) > 1 to leave
     # depthwise convs unquantized)
     exclude: Optional[callable] = None
+    # activation-range calibration: "minmax" records plain min/max;
+    # "percentile" clips to the given |x| percentile (outlier-robust);
+    # "mse" picks the clip that minimizes int8 reconstruction error
+    calibration: str = "minmax"
+    percentile: float = 99.99
 
 
 # --------------------------------------------------------------------------
@@ -61,10 +66,18 @@ def calibrate(
     graph: Graph,
     calibration_inputs: Optional[Sequence[Dict[str, np.ndarray]]] = None,
     max_tensors: int = 4096,
+    method: str = "minmax",
+    percentile: float = 99.99,
 ) -> Dict[str, Tuple[float, float]]:
-    """Run the fp32 graph on calibration batches and record per-tensor
-    (min, max) for every intermediate value (the bundled golden inputs are
-    the offline calibration set, per SURVEY.md §7 hard-part #4)."""
+    """Run the fp32 graph on calibration batches and record a per-tensor
+    quantization range for every intermediate value (the bundled golden
+    inputs are the offline calibration set, per SURVEY.md §7 hard-part #4).
+
+    method="minmax" records plain (min, max). "percentile" records the
+    symmetric range at the given |x| percentile — robust to the handful of
+    outliers that otherwise stretch the int8 grid. "mse" sweeps candidate
+    clips (0.3..1.0 of amax) and keeps the one minimizing the int8
+    round-trip squared error, computed on device inside the probe run."""
     import jax
     import jax.numpy as jnp
 
@@ -78,30 +91,33 @@ def calibrate(
         }
         calibration_inputs = [feed]
 
-    # Build a probe graph whose outputs are every floating intermediate.
-    names: List[str] = []
-    seen = set(graph.constants)
-    for spec in graph.inputs:
-        names.append(spec.name)
-        seen.add(spec.name)
-    for node in graph.nodes:
-        for o in node.outputs:
-            if o and o not in seen:
-                names.append(o)
-                seen.add(o)
-    names = names[:max_tensors]
+    # Probe graph whose outputs are every intermediate (debug.py builds it;
+    # logs when max_tensors truncates).
+    from .debug import probe_graph
 
-    probe = Graph(
-        name=graph.name,
-        nodes=graph.nodes,
-        constants=graph.constants,
-        inputs=graph.inputs,
-        outputs=list(names),
-        opset=graph.opset,
-        weight_names=graph.weight_names,
-    )
+    probe = probe_graph(graph, max_tensors=max_tensors)
     fn = jax.jit(lower(probe))
     params = {k: jnp.asarray(graph.constants[k]) for k in graph.weight_names}
+
+    if method not in ("minmax", "percentile", "mse"):
+        raise ValueError(f"unknown calibration method: {method!r}")
+
+    def batch_range(val) -> Tuple[float, float]:
+        if method == "minmax":
+            return float(jnp.min(val)), float(jnp.max(val))
+        a = jnp.abs(val.astype(jnp.float32))
+        if method == "percentile":
+            amax = float(jnp.percentile(a, percentile))
+            return -amax, amax
+        # mse: sweep clip candidates, keep the int8-round-trip argmin
+        amax = jnp.maximum(jnp.max(a), 1e-8)
+        cands = amax * jnp.linspace(0.3, 1.0, 15)
+        scales = cands / 127.0                      # [C]
+        flat = a.reshape(1, -1)
+        q = jnp.clip(jnp.round(flat / scales[:, None]), 0, 127)
+        err = jnp.mean((q * scales[:, None] - flat) ** 2, axis=1)
+        best = float(cands[jnp.argmin(err)])
+        return -best, best
 
     ranges: Dict[str, Tuple[float, float]] = {}
     for feed in calibration_inputs:
@@ -109,8 +125,7 @@ def calibrate(
         for name, val in out.items():
             if not np.issubdtype(np.asarray(val).dtype, np.floating):
                 continue
-            lo = float(jnp.min(val))
-            hi = float(jnp.max(val))
+            lo, hi = batch_range(val)
             if name in ranges:
                 plo, phi = ranges[name]
                 ranges[name] = (min(plo, lo), max(phi, hi))
@@ -173,7 +188,9 @@ def quantize_graph(
 ) -> Graph:
     """Return a new Graph in QLinear form (fp32 Graph is unmodified)."""
     if ranges is None:
-        ranges = calibrate(graph, calibration_inputs)
+        ranges = calibrate(graph, calibration_inputs,
+                           method=config.calibration,
+                           percentile=config.percentile)
 
     consumers: Dict[str, List[Node]] = {}
     for n in graph.nodes:
@@ -521,6 +538,43 @@ def pack_int4(w: np.ndarray, block_size: int = 256
     return packed, scales
 
 
+def pack_int4_planar(w: np.ndarray, block_size: int = 256
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-block INT4 packing, PLANAR nibble layout: byte j holds
+    q[j] (lo nibble) and q[j + K/2] (hi nibble) — the two nibble planes are
+    the contiguous halves of K.
+
+    Why planar beats the interleaved ORT layout on TPU: the Pallas kernel
+    consumes activations split per nibble plane. Interleaved packing needs
+    a_lo = a[:, 0::2] (a strided gather XLA lowers to real gather kernels —
+    measured ~155 us/step on the GPT-2 decode graph, PERF.md); planar needs
+    a[:, :K/2], a contiguous slice that fuses into the surrounding pad.
+
+    Each half is quantized with its own per-block scales (blocks are runs
+    of block_size CONSECUTIVE original columns, like pack_int4, because the
+    halves are contiguous chunks of K).
+
+    Returns (packed uint8 [N, K//2], scales fp32 [N, 2*nbh]) where
+    scales[:, :nbh] are the lo-half block scales and scales[:, nbh:] the
+    hi-half; nbh = (K//2) / bs_h with bs_h = block_size shrunk by powers of
+    two until it divides K//2."""
+    K, N = w.shape
+    assert K % 2 == 0, "K must be even for nibble packing"
+    Kh = K // 2
+    bs = min(block_size, Kh)
+    while Kh % bs:
+        bs //= 2
+    nbh = Kh // bs
+    wt = np.ascontiguousarray(w.T)  # [N, K]
+    halves = wt.reshape(N, 2, nbh, bs)
+    amax = np.maximum(np.abs(halves).max(axis=3), 1e-8)  # [N, 2, nbh]
+    scales = (amax / 7.0).astype(np.float32)
+    q = np.clip(np.round(halves / scales[..., None]), -8, 7).astype(np.int8)
+    q = q.reshape(N, 2, Kh) + 8  # -> [0, 15]
+    packed = (q[:, 0] | (q[:, 1] << 4)).astype(np.uint8)  # [N, Kh]
+    return packed, scales.reshape(N, 2 * nbh)
+
+
 def _int4_scan_body(node: Node, consts: Dict[str, np.ndarray],
                     weights: List[str], min_elems: int,
                     block_size: int) -> Node:
@@ -567,9 +621,9 @@ def _int4_scan_body(node: Node, consts: Dict[str, np.ndarray],
                     and np.issubdtype(w_stack.dtype, np.floating)
                     and w_stack.shape[1] % 2 == 0):
                 NLyr, K, N = w_stack.shape
-                packs, scls = zip(*(pack_int4(w_stack[l].astype(np.float32),
-                                              block_size)
-                                    for l in range(NLyr)))
+                packs, scls = zip(*(pack_int4_planar(
+                    w_stack[l].astype(np.float32), block_size)
+                    for l in range(NLyr)))
                 packed = np.stack(packs)   # [NL, N, K//2]
                 scales = np.stack(scls)    # [NL, N, nb]
                 n_pad = -(-N // 256) * 256 - N  # Pallas N-block pre-pad
@@ -601,7 +655,9 @@ def _int4_scan_body(node: Node, consts: Dict[str, np.ndarray],
                     output=list(bn.output), name=bn.name,
                     domain="com.microsoft")
                 for k_, v_ in {"K": K, "N": N, "bits": 4,
-                               "block_size": K // scales.shape[2]}.items():
+                               "layout": "planar",
+                               "block_size":
+                               (K // 2) // (scales.shape[2] // 2)}.items():
                     nb.attributes[k_] = _attr(k_, v_)
                 new_body_nodes.append(nb)
                 changed = True
@@ -643,7 +699,8 @@ def quantize_weights_int4(
                     and np.issubdtype(w.dtype, np.floating)
                     and w.shape[0] % 2 == 0):
                 K, N = w.shape
-                packed, scales = pack_int4(w.astype(np.float32), block_size)
+                packed, scales = pack_int4_planar(w.astype(np.float32),
+                                                  block_size)
                 # pre-pad N to the Pallas block so the kernel never pads a
                 # runtime weight argument per step (XLA cannot hoist that)
                 n_pad = -(-N // 256) * 256 - N
@@ -661,8 +718,8 @@ def quantize_weights_int4(
                     [node.inputs[0], pname, sname],
                     list(node.outputs),
                     node.name,
-                    {"K": K, "N": N, "bits": 4,
-                     "block_size": K // scales.shape[1]},
+                    {"K": K, "N": N, "bits": 4, "layout": "planar",
+                     "block_size": (K // 2) // (scales.shape[1] // 2)},
                 ))
                 continue
         new_nodes.append(node)

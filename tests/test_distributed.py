@@ -1,0 +1,55 @@
+"""Two-process jax.distributed bring-up over localhost (the real DCN code
+path, no TPU hardware needed).
+
+Exercises `parallel.mesh.initialize_distributed` — the multi-host
+counterpart of the reference's thread scheduler, redesigned as
+XLA-collectives-over-a-process-mesh (SURVEY.md §2 comm backend row).
+Each worker builds a {data: n_global} mesh spanning both processes, runs
+the sharded MNIST forward, and asserts its local output shard equals a
+single-device reference (distributed_worker.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/models/mnist-8.onnx"),
+                    reason="reference mnist model missing")
+def test_two_process_distributed_forward():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, "2", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert "DISTRIBUTED_OK" in out, f"proc {i} output:\n{out}"
+        assert "global_devices=4" in out  # 2 procs x 2 virtual devices

@@ -214,3 +214,32 @@ def test_residual_adds_stay_int8():
     ref = Engine(g).run({"input": x})["output"]
     got = Engine(q).run({"input": x})["output"]
     assert np.abs(got - ref).max() < 0.25
+
+
+def test_calibration_methods(mnist_model_path, mnist_golden):
+    """percentile/mse calibration tighten ranges vs minmax (outliers are
+    clipped) and the quantized model still classifies the golden digit."""
+    x, y = mnist_golden
+    graph = oriet.import_onnx(mnist_model_path)
+    feed = [{"Input3": x.array}]
+    mm = calibrate(graph, feed, method="minmax")
+    pct = calibrate(graph, feed, method="percentile", percentile=99.0)
+    mse = calibrate(graph, feed, method="mse")
+    name = "Plus214_Output_0"
+    amax = lambda r: max(abs(r[name][0]), abs(r[name][1]))
+    assert amax(pct) <= amax(mm) + 1e-6
+    assert amax(mse) <= amax(mm) + 1e-6
+    assert amax(pct) > 0 and amax(mse) > 0
+
+    from onnx_rusty_inference_engine_tpu.quant import QuantConfig
+    for method in ("percentile", "mse"):
+        q = quantize_graph(graph, calibration_inputs=feed,
+                           config=QuantConfig(calibration=method))
+        out = Engine(q).run({"Input3": x.array})
+        assert out.top1()[0] == int(np.argmax(y.array))
+
+
+def test_calibration_method_unknown_raises(mnist_model_path):
+    graph = oriet.import_onnx(mnist_model_path)
+    with pytest.raises(ValueError, match="calibration"):
+        calibrate(graph, method="entropy")
