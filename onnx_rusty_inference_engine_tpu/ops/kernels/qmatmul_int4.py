@@ -140,53 +140,69 @@ def qmatmul_int4_bf16(
 
 # --------------------------------------------------------------------------
 # Planar layout (quant.pack_int4_planar): byte j = q[j] | q[j + K/2] << 4.
-# The nibble planes are the CONTIGUOUS halves of K, so the activation split
-# is a[:, :K/2] / a[:, K/2:] — plain slices that fuse into the pad — instead
-# of the stride-2 gathers the interleaved layout forces (~155 us/step on the
-# GPT-2 decode graph, PERF.md). Each half carries its own per-block scales.
+# The nibble planes are the CONTIGUOUS halves of K, so in the aligned case
+# the wrapper launches the pallas_call with ZERO auxiliary XLA ops: the
+# activation is passed twice with index maps offset by half of K (no
+# stride-2 gathers, no slices), scales arrive pre-transposed k-major from
+# the quantizer (no per-call transpose), the f32->bf16 cast happens inside
+# the kernel (no convert kernel), and block_m shrinks to the f32 sublane
+# tile so tiny decode batches need no M padding. On the time-shared chip
+# every eliminated kernel also saves its inter-kernel gap (~0.9 us,
+# PERF.md), which is why the wrapper works this hard to emit nothing.
 # --------------------------------------------------------------------------
-def _int4_mm_planar_kernel(alo_ref, ahi_ref, p_ref, slo_ref, shi_ref,
-                           out_ref, acc_ref, *, qb: int):
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    p = p_ref[:].astype(jnp.int32)  # [bn, bkh]
+def _int4_mm_planar_kernel(alo_ref, ahi_ref, p_ref, s_ref, out_ref,
+                           *, qb: int, nbh: int):
+    p = p_ref[:].astype(jnp.int32)  # [bn, Kh]
     lo = ((p & 0xF) - 8).astype(jnp.bfloat16)
     hi = ((p >> 4) - 8).astype(jnp.bfloat16)
-    nsub = p.shape[1] // qb
+    alo = alo_ref[:].astype(jnp.bfloat16)
+    ahi = ahi_ref[:].astype(jnp.bfloat16)
     dn = (((1,), (1,)), ((), ()))
-    acc = acc_ref[:]
-    for t in range(nsub):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for t in range(nbh):
         sl = slice(t * qb, (t + 1) * qb)
-        dlo = jax.lax.dot_general(alo_ref[:, sl], lo[:, sl], dn,
+        dlo = jax.lax.dot_general(alo[:, sl], lo[:, sl], dn,
                                   preferred_element_type=jnp.float32)
-        dhi = jax.lax.dot_general(ahi_ref[:, sl], hi[:, sl], dn,
+        dhi = jax.lax.dot_general(ahi[:, sl], hi[:, sl], dn,
                                   preferred_element_type=jnp.float32)
-        acc = acc + dlo * slo_ref[t:t + 1, :] + dhi * shi_ref[t:t + 1, :]
-    acc_ref[:] = acc
-
-    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
-    def _():
-        out_ref[:] = acc_ref[:]
+        acc = acc + dlo * s_ref[t:t + 1, :] + dhi * s_ref[nbh + t:
+                                                          nbh + t + 1, :]
+    out_ref[:] = acc
 
 
-def int4_planar_supported(K: int, n_scale_cols: int) -> bool:
-    """True when the planar kernel handles this (K, scales) layout."""
-    Kh, nbh = K // 2, n_scale_cols // 2
-    if nbh == 0 or Kh % nbh:
+def planar_layout(K: int, block_size: int = 256):
+    """The planar pack/kernel layout contract for a [K, N] weight:
+    (nbh, bs) where bs is the per-half quant block width (block_size
+    shrunk by powers of 2 until it divides K//2) and nbh = (K//2) / bs is
+    the number of blocks per half. Scales are stored [2*nbh, N] k-major:
+    lo-half rows then hi-half rows."""
+    Kh = K // 2
+    bs = max(1, min(block_size, Kh))
+    while Kh % bs:
+        bs //= 2
+    return Kh // bs, bs
+
+
+def int4_planar_supported(K: int, block_size: int = 256) -> bool:
+    """True when the planar Pallas kernel handles this (K, block) layout:
+    per-half quant blocks must be lane multiples (bs % 128 == 0) so the
+    in-kernel block slices are aligned, and the whole K must fit one VMEM
+    block (the kernel has no k-grid — weights' contraction dims are small;
+    a [256, 16384] uint8 packed block is 4 MB, well under VMEM)."""
+    if K % 2:
         return False
-    qb = Kh // nbh
-    return nbh == 1 or qb % 128 == 0
+    nbh, bs = planar_layout(K, block_size)
+    return bs % 128 == 0 and K // 2 <= 16384
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+@functools.partial(jax.jit, static_argnames=("qblock", "block_m", "block_n",
                                               "interpret"))
 def qmatmul_int4_planar(
-    a: jax.Array,        # bf16/f32 [M, K] activations
+    a: jax.Array,        # f32/bf16 [M, K] activations (cast in-kernel)
     packed: jax.Array,   # uint8 [N, K//2] (quant.pack_int4_planar layout)
-    scales: jax.Array,   # fp32 [N, 2*nbh] (lo-half blocks then hi-half)
+    scales: jax.Array,   # fp32 [2*nbh, N] k-major (lo rows then hi rows)
     *,
+    qblock: int = 256,   # the block_size the weight was packed with
     block_m: int = 128,
     block_n: int = 256,
     interpret: bool = False,
@@ -194,55 +210,46 @@ def qmatmul_int4_planar(
     """Planar-packed int4 matmul -> f32 [M, N]."""
     M, K = a.shape
     N, Kh = packed.shape
-    nbh = scales.shape[1] // 2
-    qb = Kh // nbh
-    assert int4_planar_supported(K, scales.shape[1]), \
-        "planar int4 kernel needs per-half qblock % 128 == 0 (or one block)"
-    nsub = 8 if (nbh >= 8 and qb % 128 == 0) else nbh
-    block_kh = nsub * qb
-    block_m = min(block_m, _round_up(M, 16))
-
-    a = a.astype(jnp.bfloat16)
-    a_lo, a_hi = a[:, :Kh], a[:, Kh:]  # contiguous halves
-    s_lo = scales[:, :nbh].T  # [nbh, N] — k-major for sublane tiling
-    s_hi = scales[:, nbh:].T
+    assert int4_planar_supported(K, qblock), \
+        "planar int4 kernel needs per-half qblock % 128 == 0"
+    nbh, qb = planar_layout(K, qblock)
+    assert scales.shape[0] == 2 * nbh, (scales.shape, nbh)
+    # f32 sublane tile is 8: decode batches (M=8) run unpadded
+    sub = 16 if a.dtype == jnp.bfloat16 else 8
+    block_m = min(block_m, _round_up(M, sub))
 
     Mp = _round_up(M, block_m)
     Np = _round_up(N, block_n)
-    Khp = _round_up(Kh, block_kh)
-    nbp = Khp // qb
-    if (Mp, Khp) != (M, Kh):
-        a_lo = jnp.pad(a_lo, ((0, Mp - M), (0, Khp - Kh)))
-        a_hi = jnp.pad(a_hi, ((0, Mp - M), (0, Khp - Kh)))
-    if (Np, Khp) != (N, Kh):
-        packed = jnp.pad(packed, ((0, Np - N), (0, Khp - Kh)))
-        s_lo = jnp.pad(s_lo, ((0, nbp - nbh), (0, Np - N)))
-        s_hi = jnp.pad(s_hi, ((0, nbp - nbh), (0, Np - N)))
+    a2 = a if Mp == M else jnp.pad(a, ((0, Mp - M), (0, 0)))
+    if Np != N:
+        packed = jnp.pad(packed, ((0, Np - N), (0, 0)))
+        scales = jnp.pad(scales, ((0, 0), (0, Np - N)))
 
     out = pl.pallas_call(
-        functools.partial(_int4_mm_planar_kernel, qb=qb),
-        grid=(Mp // block_m, Np // block_n, Khp // block_kh),
+        functools.partial(_int4_mm_planar_kernel, qb=qb, nbh=nbh),
+        grid=(Mp // block_m, Np // block_n),
         in_specs=[
-            pl.BlockSpec((block_m, block_kh), lambda i, j, k: (i, k),
+            # the SAME activation array twice: its block columns are the
+            # contiguous halves of K (hi at column-block 1) — no slice,
+            # pad, convert, or transpose ops are emitted around the call
+            pl.BlockSpec((block_m, Kh), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_kh), lambda i, j, k: (i, k),
+            pl.BlockSpec((block_m, Kh), lambda i, j: (i, 1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, block_kh), lambda i, j, k: (j, k),
+            pl.BlockSpec((block_n, Kh), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsub, block_n), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsub, block_n), lambda i, j, k: (k, j),
+            # all scale rows in one whole-rows block
+            pl.BlockSpec((2 * nbh, block_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * Np * Khp * 2,
-            bytes_accessed=Mp * Khp * 4 + Np * Khp + Mp * Np * 4,
+            flops=2 * Mp * Np * Kh * 2,
+            bytes_accessed=Mp * Kh * 8 + Np * Kh + Mp * Np * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_lo, a_hi, packed, s_lo, s_hi)
+    )(a2, a2, packed, scales)
     return out[:M, :N]

@@ -233,24 +233,27 @@ def matmul_nbits(ctx: LoweringContext, node: Node, ins):
 
     if layout == "planar":
         # our quantizer's TPU-native layout (quant.pack_int4_planar):
-        # nibble planes = contiguous halves of K, per-half block scales
+        # nibble planes = contiguous halves of K; scales arrive k-major in
+        # the kernel's sublane-windowed layout so the fused call launches
+        # with zero auxiliary XLA ops (see planar_layout)
         from .kernels.qmatmul_int4 import (int4_planar_supported,
+                                           planar_layout,
                                            qmatmul_int4_planar)
 
         if ((jax.default_backend() == "tpu" or _use_pallas())
-                and int4_planar_supported(K, scales.shape[1])):
+                and int4_planar_supported(K, block)):
             out = qmatmul_int4_planar(a.reshape(-1, K), packed, scales,
-                                      interpret=interp)
+                                      qblock=block, interpret=interp)
             return (out[:, :N].reshape(*lead, N).astype(a.dtype),)
         Nw, Kh = packed.shape
-        nbh = scales.shape[1] // 2
+        nbh, bs = planar_layout(K, block)
         lo = (packed & 0xF).astype(jnp.int8) - 8       # [Nw, Kh] (k < Kh)
         hi = (packed >> 4).astype(jnp.int8) - 8        # [Nw, Kh] (k >= Kh)
-        s = scales.astype(jnp.bfloat16).reshape(Nw, 2, nbh)
+        s = scales.astype(jnp.bfloat16).reshape(2, nbh, Nw)
         planes = []
-        for plane, sp in ((lo, s[:, 0]), (hi, s[:, 1])):
-            wq = plane.reshape(Nw, nbh, Kh // nbh).astype(jnp.bfloat16)
-            planes.append((wq * sp[:, :, None]).reshape(Nw, Kh))
+        for plane, sp in ((lo, s[0]), (hi, s[1])):
+            wq = plane.reshape(Nw, nbh, bs).astype(jnp.bfloat16)
+            planes.append((wq * sp.T[:, :, None]).reshape(Nw, Kh))
         w = jnp.concatenate(planes, axis=1)[:N]
         out = jnp.matmul(a.astype(jnp.bfloat16), w.T,
                          preferred_element_type=jnp.float32)

@@ -554,17 +554,19 @@ def pack_int4_planar(w: np.ndarray, block_size: int = 256
     of block_size CONSECUTIVE original columns, like pack_int4, because the
     halves are contiguous chunks of K).
 
-    Returns (packed uint8 [N, K//2], scales fp32 [N, 2*nbh]) where
-    scales[:, :nbh] are the lo-half block scales and scales[:, nbh:] the
-    hi-half; nbh = (K//2) / bs_h with bs_h = block_size shrunk by powers of
-    two until it divides K//2."""
+    Returns (packed uint8 [N, K//2], scales fp32 [2*nbh, N] k-major — the
+    lo-half block scales in rows [0, nbh), the hi half in [nbh, 2*nbh) —
+    which is exactly the Pallas kernel's whole-rows scale block, so the
+    inference call launches with ZERO reshape/pad/transpose ops (every
+    eliminated kernel also saves its inter-kernel gap on the chip);
+    nbh = (K//2) / bs with bs = block_size shrunk by powers of two until
+    it divides K//2 (ops/kernels/qmatmul_int4.planar_layout)."""
+    from .ops.kernels.qmatmul_int4 import planar_layout
+
     K, N = w.shape
     assert K % 2 == 0, "K must be even for nibble packing"
     Kh = K // 2
-    bs = min(block_size, Kh)
-    while Kh % bs:
-        bs //= 2
-    nbh = Kh // bs
+    nbh, bs = planar_layout(K, block_size)
     wt = np.ascontiguousarray(w.T)  # [N, K]
     halves = wt.reshape(N, 2, nbh, bs)
     amax = np.maximum(np.abs(halves).max(axis=3), 1e-8)  # [N, 2, nbh]
@@ -572,7 +574,8 @@ def pack_int4_planar(w: np.ndarray, block_size: int = 256
     q = np.clip(np.round(halves / scales[..., None]), -8, 7).astype(np.int8)
     q = q.reshape(N, 2, Kh) + 8  # -> [0, 15]
     packed = (q[:, 0] | (q[:, 1] << 4)).astype(np.uint8)  # [N, Kh]
-    return packed, scales.reshape(N, 2 * nbh)
+    return packed, np.ascontiguousarray(
+        scales.transpose(1, 2, 0).reshape(2 * nbh, N))
 
 
 def _int4_scan_body(node: Node, consts: Dict[str, np.ndarray],
@@ -625,11 +628,11 @@ def _int4_scan_body(node: Node, consts: Dict[str, np.ndarray],
                     w_stack[l].astype(np.float32), block_size)
                     for l in range(NLyr)))
                 packed = np.stack(packs)   # [NL, N, K//2]
-                scales = np.stack(scls)    # [NL, N, nb]
+                scales = np.stack(scls)    # [NL, 2*nbh, N] (k-major)
                 n_pad = -(-N // 256) * 256 - N  # Pallas N-block pre-pad
                 if n_pad:
                     packed = np.pad(packed, ((0, 0), (0, n_pad), (0, 0)))
-                    scales = np.pad(scales, ((0, 0), (0, n_pad), (0, 0)))
+                    scales = np.pad(scales, ((0, 0), (0, 0), (0, n_pad)))
                 pname, sname = f"{outer_name}__w4", f"{outer_name}__w4s"
                 consts[pname] = packed
                 consts[sname] = scales
@@ -654,10 +657,11 @@ def _int4_scan_body(node: Node, consts: Dict[str, np.ndarray],
                     input=[bn.input[0], bslice_p, bslice_s],
                     output=list(bn.output), name=bn.name,
                     domain="com.microsoft")
+                from .ops.kernels.qmatmul_int4 import planar_layout
                 for k_, v_ in {"K": K, "N": N, "bits": 4,
                                "layout": "planar",
                                "block_size":
-                               (K // 2) // (scales.shape[2] // 2)}.items():
+                               planar_layout(K, block_size)[1]}.items():
                     nb.attributes[k_] = _attr(k_, v_)
                 new_body_nodes.append(nb)
                 changed = True
@@ -698,6 +702,8 @@ def quantize_weights_int4(
             if (w is not None and w.ndim == 2 and w.size >= min_elems
                     and np.issubdtype(w.dtype, np.floating)
                     and w.shape[0] % 2 == 0):
+                from .ops.kernels.qmatmul_int4 import planar_layout
+
                 K, N = w.shape
                 packed, scales = pack_int4_planar(w.astype(np.float32),
                                                   block_size)
@@ -706,7 +712,7 @@ def quantize_weights_int4(
                 n_pad = -(-N // 256) * 256 - N
                 if n_pad:
                     packed = np.pad(packed, ((0, n_pad), (0, 0)))
-                    scales = np.pad(scales, ((0, n_pad), (0, 0)))
+                    scales = np.pad(scales, ((0, 0), (0, n_pad)))
                 pname = f"{node.inputs[1]}__w4"
                 sname = f"{node.inputs[1]}__w4s"
                 consts[pname] = packed
@@ -719,7 +725,7 @@ def quantize_weights_int4(
                     list(node.outputs),
                     node.name,
                     {"K": K, "N": N, "bits": 4, "layout": "planar",
-                     "block_size": (K // 2) // (scales.shape[1] // 2)},
+                     "block_size": planar_layout(K, block_size)[1]},
                 ))
                 continue
         new_nodes.append(node)

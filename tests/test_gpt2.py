@@ -113,8 +113,8 @@ def test_gpt2_north_star_config():
     def shard(name, arr):
         if name.endswith("__w4") and arr.ndim == 2:   # packed int4 [N, K//2]
             return NamedSharding(mesh, P_("model", None))
-        if name.endswith("__w4s"):                    # scales [N, n_blocks]
-            return NamedSharding(mesh, P_("model", None))
+        if name.endswith("__w4s"):                    # scales [2*nbh, N]
+            return NamedSharding(mesh, P_(None, "model"))
         if arr.ndim == 2 and arr.shape[-1] % 4 == 0:
             return NamedSharding(mesh, P_(None, "model"))
         return NamedSharding(mesh, P_())

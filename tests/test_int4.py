@@ -59,11 +59,11 @@ def test_pack_int4_planar_roundtrip():
     w = rng.standard_normal((256, 64)).astype(np.float32)
     packed, scales = pack_int4_planar(w, block_size=128)
     assert packed.shape == (64, 128)
-    assert scales.shape == (64, 2)  # 1 block per half
+    assert scales.shape == (2, 64)  # k-major: lo-half row then hi-half row
     lo = (packed & 0xF).astype(np.int8) - 8   # k in [0, 128)
     hi = (packed >> 4).astype(np.int8) - 8    # k in [128, 256)
     deq = np.concatenate(
-        [lo * scales[:, :1], hi * scales[:, 1:]], axis=1).T
+        [lo * scales[0:1].T, hi * scales[1:2].T], axis=1).T
     err = np.abs(deq - w).max()
     assert err <= scales.max() * 1.01
 
@@ -78,20 +78,24 @@ def test_planar_kernel_matches_dense_fallback():
         int4_planar_supported, qmatmul_int4_planar)
     from onnx_rusty_inference_engine_tpu.quant import pack_int4_planar
 
+    from onnx_rusty_inference_engine_tpu.ops.kernels.qmatmul_int4 import (
+        planar_layout)
+
     K, N, M = 768, 320, 4
     w = rng.standard_normal((K, N)).astype(np.float32)
     a = rng.standard_normal((M, K)).astype(np.float32)
     packed, scales = pack_int4_planar(w)
-    assert int4_planar_supported(K, scales.shape[1])
+    assert int4_planar_supported(K, 256)
     out = np.asarray(qmatmul_int4_planar(
         jnp.asarray(a), jnp.asarray(packed), jnp.asarray(scales),
-        interpret=True))[:, :N]
-    Kh, nbh = K // 2, scales.shape[1] // 2
+        qblock=256, interpret=True))[:, :N]
+    Kh = K // 2
+    nbh, bs = planar_layout(K, 256)
     lo = (packed.astype(np.int32) & 15) - 8
     hi = (packed.astype(np.int32) >> 4) - 8
-    s = scales.reshape(N, 2, nbh)
-    wl = (lo.reshape(N, nbh, Kh // nbh) * s[:, 0][..., None]).reshape(N, Kh)
-    wh = (hi.reshape(N, nbh, Kh // nbh) * s[:, 1][..., None]).reshape(N, Kh)
+    s = scales.reshape(2, nbh, N)
+    wl = (lo.reshape(N, nbh, bs) * s[0].T[:, :, None]).reshape(N, Kh)
+    wh = (hi.reshape(N, nbh, bs) * s[1].T[:, :, None]).reshape(N, Kh)
     # kernel casts activations to bf16 before the dots; mirror that in the
     # reference so the comparison isolates the pack/unpack math
     a16 = np.asarray(jnp.asarray(a).astype(jnp.bfloat16).astype(jnp.float32))
