@@ -52,6 +52,10 @@ def main() -> None:
     g_kv8 = import_model(build_gpt2_decode(cfg, batch=args.batch,
                                            max_len=args.max_len,
                                            kv_dtype="int8"))
+    g_fused_kv8 = import_model(build_gpt2_decode(cfg, batch=args.batch,
+                                                 max_len=args.max_len,
+                                                 kv_dtype="int8",
+                                                 fused_attention=True))
     g_scan = import_model(build_gpt2_decode(cfg, batch=args.batch,
                                             max_len=args.max_len,
                                             scan_layers=True))
@@ -130,6 +134,8 @@ def main() -> None:
     t_4 = bench(g4, "int4_weights", feed_f)
     g4kv8 = quantize_weights_int4(g_kv8)
     t_48 = bench(g4kv8, "int4_weights_int8_kv", feed_q)
+    t_f48 = bench(quantize_weights_int4(g_fused_kv8),
+                  "int4_weights_int8_kv_fusedattn", feed_q)
     # scan-over-layers forms: same math, ONE lax.scan body instead of
     # n_layer inlined blocks -> far fewer HLO ops per step (dispatch-gap fix)
     t_sf = bench(g_scan, "scan_fp32", make_feed(False, stacked=True),
@@ -141,6 +147,8 @@ def main() -> None:
                       "value": round(t_f / t_4, 3)}))
     print(json.dumps({"metric": "gpt2_decode_int4_int8kv_speedup",
                       "value": round(t_f / t_48, 3)}))
+    print(json.dumps({"metric": "gpt2_decode_fusedattn_speedup",
+                      "value": round(t_f / t_f48, 3)}))
     print(json.dumps({"metric": "gpt2_decode_scan_speedup_vs_fp32",
                       "value": round(t_f / t_sf, 3)}))
     print(json.dumps({"metric": "gpt2_decode_scan_int4_int8kv_speedup",

@@ -109,17 +109,24 @@ def main() -> None:
     g = import_model(build_llama_decode(cfg, batch=B, max_len=L))
     g_kv8 = import_model(build_llama_decode(cfg, batch=B, max_len=L,
                                             kv_dtype="int8"))
+    g_fused_kv8 = import_model(build_llama_decode(cfg, batch=B, max_len=L,
+                                                  kv_dtype="int8",
+                                                  fused_attention=True))
     g_scan_kv8 = import_model(build_llama_decode(cfg, batch=B, max_len=L,
                                                  kv_dtype="int8",
                                                  scan_layers=True))
     t_f = bench(g, "fp32", make_feed(False))
     t_48 = bench(quantize_weights_int4(g_kv8), "int4_weights_int8_kv",
                  make_feed(True))
+    t_f48 = bench(quantize_weights_int4(g_fused_kv8),
+                  "int4_weights_int8_kv_fusedattn", make_feed(True))
     t_s48 = bench(quantize_weights_int4(g_scan_kv8),
                   "scan_int4_weights_int8_kv",
                   make_feed(True, stacked=True), stacked=True)
     print(json.dumps({"metric": "llama_decode_int4_int8kv_speedup",
                       "value": round(t_f / t_48, 3)}))
+    print(json.dumps({"metric": "llama_decode_fusedattn_speedup",
+                      "value": round(t_f / t_f48, 3)}))
     print(json.dumps({"metric": "llama_decode_scan_int4_int8kv_speedup",
                       "value": round(t_f / t_s48, 3)}))
 

@@ -39,6 +39,7 @@ class Generator:
         int4_weights: bool = False,
         family: str = "gpt2",
         scan_layers: bool = False,
+        fused_attention: bool = False,
     ):
         assert max_len >= prompt_len
         self.cfg = cfg
@@ -62,6 +63,9 @@ class Generator:
         self._stacked = bool(scan_layers)
         if scan_layers:
             dkw["scan_layers"] = True
+        if fused_attention:
+            # one Pallas kernel per layer over the int8 cache (ops/fused.py)
+            dkw["fused_attention"] = True
         pkw = ({"past_len": 0, "with_presents": True} if family == "gpt2"
                else {"with_presents": True})
         prefill_graph = import_model(

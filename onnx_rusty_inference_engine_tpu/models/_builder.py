@@ -51,11 +51,12 @@ class GraphBuilder:
     # -- nodes ------------------------------------------------------------
     def node(self, op_type: str, inputs: Sequence[str],
              outputs: Optional[Sequence[str]] = None, name: str = "",
-             **attrs) -> List[str]:
+             domain: str = "", **attrs) -> List[str]:
         if outputs is None:
             outputs = [self.fresh(op_type.lower())]
         n = onnx_io.NodeProto(op_type=op_type, input=list(inputs),
-                              output=list(outputs), name=name)
+                              output=list(outputs), name=name,
+                              domain=domain)
         for k, v in attrs.items():
             n.attributes[k] = _attr(k, v)
         self.g.nodes.append(n)

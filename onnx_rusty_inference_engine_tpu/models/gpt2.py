@@ -161,9 +161,14 @@ def build_gpt2_decode(
     seed: int = 0,
     kv_dtype: str = "float32",
     scan_layers: bool = False,
+    fused_attention: bool = False,
 ) -> onnx_io.ModelProto:
     """Single-token decode step with a FIXED-size KV cache (TPU-native:
     static shapes, one XLA compile for the whole generation loop).
+
+    fused_attention=True (requires kv_dtype="int8") replaces each layer's
+    attention chain with one com.oriet FusedDecodeAttention node — a
+    single Pallas kernel reading the int8 cache directly (ops/fused.py).
 
     Inputs: input_ids [B,1] int64, pos [B] int64 (PER-SLOT current
     positions — each batch row may be at a different generation offset),
@@ -201,6 +206,8 @@ def build_gpt2_decode(
     B, T = batch, 1
     D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
     int8_kv = np.dtype(kv_dtype) == np.int8
+    if fused_attention and not int8_kv:
+        raise ValueError("fused_attention requires kv_dtype='int8'")
 
     # per-slot positions: each batch row decodes at its own cache offset —
     # the graph shape continuous batching needs (serve_llm.DecodeServer
@@ -271,21 +278,32 @@ def build_gpt2_decode(
                             [f"present_key_{i}"])
             (vc8,) = b.node("Where", [is_now4, vh8, pv],
                             [f"present_value_{i}"])
-            (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
-                           [f"blk{i}_k_dq"], axis=1)
-            (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
-                           [f"blk{i}_v_dq"], axis=1)
+            if not fused_attention:
+                (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
+                               [f"blk{i}_k_dq"], axis=1)
+                (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
+                               [f"blk{i}_v_dq"], axis=1)
         else:
             # scatter new k/v into the fixed cache at `pos`
             (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
             (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
 
-        (kt,) = b.node("Transpose", [kc], [f"blk{i}_kT"], perm=[0, 1, 3, 2])
-        (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])  # [B,H,1,L]
-        (att,) = b.node("Mul", [att, scale], [f"blk{i}_scaled"])
-        (att,) = b.node("Add", [att, attn_bias4], [f"blk{i}_masked"])
-        (att,) = b.node("Softmax", [att], [f"blk{i}_probs"], axis=-1)
-        (ctxt,) = b.node("MatMul", [att, vc], [f"blk{i}_ctx"])   # [B,H,1,hd]
+        if int8_kv and fused_attention:
+            # whole attention = ONE Pallas kernel over the int8 cache
+            # (ops/fused.py FusedDecodeAttention; never materializes the
+            # dequantized cache in HBM)
+            (ctxt,) = b.node("FusedDecodeAttention",
+                             [qh, kc8, vc8, sk, sv, attn_bias4],
+                             [f"blk{i}_ctx"], domain="com.oriet",
+                             scale=float(1.0 / np.sqrt(hd)))
+        else:
+            (kt,) = b.node("Transpose", [kc], [f"blk{i}_kT"],
+                           perm=[0, 1, 3, 2])
+            (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])
+            (att,) = b.node("Mul", [att, scale], [f"blk{i}_scaled"])
+            (att,) = b.node("Add", [att, attn_bias4], [f"blk{i}_masked"])
+            (att,) = b.node("Softmax", [att], [f"blk{i}_probs"], axis=-1)
+            (ctxt,) = b.node("MatMul", [att, vc], [f"blk{i}_ctx"])
         (ctxt,) = b.node("Transpose", [ctxt], [f"blk{i}_ctx_t"], perm=[0, 2, 1, 3])
         (ctxt,) = b.node("Reshape", [ctxt, shape_merge], [f"blk{i}_ctx_m"])
         proj = _linear(b, ctxt, f"blk{i}_attn_proj", D, D)

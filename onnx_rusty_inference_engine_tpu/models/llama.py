@@ -167,6 +167,7 @@ def build_llama(
 
     qshape = b.init("q_shape", np.array([B, T, H, hd], np.int64))
     kvshape = b.init("kv_shape", np.array([B, T, Hkv, hd], np.int64))
+    merge_shape = b.init("ctx_merge_shape", np.array([B, T, D], np.int64))
 
     for i in range(cfg.n_layer):
         xn = _rmsnorm(b, x, f"l{i}_attn_norm", D)
@@ -223,9 +224,15 @@ def build_llama_decode(
     seed: int = 0,
     kv_dtype: str = "float32",
     scan_layers: bool = False,
+    fused_attention: bool = False,
 ) -> onnx_io.ModelProto:
     """Single-token decode over a fixed GQA KV cache; pos [B] per slot
     (continuous-batching-ready, like gpt2.build_gpt2_decode).
+
+    fused_attention=True (requires kv_dtype="int8"): each layer's GQA
+    attention becomes one com.oriet FusedDecodeAttention Pallas kernel
+    reading the int8 cache directly — no Expand-materialized heads, no
+    dequantized fp32 cache in HBM (ops/fused.py).
 
     kv_dtype="int8" carries the QDQ inside the graph exactly like the GPT-2
     decode graph (per-head scale inputs kv_scale_{key,value}_{i} [Hkv]).
@@ -241,6 +248,8 @@ def build_llama_decode(
     D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
     L = max_len
     int8_kv = np.dtype(kv_dtype) == np.int8
+    if fused_attention and not int8_kv:
+        raise ValueError("fused_attention requires kv_dtype='int8'")
     cache_np = np.int8 if int8_kv else np.float32
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)
@@ -283,6 +292,7 @@ def build_llama_decode(
 
     qshape = b.init("q_shape", np.array([B, T, H, hd], np.int64))
     kvshape = b.init("kv_shape", np.array([B, T, Hkv, hd], np.int64))
+    merge_shape = b.init("ctx_merge_shape", np.array([B, T, D], np.int64))
 
     for i in range(cfg.n_layer):
         xn = _rmsnorm(b, x, f"l{i}_attn_norm", D)
@@ -313,16 +323,30 @@ def build_llama_decode(
                             [f"present_key_{i}"])
             (vc8,) = b.node("Where", [is_now4, vh8, pv],
                             [f"present_value_{i}"])
-            (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
-                           [f"l{i}_k_dq"], axis=1)
-            (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
-                           [f"l{i}_v_dq"], axis=1)
+            if not fused_attention:
+                (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
+                               [f"l{i}_k_dq"], axis=1)
+                (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
+                               [f"l{i}_v_dq"], axis=1)
         else:
             (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
             (vc,) = b.node("Where", [is_now4, vh, pv],
                            [f"present_value_{i}"])
 
-        ctxt = _attention_block(b, qh, i, cfg, B, T, kc, vc, attn_bias4, L)
+        if int8_kv and fused_attention:
+            # GQA attention = ONE Pallas kernel over the int8 cache; query
+            # heads share kv blocks via the index map — no Expand copy
+            (ctx4,) = b.node("FusedDecodeAttention",
+                             [qh, kc8, vc8, sk, sv, attn_bias4],
+                             [f"l{i}_ctx4"], domain="com.oriet",
+                             scale=float(1.0 / np.sqrt(hd)))
+            (ctx_t,) = b.node("Transpose", [ctx4], [f"l{i}_ctx_tr"],
+                              perm=[0, 2, 1, 3])
+            (ctxt,) = b.node("Reshape", [ctx_t, merge_shape],
+                             [f"l{i}_ctx_m"])
+        else:
+            ctxt = _attention_block(b, qh, i, cfg, B, T, kc, vc,
+                                    attn_bias4, L)
         o = _linear(b, ctxt, f"l{i}_wo", D, D)
         (x,) = b.node("Add", [x, o], [f"l{i}_res1"])
 

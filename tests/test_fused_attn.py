@@ -1,0 +1,76 @@
+"""FusedDecodeAttention (com.oriet): kernel correctness + graph parity.
+
+The fused form must be numerically interchangeable with the unfused
+QDQ attention chain for both decoder families (the CPU lowering is the
+same math in fp32; the TPU lowering is the Pallas kernel,
+ops/kernels/decode_attn.py, compile-checked separately on hardware).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from onnx_rusty_inference_engine_tpu.generate import Generator
+from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY as GPT2_TINY
+from onnx_rusty_inference_engine_tpu.models.gpt2 import build_gpt2_decode
+from onnx_rusty_inference_engine_tpu.models.llama import TINY as LLAMA_TINY
+from onnx_rusty_inference_engine_tpu.ops.kernels.decode_attn import (
+    decode_attention_int8)
+
+rng = np.random.default_rng(31)
+
+
+@pytest.mark.parametrize("family,cfg", [("gpt2", GPT2_TINY),
+                                        ("llama", LLAMA_TINY)])
+def test_fused_attention_matches_unfused(family, cfg):
+    P, N = 4, 6
+    ids = rng.integers(0, cfg.vocab_size, (2, P)).astype(np.int64)
+    outs = {}
+    for fused in (False, True):
+        gen = Generator(cfg, batch=2, prompt_len=P, max_len=P + N,
+                        family=family, kv_dtype="int8",
+                        fused_attention=fused)
+        toks, logits = gen.generate(ids, N, return_logits=True)
+        outs[fused] = (np.asarray(toks), np.asarray(logits[-1]))
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_allclose(outs[False][1], outs[True][1],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_requires_int8():
+    with pytest.raises(ValueError, match="int8"):
+        build_gpt2_decode(GPT2_TINY, batch=1, max_len=8,
+                          fused_attention=True)
+
+
+@pytest.mark.parametrize("Hkv", [4, 2])
+def test_decode_attention_kernel_interpret(Hkv):
+    """Pallas kernel (interpret) vs numpy, incl. the GQA index map."""
+    B, H, L, hd = 2, 4, 16, 64
+    rep = H // Hkv
+    # realistic magnitude: q carries the folded k-scale (~1/127) and
+    # 1/sqrt(hd), keeping scores O(1) — large artificial scores amplify
+    # the kernel's bf16 rounding through exp()
+    q = (rng.standard_normal((B * H, 1, hd)) / (127 * np.sqrt(hd))
+         ).astype(np.float32)
+    k8 = rng.integers(-127, 127, (B * Hkv, L, hd)).astype(np.int8)
+    v8 = rng.integers(-127, 127, (B * Hkv, L, hd)).astype(np.int8)
+    bias = np.where(np.arange(L)[None, :] <= L // 2, 0.0, -1e9
+                    ).astype(np.float32)
+    bias = np.repeat(bias, B, 0)[:, None, :]
+    out = np.asarray(decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(v8),
+        jnp.asarray(bias), n_q_heads=H, interpret=True))
+    qr = q.reshape(B, H, hd)
+    kr = k8.reshape(B, Hkv, L, hd).astype(np.float32)
+    vr = v8.reshape(B, Hkv, L, hd).astype(np.float32)
+    for b in range(B):
+        for h in range(H):
+            s = qr[b, h] @ kr[b, h // rep].T + bias[b, 0]
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            ref = p @ vr[b, h // rep]
+            # ctx values are O(100) (raw int8 weights); 0.5 abs ~ 0.5%
+            np.testing.assert_allclose(out.reshape(B, H, hd)[b, h], ref,
+                                       rtol=2e-2, atol=0.5)
