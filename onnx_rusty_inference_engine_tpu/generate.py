@@ -204,3 +204,142 @@ class Generator:
                 all_logits.append(np.asarray(step_logits))
 
         return np.stack(tokens, axis=1), all_logits
+
+
+class Seq2SeqGenerator:
+    """Encoder-decoder generation (T5 family): encode once, then greedy /
+    sampled decode over a fixed self-attn KV cache + static cross K/V.
+
+    TPU-native split: the encoder (+ cross-KV projection) is ONE compiled
+    program run once per request; the decode step is another, same
+    per-slot `pos [B]` contract as Generator.
+
+    kv_dtype="int8": the decoder has no prefill to calibrate from, so the
+    first `calib_steps` tokens run a SHADOW fp32 decode graph to collect
+    per-(layer, kind, head) amax; the fp32 cache is then quantized once
+    and generation continues on the int8-QDQ graph.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        *,
+        batch: int = 1,
+        src_len: int = 16,
+        max_len: int = 32,
+        seed: int = 0,
+        mesh=None,
+        param_sharding_fn=None,
+        kv_dtype: str = "float32",
+        int4_weights: bool = False,
+        calib_steps: int = 4,
+    ):
+        from .models.t5 import build_t5_decode, build_t5_encoder
+
+        self.cfg = cfg
+        self.batch = batch
+        self.src_len = src_len
+        self.max_len = max_len
+        self.kv_dtype = np.dtype(kv_dtype)
+        self.calib_steps = calib_steps
+
+        enc_graph = import_model(build_t5_encoder(
+            cfg, batch=batch, src_len=src_len, seed=seed))
+        dec_graph = import_model(build_t5_decode(
+            cfg, batch=batch, max_len=max_len, src_len=src_len, seed=seed,
+            kv_dtype=kv_dtype))
+        self._dec_fp32_graph = None
+        if self.kv_dtype == np.int8:
+            self._dec_fp32_graph = import_model(build_t5_decode(
+                cfg, batch=batch, max_len=max_len, src_len=src_len,
+                seed=seed))
+        if int4_weights:
+            from .quant import quantize_weights_int4
+
+            enc_graph = quantize_weights_int4(enc_graph)
+            dec_graph = quantize_weights_int4(dec_graph)
+            if self._dec_fp32_graph is not None:
+                self._dec_fp32_graph = quantize_weights_int4(
+                    self._dec_fp32_graph)
+        ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
+        self.encoder = Engine(enc_graph, **ekw)
+        self.decode = Engine(dec_graph, **ekw)
+        self.decode_fp32 = (Engine(self._dec_fp32_graph, **ekw)
+                            if self._dec_fp32_graph is not None else None)
+
+    def generate(self, src_ids: np.ndarray, n_new: int,
+                 start_token: int = 0,
+                 return_logits: bool = False,
+                 temperature: float = 0.0,
+                 top_k: Optional[int] = None,
+                 top_p: Optional[float] = None,
+                 sample_seed: int = 0):
+        """Encode src_ids [B, src_len]; decode n_new tokens."""
+        B, S = src_ids.shape
+        assert (B, S) == (self.batch, self.src_len)
+        assert n_new <= self.max_len
+        L = self.cfg.n_layer
+        H, hd = self.cfg.n_head, self.cfg.head_dim
+        ML = self.max_len
+        int8 = self.kv_dtype == np.int8
+
+        enc = self.encoder({"src_ids": src_ids.astype(np.int64)})
+        cross = {k: v for k, v in enc.items() if k.startswith("cross_")}
+
+        cache = {}
+        cache_dtype = np.float32  # calib phase runs fp32 even for int8
+        for i in range(L):
+            for kind in ("key", "value"):
+                cache[f"past_{kind}_{i}"] = jnp.zeros(
+                    (B, H, ML, hd), jnp.float32)
+
+        key = jax.random.PRNGKey(sample_seed)
+        next_tok = np.full((B,), start_token, dtype=np.int64)
+        tokens, all_logits = [], [] if return_logits else None
+        kv_scales = None
+        amax = {}
+
+        for t in range(n_new):
+            feed = {"input_ids": np.asarray(next_tok)[:, None],
+                    "pos": np.full((B,), t, dtype=np.int64)}
+            feed.update(cross)
+            feed.update(cache)
+            calibrating = int8 and t < self.calib_steps
+            if int8 and not calibrating:
+                feed.update(kv_scales)
+            eng = self.decode_fp32 if calibrating else self.decode
+            step = eng(feed)
+            if calibrating:
+                for i in range(L):
+                    for kind in ("key", "value"):
+                        kv = np.asarray(step[f"present_{kind}_{i}"])
+                        a = np.abs(kv).max(axis=(0, 2, 3))
+                        prev = amax.get(f"{kind}_{i}")
+                        amax[f"{kind}_{i}"] = (a if prev is None
+                                               else np.maximum(a, prev))
+            for i in range(L):
+                for kind in ("key", "value"):
+                    cache[f"past_{kind}_{i}"] = step[f"present_{kind}_{i}"]
+            if int8 and t == self.calib_steps - 1:
+                # switch: quantize the fp32 cache once, continue on int8
+                kv_scales = {
+                    f"kv_scale_{kind}_{i}": (np.maximum(
+                        amax[f"{kind}_{i}"], 1e-6) / 127.0
+                        ).astype(np.float32)
+                    for i in range(L) for kind in ("key", "value")}
+                for i in range(L):
+                    for kind in ("key", "value"):
+                        s = kv_scales[f"kv_scale_{kind}_{i}"].reshape(
+                            1, -1, 1, 1)
+                        kv = cache[f"past_{kind}_{i}"]
+                        cache[f"past_{kind}_{i}"] = jnp.clip(
+                            jnp.round(kv / s), -127, 127).astype(jnp.int8)
+            logits = step["logits"]
+            key, sub = jax.random.split(key)
+            next_tok = Generator._select(logits[:, -1, :], sub, temperature,
+                                         top_k, top_p)
+            tokens.append(np.asarray(next_tok))
+            if return_logits:
+                all_logits.append(np.asarray(logits))
+
+        return np.stack(tokens, axis=1), all_logits

@@ -82,6 +82,13 @@ def _gpt2_path() -> str:
                                      with_presents=False))
 
 
+def _t5_encoder_path() -> str:
+    from .t5 import TINY, build_t5_encoder
+
+    return _synth("t5-tiny-encoder.synth",
+                  lambda: build_t5_encoder(TINY, batch=1, src_len=16))
+
+
 MODELS: Dict[str, Callable[[], str]] = {
     "mnist": lambda: f"{_REFERENCE}/models/mnist-8.onnx",
     "matmul_2d": lambda: f"{_REFERENCE}/models/model.onnx",
@@ -93,6 +100,7 @@ MODELS: Dict[str, Callable[[], str]] = {
     "unet": _unet_path,
     "llama": _llama_path,
     "gpt2": _gpt2_path,
+    "t5_encoder": _t5_encoder_path,
 }
 
 

@@ -74,3 +74,36 @@ def test_decode_attention_kernel_interpret(Hkv):
             # ctx values are O(100) (raw int8 weights); 0.5 abs ~ 0.5%
             np.testing.assert_allclose(out.reshape(B, H, hd)[b, h], ref,
                                        rtol=2e-2, atol=0.5)
+
+
+def test_fused_decode_attention_single_node():
+    """Single-node conformance for "FusedDecodeAttention" (com.oriet):
+    the emitter's fallback path vs an inline numpy reference."""
+    from onnx_rusty_inference_engine_tpu import onnx_io
+    from util import attr, make_model
+
+    B, H, Hkv, L, hd = 1, 4, 2, 8, 64
+    rep = H // Hkv
+    q = (rng.standard_normal((B, H, 1, hd)) * 0.02).astype(np.float32)
+    k8 = rng.integers(-127, 127, (B, Hkv, L, hd)).astype(np.int8)
+    v8 = rng.integers(-127, 127, (B, Hkv, L, hd)).astype(np.int8)
+    sk = np.full((Hkv,), 0.02, np.float32)
+    sv = np.full((Hkv,), 0.03, np.float32)
+    bias = np.zeros((B, 1, 1, L), np.float32)
+    n = onnx_io.NodeProto(
+        op_type="FusedDecodeAttention", domain="com.oriet",
+        input=["q", "k8", "v8", "sk", "sv", "bias"], output=["ctx"],
+        attributes={"scale": attr("scale", 1.0 / np.sqrt(hd))})
+    inputs = {"q": q, "k8": k8, "v8": v8, "sk": sk, "sv": sv, "bias": bias}
+    m = make_model([n], inputs, ["ctx"], None, 17)
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    out = Engine(import_model(m)).run(inputs).outputs["ctx"]
+    for b in range(B):
+        for h in range(H):
+            kf = k8[b, h // rep].astype(np.float32) * sk[h // rep]
+            vf = v8[b, h // rep].astype(np.float32) * sv[h // rep]
+            s = (q[b, h, 0] @ kf.T) / np.sqrt(hd)
+            p = np.exp(s - s.max()); p /= p.sum()
+            np.testing.assert_allclose(out[b, h, 0], p @ vf,
+                                       rtol=1e-4, atol=1e-4)
