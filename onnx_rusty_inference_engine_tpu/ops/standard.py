@@ -486,8 +486,10 @@ def hard_sigmoid(ctx, node, ins):
 
 @register("Gelu")
 def gelu(ctx, node, ins):
-    approx = node.attr("approximate", "none") == "tanh"
-    return (jax.nn.gelu(ins[0], approximate=approx),)
+    a = node.attr("approximate", "none")
+    if isinstance(a, bytes):  # wire-parsed string attrs arrive as bytes
+        a = a.decode()
+    return (jax.nn.gelu(ins[0], approximate=a == "tanh"),)
 
 
 @register("Clip")

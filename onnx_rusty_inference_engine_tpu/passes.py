@@ -22,7 +22,8 @@ import numpy as np
 
 from .graph import Graph, Node, prune_dead
 
-__all__ = ["fuse_conv_bias_add", "fold_batchnorm", "optimize"]
+__all__ = ["fuse_conv_bias_add", "fold_batchnorm",
+           "fuse_layernorm", "fuse_gelu_erf", "optimize"]
 
 
 def _consumer_count(g: Graph) -> Dict[str, int]:
@@ -128,7 +129,204 @@ def fold_batchnorm(g: Graph) -> int:
 def optimize(g: Graph) -> Graph:
     """Run all fusions to fixpoint (mutates and returns g)."""
     for _ in range(3):
-        changed = fuse_conv_bias_add(g) + fold_batchnorm(g)
+        changed = (fuse_conv_bias_add(g) + fold_batchnorm(g)
+                   + fuse_layernorm(g) + fuse_gelu_erf(g))
         if not changed:
             break
     return g
+
+
+def _const_scalar(g: Graph, name: str) -> Optional[float]:
+    c = g.constants.get(name)
+    if c is not None and np.asarray(c).size == 1:
+        return float(np.asarray(c).reshape(()))
+    return None
+
+
+def _reduce_axes_of(g: Graph, n: Node) -> Optional[List[int]]:
+    axes = n.attr("axes")
+    if axes is None and len(n.inputs) > 1 and n.inputs[1]:
+        c = g.constants.get(n.inputs[1])
+        if c is None:
+            return None
+        axes = np.asarray(c).reshape(-1).tolist()
+    return None if axes is None else [int(a) for a in axes]
+
+
+def fuse_layernorm(g: Graph) -> int:
+    """Rewrite the decomposed LayerNorm chain torch emits at opset <= 16
+    (ReduceMean -> Sub -> Pow/ReduceMean -> Add eps -> Sqrt -> Div
+    [-> Mul gamma -> Add beta]) into one LayerNormalization node.
+
+    XLA would fuse the elementwise chain anyway; the win is semantic: the
+    graph matches what opset-17 exporters produce, the quantizer treats LN
+    as a single boundary, and --dump-stats shows one node, not seven.
+    Only last-axis normalization (axes == [-1], keepdims=1) is matched —
+    exactly the torch.nn.LayerNorm export shape."""
+    prod = {o: n for n in g.nodes for o in n.outputs}
+    counts = _consumer_count(g)
+    fused = 0
+    replaced: Dict[int, Node] = {}   # node-list index -> replacement
+    consumed: set = set()
+
+    def single(name: str) -> bool:
+        return counts.get(name, 0) == 1
+
+    for idx, n in enumerate(g.nodes):
+        if n.op_type != "Div" or idx in consumed:
+            continue
+        sub = prod.get(n.inputs[0])
+        sqrt = prod.get(n.inputs[1])
+        if (sub is None or sub.op_type != "Sub"
+                or sqrt is None or sqrt.op_type != "Sqrt"):
+            continue
+        x = sub.inputs[0]
+        mu = prod.get(sub.inputs[1])
+        if (mu is None or mu.op_type != "ReduceMean"
+                or mu.inputs[0] != x
+                or _reduce_axes_of(g, mu) != [-1]
+                or int(mu.attr("keepdims", 1)) != 1):
+            continue
+        addeps = prod.get(sqrt.inputs[0])
+        if addeps is None or addeps.op_type != "Add":
+            continue
+        var = prod.get(addeps.inputs[0])
+        eps = _const_scalar(g, addeps.inputs[1])
+        if var is None or var.op_type != "ReduceMean":
+            var, eps = prod.get(addeps.inputs[1]), _const_scalar(
+                g, addeps.inputs[0])
+        if (var is None or var.op_type != "ReduceMean" or eps is None
+                or _reduce_axes_of(g, var) != [-1]
+                or int(var.attr("keepdims", 1)) != 1):
+            continue
+        pw = prod.get(var.inputs[0])
+        if (pw is None or pw.op_type != "Pow"
+                or pw.inputs[0] != sub.outputs[0]
+                or _const_scalar(g, pw.inputs[1]) != 2.0):
+            continue
+        # interior values must have no other consumers (Sub's output feeds
+        # both Div and Pow -> count 2)
+        if not (single(mu.outputs[0]) and counts.get(sub.outputs[0], 0) == 2
+                and single(pw.outputs[0]) and single(var.outputs[0])
+                and single(addeps.outputs[0]) and single(sqrt.outputs[0])):
+            continue
+
+        # optional affine tail: Mul by const gamma, then Add const beta
+        final = n
+        gamma_name = beta_name = None
+        y = n.outputs[0]
+        nxt = [m for m in g.nodes if y in m.inputs]
+        if len(nxt) == 1 and nxt[0].op_type == "Mul" and single(y):
+            mul = nxt[0]
+            gname = mul.inputs[1] if mul.inputs[0] == y else mul.inputs[0]
+            gc = g.constants.get(gname)
+            if gc is not None and gc.ndim == 1:  # torch gamma is [D]
+                gamma_name = gname
+                final = mul
+                y2 = mul.outputs[0]
+                nxt2 = [m for m in g.nodes if y2 in m.inputs]
+                if len(nxt2) == 1 and nxt2[0].op_type == "Add" and \
+                        single(y2):
+                    add2 = nxt2[0]
+                    bname = (add2.inputs[1] if add2.inputs[0] == y2
+                             else add2.inputs[0])
+                    bc = g.constants.get(bname)
+                    if bc is not None and bc.ndim == 1:
+                        beta_name = bname
+                        final = add2
+        if gamma_name is None:
+            # LayerNormalization requires a scale input and the feature
+            # size isn't statically known here — skip scale-less forms
+            # (torch.nn.LayerNorm always exports the affine pair)
+            continue
+        g.constants[gamma_name] = np.asarray(
+            g.constants[gamma_name]).reshape(-1).astype(np.float32)
+        if beta_name is not None:
+            g.constants[beta_name] = np.asarray(
+                g.constants[beta_name]).reshape(-1).astype(np.float32)
+        ln_inputs = [x, gamma_name] + (
+            [beta_name] if beta_name is not None else [])
+        fidx = g.nodes.index(final)
+        replaced[fidx] = Node(
+            "LayerNormalization", ln_inputs, list(final.outputs),
+            final.name or f"{final.outputs[0]}_ln",
+            {"axis": -1, "epsilon": float(eps)})
+        consumed.add(idx)
+        fused += 1
+
+    if fused:
+        g.nodes = [replaced.get(i, n) for i, n in enumerate(g.nodes)]
+        prune_dead(g)
+    return fused
+
+
+def fuse_gelu_erf(g: Graph) -> int:
+    """Rewrite the exact-GELU chain every torch opset emits
+    (Div by sqrt(2) -> Erf -> Add 1 -> Mul x -> Mul 0.5, with the two
+    Muls in either order) into one Gelu(approximate=none) node."""
+    prod = {o: n for n in g.nodes for o in n.outputs}
+    counts = _consumer_count(g)
+    fused = 0
+    replaced: Dict[int, Node] = {}
+
+    def single(name: str) -> bool:
+        return counts.get(name, 0) == 1
+
+    for n in g.nodes:
+        if n.op_type != "Erf":
+            continue
+        div = prod.get(n.inputs[0])
+        if div is None or div.op_type != "Div":
+            continue
+        c = _const_scalar(g, div.inputs[1])
+        if c is None or abs(c - np.sqrt(2.0)) > 1e-3:
+            continue
+        x = div.inputs[0]
+        adds = [m for m in g.nodes if n.outputs[0] in m.inputs]
+        if len(adds) != 1 or adds[0].op_type != "Add" or \
+                not single(n.outputs[0]):
+            continue
+        add = adds[0]
+        one = (add.inputs[1] if add.inputs[0] == n.outputs[0]
+               else add.inputs[0])
+        if _const_scalar(g, one) != 1.0:
+            continue
+        muls = [m for m in g.nodes if add.outputs[0] in m.inputs]
+        if len(muls) != 1 or muls[0].op_type != "Mul" or \
+                not single(add.outputs[0]):
+            continue
+        m1 = muls[0]
+        other = m1.inputs[1] if m1.inputs[0] == add.outputs[0] \
+            else m1.inputs[0]
+        final = None
+        if other == x:
+            # ... * x, then * 0.5
+            m2s = [m for m in g.nodes if m1.outputs[0] in m.inputs]
+            if len(m2s) == 1 and m2s[0].op_type == "Mul" and \
+                    single(m1.outputs[0]):
+                m2 = m2s[0]
+                h = (m2.inputs[1] if m2.inputs[0] == m1.outputs[0]
+                     else m2.inputs[0])
+                if _const_scalar(g, h) == 0.5:
+                    final = m2
+        else:
+            # other = Mul(x, 0.5) (or Mul(0.5, x))
+            half = prod.get(other)
+            if half is not None and half.op_type == "Mul":
+                hins = set(half.inputs)
+                if x in hins and any(
+                        _const_scalar(g, i) == 0.5 for i in half.inputs
+                        if i != x):
+                    final = m1
+        if final is None:
+            continue
+        fidx = g.nodes.index(final)
+        replaced[fidx] = Node("Gelu", [x], list(final.outputs),
+                              final.name or f"{final.outputs[0]}_gelu",
+                              {"approximate": "none"})
+        fused += 1
+
+    if fused:
+        g.nodes = [replaced.get(i, n) for i, n in enumerate(g.nodes)]
+        prune_dead(g)
+    return fused
