@@ -197,6 +197,25 @@ def cmd_quantize(args) -> int:
 def cmd_generate(args) -> int:
     from .generate import Generator
 
+    if args.family == "t5":
+        from .generate import Seq2SeqGenerator
+        from .models.t5 import T5Config
+
+        cfg = T5Config(vocab_size=args.vocab, d_model=args.d,
+                       n_layer=args.layers, n_head=args.heads,
+                       d_ff=4 * args.d)
+        src = np.asarray([int(t) for t in args.prompt_ids.split(",")],
+                         dtype=np.int64)[None]
+        gen = Seq2SeqGenerator(cfg, batch=1, src_len=src.shape[1],
+                               max_len=args.max_len,
+                               kv_dtype=args.kv_dtype,
+                               int4_weights=args.int4)
+        toks, _ = gen.generate(src, args.new)
+        print(json.dumps({"family": "t5", "src": src[0].tolist(),
+                          "generated": toks[0].tolist(),
+                          "kv_dtype": args.kv_dtype, "int4": args.int4}))
+        return 0
+
     if args.family == "gpt2":
         from .models.gpt2 import GPT2Config
 
@@ -351,7 +370,8 @@ def main(argv: Optional[list] = None) -> int:
                     choices=["float32", "int8"])
     pg.add_argument("--int4", action="store_true",
                     help="INT4 weight-only quantization")
-    pg.add_argument("--family", default="gpt2", choices=["gpt2", "llama"])
+    pg.add_argument("--family", default="gpt2",
+                    choices=["gpt2", "llama", "t5"])
     pg.set_defaults(fn=cmd_generate)
 
     psl = sub.add_parser("serve-llm",
