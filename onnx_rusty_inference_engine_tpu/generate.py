@@ -343,3 +343,149 @@ class Seq2SeqGenerator:
                 all_logits.append(np.asarray(logits))
 
         return np.stack(tokens, axis=1), all_logits
+
+
+class SpeculativeGenerator:
+    """Greedy speculative decoding: a small DRAFT model proposes k tokens
+    autoregressively; the TARGET model verifies all k in ONE chunk-decode
+    call (build_gpt2_decode(chunk=k)) and emits the accepted prefix plus
+    one corrected/bonus token. Greedy verification is LOSSLESS: the output
+    equals the target's own greedy decode exactly, whatever the draft
+    proposes — the draft only changes how many target calls it takes.
+
+    TPU-native shape: three compiled programs total (target prefill,
+    draft prefill+decode, target chunk-verify); per-slot positions let
+    every batch row accept a different prefix length without recompiling.
+    Stale cache rows past a slot's position are never attended and get
+    overwritten as the position advances — no rollback step exists.
+    """
+
+    def __init__(
+        self,
+        target_cfg,
+        draft_cfg=None,
+        *,
+        batch: int = 1,
+        prompt_len: int = 8,
+        max_len: int = 64,
+        k: int = 4,
+        target_seed: int = 0,
+        draft_seed: int = 1,
+        mesh=None,
+        param_sharding_fn=None,
+    ):
+        from .models.gpt2 import build_gpt2, build_gpt2_decode
+
+        self.k = k
+        self.batch = batch
+        self.prompt_len = prompt_len
+        self.max_len = max_len
+        self.tcfg = target_cfg
+        dcfg = draft_cfg if draft_cfg is not None else target_cfg
+        self.dcfg = dcfg
+        assert dcfg.vocab_size == target_cfg.vocab_size
+
+        ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
+        self.t_prefill = Engine(import_model(build_gpt2(
+            target_cfg, batch=batch, seq_len=prompt_len, seed=target_seed,
+            past_len=0, with_presents=True)), **ekw)
+        self.t_verify = Engine(import_model(build_gpt2_decode(
+            target_cfg, batch=batch, max_len=max_len, seed=target_seed,
+            chunk=k)), **ekw)
+        self.d_prefill = Engine(import_model(build_gpt2(
+            dcfg, batch=batch, seq_len=prompt_len, seed=draft_seed,
+            past_len=0, with_presents=True)), **ekw)
+        self.d_decode = Engine(import_model(build_gpt2_decode(
+            dcfg, batch=batch, max_len=max_len, seed=draft_seed)), **ekw)
+        self.accepted_total = 0
+        self.proposed_total = 0
+
+    @staticmethod
+    def _seed_cache(out, cfg, max_len):
+        cache = {}
+        for i in range(cfg.n_layer):
+            for kind in ("key", "value"):
+                kv = out[f"present_{kind}_{i}"]
+                pad = max_len - kv.shape[2]
+                cache[f"past_{kind}_{i}"] = jnp.pad(
+                    kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return cache
+
+    def generate(self, input_ids: np.ndarray, n_new: int):
+        """Greedy decode n_new tokens per slot. Returns tokens [B, n_new]
+        (identical to the target's plain greedy decode)."""
+        B, P = input_ids.shape
+        assert (B, P) == (self.batch, self.prompt_len)
+        assert P + n_new + self.k <= self.max_len, "raise max_len"
+        k = self.k
+
+        t_out = self.t_prefill({"input_ids": input_ids.astype(np.int64)})
+        t_cache = self._seed_cache(t_out, self.tcfg, self.max_len)
+        d_out = self.d_prefill({"input_ids": input_ids.astype(np.int64)})
+        d_cache = self._seed_cache(d_out, self.dcfg, self.max_len)
+
+        cur = np.asarray(jnp.argmax(t_out["logits"][:, -1, :], axis=-1)
+                         ).astype(np.int64)                      # [B]
+        pos = np.full((B,), P, dtype=np.int64)
+        emitted = [[int(c)] for c in cur]
+
+        while min(len(e) for e in emitted) < n_new:
+            # 1) draft proposes k-1 continuations of cur (so the verify
+            #    chunk holds exactly k tokens: cur, d1..d_{k-1})
+            drafts = [cur]
+            d_tok = cur
+            for j in range(k - 1):
+                feed = {"input_ids": d_tok[:, None], "pos": pos + j}
+                feed.update(d_cache)
+                step = self.d_decode(feed)
+                for i in range(self.dcfg.n_layer):
+                    for kind in ("key", "value"):
+                        d_cache[f"past_{kind}_{i}"] = step[
+                            f"present_{kind}_{i}"]
+                d_tok = np.asarray(jnp.argmax(step["logits"][:, -1, :],
+                                              axis=-1)).astype(np.int64)
+                drafts.append(d_tok)
+            chunk = np.stack(drafts, axis=1)                     # [B, k]
+
+            # 2) one target call verifies the whole chunk
+            feed = {"input_ids": chunk, "pos": pos}
+            feed.update(t_cache)
+            vout = self.t_verify(feed)
+            for i in range(self.tcfg.n_layer):
+                for kind in ("key", "value"):
+                    t_cache[f"past_{kind}_{i}"] = vout[
+                        f"present_{kind}_{i}"]
+            tpred = np.asarray(jnp.argmax(vout["logits"], axis=-1)
+                               ).astype(np.int64)                # [B, k]
+
+            # 3) per-slot greedy acceptance: longest prefix where the
+            #    draft agrees with the target's own argmax
+            new_cur = np.empty_like(cur)
+            for b in range(B):
+                if len(emitted[b]) >= n_new:
+                    # slot already done: advance by 1 real token to keep
+                    # positions consistent (its row still decoded)
+                    new_cur[b] = tpred[b, 0]
+                    pos[b] += 1
+                    continue
+                m = 0
+                while m < k - 1 and chunk[b, m + 1] == tpred[b, m]:
+                    m += 1
+                accepted = [int(t) for t in tpred[b, :m + 1]]
+                emitted[b].extend(accepted)
+                new_cur[b] = tpred[b, m]
+                pos[b] += m + 1
+                self.accepted_total += m
+                self.proposed_total += k - 1
+            cur = new_cur
+            # draft cache rows past each slot's pos are stale; harmless
+            # (masked) — but the draft must RE-SYNC its next decode to the
+            # accepted stream, which feeding `cur` at `pos` does.
+
+        toks = np.stack([np.asarray(e[:n_new]) for e in emitted])
+        return toks, None
+
+    @property
+    def acceptance_rate(self) -> float:
+        return (self.accepted_total / self.proposed_total
+                if self.proposed_total else 0.0)

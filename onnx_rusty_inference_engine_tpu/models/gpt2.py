@@ -162,6 +162,7 @@ def build_gpt2_decode(
     kv_dtype: str = "float32",
     scan_layers: bool = False,
     fused_attention: bool = False,
+    chunk: int = 1,
 ) -> onnx_io.ModelProto:
     """Single-token decode step with a FIXED-size KV cache (TPU-native:
     static shapes, one XLA compile for the whole generation loop).
@@ -169,6 +170,13 @@ def build_gpt2_decode(
     fused_attention=True (requires kv_dtype="int8") replaces each layer's
     attention chain with one com.oriet FusedDecodeAttention node — a
     single Pallas kernel reading the int8 cache directly (ops/fused.py).
+
+    chunk=k processes k tokens per call over the same fixed cache
+    (input_ids [B,k]; token j sits at per-slot position pos+j; causal
+    within the chunk): the verify step of speculative decoding and the
+    building block for chunked prefill. Writes all k cache rows; rows
+    past the accepted prefix are harmless — the validity mask ignores
+    slots beyond the current position until they're overwritten.
 
     Inputs: input_ids [B,1] int64, pos [B] int64 (PER-SLOT current
     positions — each batch row may be at a different generation offset),
@@ -203,11 +211,13 @@ def build_gpt2_decode(
                                        opset=opset, seed=seed,
                                        kv_dtype=kv_dtype)
     b = GraphBuilder("gpt2_decode", opset=opset, seed=seed)
-    B, T = batch, 1
+    B, T = batch, chunk
     D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
     int8_kv = np.dtype(kv_dtype) == np.int8
     if fused_attention and not int8_kv:
         raise ValueError("fused_attention requires kv_dtype='int8'")
+    if fused_attention and chunk != 1:
+        raise ValueError("fused_attention supports chunk=1 only")
 
     # per-slot positions: each batch row decodes at its own cache offset —
     # the graph shape continuous batching needs (serve_llm.DecodeServer
@@ -228,25 +238,66 @@ def build_gpt2_decode(
     wpe = b.init("wpe", (b.rng.standard_normal((cfg.n_positions, D))
                          * 0.01).astype(np.float32))
 
-    (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)  # [B,1,D]
-    (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)   # [B,D]
-    (pe,) = b.node("Reshape", [pe, b.init(
-        "shape_B_1_D", np.array([B, 1, D], np.int64))], ["pos_emb3"])
-    (x,) = b.node("Add", [tok, pe], ["h0"])
-
-    # position bookkeeping (shared by all layers), per slot
+    (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)  # [B,T,D]
     arange = b.init("cache_positions", np.arange(max_len, dtype=np.int64))
     (pos2d,) = b.node("Reshape", [pos, b.init(
         "shape_B_1", np.array([B, 1], np.int64))], ["pos2d"])
-    (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])     # [B, max_len]
-    (is_now4,) = b.node("Reshape", [is_now, b.init(
-        "shape_B_1_L_1", np.array([B, 1, max_len, 1], np.int64))], ["is_now4"])
-    (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])  # k <= pos
+    if T == 1:
+        (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)  # [B,D]
+        (pe,) = b.node("Reshape", [pe, b.init(
+            "shape_B_1_D", np.array([B, 1, D], np.int64))], ["pos_emb3"])
+    else:
+        # chunk decode: token j sits at per-slot position pos + j
+        tsteps = b.init("chunk_steps", np.arange(T, dtype=np.int64))
+        (positions,) = b.node("Add", [pos2d, tsteps], ["positions"])  # [B,T]
+        (pe,) = b.node("Gather", [wpe, positions], ["pos_emb3"], axis=0)
+    (x,) = b.node("Add", [tok, pe], ["h0"])
     neg = b.init("neg_inf", np.float32(-1e9))
     zero = b.init("zero_f", np.float32(0.0))
-    (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])  # [B, L]
-    (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
-        "shape_B_1_1_L", np.array([B, 1, 1, max_len], np.int64))], ["attn_bias4"])
+    if T == 1:
+        (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])  # [B, L]
+        (is_now4,) = b.node("Reshape", [is_now, b.init(
+            "shape_B_1_L_1", np.array([B, 1, max_len, 1], np.int64))],
+            ["is_now4"])
+        (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])
+        (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])
+        (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
+            "shape_B_1_1_L", np.array([B, 1, 1, max_len], np.int64))],
+            ["attn_bias4"])
+        gather_idx = None
+    else:
+        # window mask: cache slot l receives new token j = l - pos when
+        # 0 <= j < T. GatherElements picks that token out of the chunk.
+        (in_lo,) = b.node("GreaterOrEqual", [arange, pos2d], ["win_lo"])
+        hi = b.init("chunk_hi", np.int64(T))
+        (pos_hi,) = b.node("Add", [pos2d, hi], ["pos_hi"])
+        (in_hi,) = b.node("Less", [arange, pos_hi], ["win_hi"])
+        (in_win,) = b.node("And", [in_lo, in_hi], ["in_win"])  # [B, L]
+        (is_now4,) = b.node("Reshape", [in_win, b.init(
+            "shape_B_1_L_1", np.array([B, 1, max_len, 1], np.int64))],
+            ["is_now4"])
+        (rel,) = b.node("Sub", [arange, pos2d], ["slot_rel"])   # [B, L]
+        zero_i = b.init("zero_i64", np.int64(0))
+        hi_i = b.init("chunk_hi_m1", np.int64(T - 1))
+        (relc,) = b.node("Clip", [rel, zero_i, hi_i], ["slot_rel_c"])
+        (rel4,) = b.node("Reshape", [relc, b.init(
+            "shape_B_1_L_1b", np.array([B, 1, max_len, 1], np.int64))],
+            ["slot_rel4"])
+        eshape = b.init("gidx_shape", np.array([B, H, max_len, hd],
+                                               np.int64))
+        (gather_idx,) = b.node("Expand", [rel4, eshape], ["gather_idx"])
+        # per-query-position causal bias [B, 1, T, L]: key l valid for
+        # query j when l <= pos + j
+        tsteps3 = b.init("chunk_steps3", np.arange(T, dtype=np.int64
+                                                   ).reshape(1, T, 1))
+        (pos3,) = b.node("Reshape", [pos, b.init(
+            "shape_B_1_1", np.array([B, 1, 1], np.int64))], ["pos3"])
+        (qpos,) = b.node("Add", [pos3, tsteps3], ["qpos"])       # [B,T,1]
+        (validt,) = b.node("LessOrEqual", [arange, qpos], ["validt"])
+        (attn_bias_t,) = b.node("Where", [validt, zero, neg], ["attn_bt"])
+        (attn_bias4,) = b.node("Reshape", [attn_bias_t, b.init(
+            "shape_B_1_T_L", np.array([B, 1, T, max_len], np.int64))],
+            ["attn_bias4"])
 
     scale = b.init("attn_scale", np.float32(1.0 / np.sqrt(hd)))
     shape_split = b.init("shape_bthd", np.array([B, T, H, hd], np.int64))
@@ -265,6 +316,16 @@ def build_gpt2_decode(
             return tr  # [B,H,1,hd]
 
         qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
+
+        def _spread(t: str, tag: str) -> str:
+            """[B,H,T,hd] -> [B,H,L,hd]: slot l takes chunk token l-pos
+            (only consumed where the window mask is true)."""
+            if T == 1:
+                return t
+            (sp,) = b.node("GatherElements", [t, gather_idx],
+                           [f"blk{i}_{tag}_spread"], axis=2)
+            return sp
+
         pk, pv = pasts[i]
         if int8_kv:
             # quantize the new k/v per head, update the cache in the int8
@@ -274,9 +335,9 @@ def build_gpt2_decode(
                             [f"blk{i}_k_q8"], axis=1)
             (vh8,) = b.node("QuantizeLinear", [vh, sv, zp8],
                             [f"blk{i}_v_q8"], axis=1)
-            (kc8,) = b.node("Where", [is_now4, kh8, pk],
+            (kc8,) = b.node("Where", [is_now4, _spread(kh8, "k8"), pk],
                             [f"present_key_{i}"])
-            (vc8,) = b.node("Where", [is_now4, vh8, pv],
+            (vc8,) = b.node("Where", [is_now4, _spread(vh8, "v8"), pv],
                             [f"present_value_{i}"])
             if not fused_attention:
                 (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
@@ -285,8 +346,10 @@ def build_gpt2_decode(
                                [f"blk{i}_v_dq"], axis=1)
         else:
             # scatter new k/v into the fixed cache at `pos`
-            (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
-            (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
+            (kc,) = b.node("Where", [is_now4, _spread(kh, "k"), pk],
+                           [f"present_key_{i}"])
+            (vc,) = b.node("Where", [is_now4, _spread(vh, "v"), pv],
+                           [f"present_value_{i}"])
 
         if int8_kv and fused_attention:
             # whole attention = ONE Pallas kernel over the int8 cache

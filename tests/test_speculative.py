@@ -1,0 +1,92 @@
+"""Chunked decode + greedy speculative decoding.
+
+The invariants that matter:
+1. chunk-decode(k tokens) == k sequential single-token decodes (logits
+   AND cache bits), fp32 and int8 KV, at per-slot positions;
+2. speculative output == the target's plain greedy decode EXACTLY, for
+   any draft (greedy verification is lossless — the draft only changes
+   the call count).
+"""
+
+import numpy as np
+import pytest
+
+from onnx_rusty_inference_engine_tpu.engine import Engine
+from onnx_rusty_inference_engine_tpu.generate import (Generator,
+                                                      SpeculativeGenerator)
+from onnx_rusty_inference_engine_tpu.graph import import_model
+from onnx_rusty_inference_engine_tpu.models.gpt2 import (GPT2Config, TINY,
+                                                         build_gpt2_decode)
+
+rng = np.random.default_rng(23)
+
+
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_chunk_decode_matches_sequential(kv_dtype):
+    B, L, K = 2, 16, 4
+    H, hd = TINY.n_head, TINY.head_dim
+    g1 = Engine(import_model(build_gpt2_decode(TINY, batch=B, max_len=L,
+                                               kv_dtype=kv_dtype)))
+    gk = Engine(import_model(build_gpt2_decode(TINY, batch=B, max_len=L,
+                                               kv_dtype=kv_dtype, chunk=K)))
+    base = {}
+    for i in range(TINY.n_layer):
+        for kind in ("key", "value"):
+            if kv_dtype == "int8":
+                base[f"past_{kind}_{i}"] = rng.integers(
+                    -127, 127, (B, H, L, hd)).astype(np.int8)
+                base[f"kv_scale_{kind}_{i}"] = np.full((H,), 0.02,
+                                                       np.float32)
+            else:
+                base[f"past_{kind}_{i}"] = rng.standard_normal(
+                    (B, H, L, hd)).astype(np.float32)
+    toks = rng.integers(0, TINY.vocab_size, (B, K)).astype(np.int64)
+    pos0 = np.array([5, 3], dtype=np.int64)   # per-slot offsets differ
+
+    seq_cache = dict(base)
+    seq_logits = []
+    for j in range(K):
+        feed = {"input_ids": toks[:, j:j + 1], "pos": pos0 + j, **seq_cache}
+        out = g1(feed)
+        seq_logits.append(np.asarray(out["logits"]))
+        for i in range(TINY.n_layer):
+            for kind in ("key", "value"):
+                seq_cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
+    seq_logits = np.concatenate(seq_logits, axis=1)
+
+    outk = gk({"input_ids": toks, "pos": pos0, **base})
+    np.testing.assert_allclose(np.asarray(outk["logits"]), seq_logits,
+                               rtol=1e-5, atol=1e-5)
+    for i in range(TINY.n_layer):
+        for kind in ("key", "value"):
+            np.testing.assert_allclose(
+                np.asarray(outk[f"present_{kind}_{i}"]).astype(np.float32),
+                np.asarray(seq_cache[f"past_{kind}_{i}"]).astype(
+                    np.float32), atol=1e-4)
+
+
+def test_speculative_lossless_same_draft():
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    ref, _ = Generator(TINY, batch=2, prompt_len=4,
+                       max_len=32).generate(ids, 10)
+    sg = SpeculativeGenerator(TINY, batch=2, prompt_len=4, max_len=32,
+                              k=4, target_seed=0, draft_seed=0)
+    toks, _ = sg.generate(ids, 10)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+    assert sg.acceptance_rate > 0.5  # near-identical draft accepts most
+
+
+def test_speculative_lossless_small_draft():
+    """A 1-layer draft with different weights: output must STILL equal
+    the target's own greedy decode (the whole point of verification)."""
+    draft = GPT2Config(n_layer=1, n_head=TINY.n_head, n_embd=TINY.n_embd,
+                       vocab_size=TINY.vocab_size,
+                       n_positions=TINY.n_positions)
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    ref, _ = Generator(TINY, batch=2, prompt_len=4,
+                       max_len=32).generate(ids, 10)
+    sg = SpeculativeGenerator(TINY, draft, batch=2, prompt_len=4,
+                              max_len=32, k=4, target_seed=0, draft_seed=9)
+    toks, _ = sg.generate(ids, 10)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+    assert 0.0 <= sg.acceptance_rate <= 1.0
