@@ -40,6 +40,7 @@ class Generator:
         family: str = "gpt2",
         scan_layers: bool = False,
         fused_attention: bool = False,
+        prefill_dtype: str = "float32",
     ):
         assert max_len >= prompt_len
         self.cfg = cfg
@@ -80,7 +81,9 @@ class Generator:
             prefill_graph = quantize_weights_int4(prefill_graph)
             decode_graph = quantize_weights_int4(decode_graph)
         ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
-        self.prefill = Engine(prefill_graph, **ekw)
+        # prefill is MXU-bound: bf16 measured 1.69x fp32 on chip (PERF.md
+        # "Prefill throughput"); decode stays in its own precision scheme
+        self.prefill = Engine(prefill_graph, dtype=prefill_dtype, **ekw)
         self.decode = Engine(decode_graph, **ekw)
         # per-(layer, kind, head) scales, calibrated from the prefill
         self._kv_scales: Optional[Dict[str, np.ndarray]] = None

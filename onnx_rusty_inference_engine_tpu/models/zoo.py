@@ -89,6 +89,14 @@ def _t5_encoder_path() -> str:
                   lambda: build_t5_encoder(TINY, batch=1, src_len=16))
 
 
+def _audio_path() -> str:
+    from .audio import TINY, build_audio_encoder
+
+    return _synth("audio-encoder-tiny.synth",
+                  lambda: build_audio_encoder(TINY, batch=1,
+                                              n_samples=1024))
+
+
 MODELS: Dict[str, Callable[[], str]] = {
     "mnist": lambda: f"{_REFERENCE}/models/mnist-8.onnx",
     "matmul_2d": lambda: f"{_REFERENCE}/models/model.onnx",
@@ -101,6 +109,7 @@ MODELS: Dict[str, Callable[[], str]] = {
     "llama": _llama_path,
     "gpt2": _gpt2_path,
     "t5_encoder": _t5_encoder_path,
+    "audio_encoder": _audio_path,
 }
 
 

@@ -85,6 +85,7 @@ class DecodeServer:
         param_sharding_fn=None,
         family: str = "gpt2",
         prompt_buckets: Optional[Sequence[int]] = None,
+        prefill_dtype: str = "float32",
     ):
         self.cfg = cfg
         self.B = slots
@@ -123,7 +124,8 @@ class DecodeServer:
                 from .quant import quantize_weights_int4
 
                 g = quantize_weights_int4(g)
-            return Engine(g, **ekw)
+            # prefill is MXU-bound; bf16 measured 1.69x on chip (PERF.md)
+            return Engine(g, dtype=prefill_dtype, **ekw)
 
         self._make_prefill = make_prefill
         self.decode = Engine(decode_graph, **ekw)
