@@ -374,11 +374,13 @@ class SpeculativeGenerator:
         k: int = 4,
         target_seed: int = 0,
         draft_seed: int = 1,
+        family: str = "gpt2",
         mesh=None,
         param_sharding_fn=None,
     ):
-        from .models.gpt2 import build_gpt2, build_gpt2_decode
+        from .models import decoder_family
 
+        build_prefill, build_decode, _ = decoder_family(family)
         self.k = k
         self.batch = batch
         self.prompt_len = prompt_len
@@ -388,17 +390,19 @@ class SpeculativeGenerator:
         self.dcfg = dcfg
         assert dcfg.vocab_size == target_cfg.vocab_size
 
+        pkw = ({"past_len": 0, "with_presents": True} if family == "gpt2"
+               else {"with_presents": True})
         ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
-        self.t_prefill = Engine(import_model(build_gpt2(
+        self.t_prefill = Engine(import_model(build_prefill(
             target_cfg, batch=batch, seq_len=prompt_len, seed=target_seed,
-            past_len=0, with_presents=True)), **ekw)
-        self.t_verify = Engine(import_model(build_gpt2_decode(
+            **pkw)), **ekw)
+        self.t_verify = Engine(import_model(build_decode(
             target_cfg, batch=batch, max_len=max_len, seed=target_seed,
             chunk=k)), **ekw)
-        self.d_prefill = Engine(import_model(build_gpt2(
+        self.d_prefill = Engine(import_model(build_prefill(
             dcfg, batch=batch, seq_len=prompt_len, seed=draft_seed,
-            past_len=0, with_presents=True)), **ekw)
-        self.d_decode = Engine(import_model(build_gpt2_decode(
+            **pkw)), **ekw)
+        self.d_decode = Engine(import_model(build_decode(
             dcfg, batch=batch, max_len=max_len, seed=draft_seed)), **ekw)
         self.accepted_total = 0
         self.proposed_total = 0

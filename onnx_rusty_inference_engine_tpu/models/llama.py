@@ -225,9 +225,14 @@ def build_llama_decode(
     kv_dtype: str = "float32",
     scan_layers: bool = False,
     fused_attention: bool = False,
+    chunk: int = 1,
 ) -> onnx_io.ModelProto:
     """Single-token decode over a fixed GQA KV cache; pos [B] per slot
     (continuous-batching-ready, like gpt2.build_gpt2_decode).
+
+    chunk=k processes k tokens per call over the same fixed cache (the
+    speculative-decoding verify step / chunked prefill — see
+    gpt2.build_gpt2_decode).
 
     fused_attention=True (requires kv_dtype="int8"): each layer's GQA
     attention becomes one com.oriet FusedDecodeAttention Pallas kernel
@@ -244,12 +249,14 @@ def build_llama_decode(
                                         opset=opset, seed=seed,
                                         kv_dtype=kv_dtype)
     b = GraphBuilder("llama_decode", opset=opset, seed=seed)
-    B, T = batch, 1
+    B, T = batch, chunk
     D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
     L = max_len
     int8_kv = np.dtype(kv_dtype) == np.int8
     if fused_attention and not int8_kv:
         raise ValueError("fused_attention requires kv_dtype='int8'")
+    if fused_attention and chunk != 1:
+        raise ValueError("fused_attention supports chunk=1 only")
     cache_np = np.int8 if int8_kv else np.float32
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)
@@ -266,29 +273,69 @@ def build_llama_decode(
         (cfg.vocab_size, D)) * 0.02).astype(np.float32))
     (x,) = b.node("Gather", [emb, ids], ["h0"], axis=0)
 
-    cos_t, sin_t = _rope_tables(cfg)
-    (cos,) = b.node("Gather", [b.init("rope_cos", cos_t), pos], ["cos_g"],
-                    axis=0)  # [B, hd]
-    (cos,) = b.node("Reshape", [cos, b.init(
-        "cs_shape", np.array([B, 1, 1, hd], np.int64))], ["cos4"])
-    (sin,) = b.node("Gather", [b.init("rope_sin", sin_t), pos], ["sin_g"],
-                    axis=0)
-    (sin,) = b.node("Reshape", [sin, b.init("cs_shape2", np.array(
-        [B, 1, 1, hd], np.int64))], ["sin4"])
-
-    # per-slot cache bookkeeping (same scheme as gpt2 decode)
     arange = b.init("cache_positions", np.arange(L, dtype=np.int64))
     (pos2d,) = b.node("Reshape", [pos, b.init(
         "shape_B_1", np.array([B, 1], np.int64))], ["pos2d"])
-    (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])
-    (is_now4,) = b.node("Reshape", [is_now, b.init(
-        "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
-    (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])
+    cos_t, sin_t = _rope_tables(cfg)
     neg = b.init("neg_inf", np.float32(-1e9))
     zero = b.init("zero_f", np.float32(0.0))
-    (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])
-    (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
-        "shape_B_1_1_L", np.array([B, 1, 1, L], np.int64))], ["attn_bias4"])
+    if T == 1:
+        (cos,) = b.node("Gather", [b.init("rope_cos", cos_t), pos],
+                        ["cos_g"], axis=0)  # [B, hd]
+        (cos,) = b.node("Reshape", [cos, b.init(
+            "cs_shape", np.array([B, 1, 1, hd], np.int64))], ["cos4"])
+        (sin,) = b.node("Gather", [b.init("rope_sin", sin_t), pos],
+                        ["sin_g"], axis=0)
+        (sin,) = b.node("Reshape", [sin, b.init("cs_shape2", np.array(
+            [B, 1, 1, hd], np.int64))], ["sin4"])
+        (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])
+        (is_now4,) = b.node("Reshape", [is_now, b.init(
+            "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
+        (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])
+        (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])
+        (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
+            "shape_B_1_1_L", np.array([B, 1, 1, L], np.int64))],
+            ["attn_bias4"])
+        gather_idx = None
+    else:
+        # chunk decode: token j at per-slot position pos+j (rope gathered
+        # per token; window-scatter + per-query causal bias as in gpt2)
+        tsteps = b.init("chunk_steps", np.arange(T, dtype=np.int64))
+        (positions,) = b.node("Add", [pos2d, tsteps], ["positions"])  # [B,T]
+        (cos,) = b.node("Gather", [b.init("rope_cos", cos_t), "positions"],
+                        ["cos_g"], axis=0)            # [B, T, hd]
+        (cos,) = b.node("Reshape", [cos, b.init(
+            "cs_shape", np.array([B, 1, T, hd], np.int64))], ["cos4"])
+        (sin,) = b.node("Gather", [b.init("rope_sin", sin_t), "positions"],
+                        ["sin_g"], axis=0)
+        (sin,) = b.node("Reshape", [sin, b.init("cs_shape2", np.array(
+            [B, 1, T, hd], np.int64))], ["sin4"])
+        (in_lo,) = b.node("GreaterOrEqual", [arange, pos2d], ["win_lo"])
+        hi = b.init("chunk_hi", np.int64(T))
+        (pos_hi,) = b.node("Add", [pos2d, hi], ["pos_hi"])
+        (in_hi,) = b.node("Less", [arange, pos_hi], ["win_hi"])
+        (in_win,) = b.node("And", [in_lo, in_hi], ["in_win"])
+        (is_now4,) = b.node("Reshape", [in_win, b.init(
+            "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
+        (rel,) = b.node("Sub", [arange, pos2d], ["slot_rel"])
+        zero_i = b.init("zero_i64", np.int64(0))
+        hi_i = b.init("chunk_hi_m1", np.int64(T - 1))
+        (relc,) = b.node("Clip", [rel, zero_i, hi_i], ["slot_rel_c"])
+        (rel4,) = b.node("Reshape", [relc, b.init(
+            "shape_B_1_L_1b", np.array([B, 1, L, 1], np.int64))],
+            ["slot_rel4"])
+        eshape = b.init("gidx_shape", np.array([B, Hkv, L, hd], np.int64))
+        (gather_idx,) = b.node("Expand", [rel4, eshape], ["gather_idx"])
+        tsteps3 = b.init("chunk_steps3", np.arange(T, dtype=np.int64
+                                                   ).reshape(1, T, 1))
+        (pos3,) = b.node("Reshape", [pos, b.init(
+            "shape_B_1_1", np.array([B, 1, 1], np.int64))], ["pos3"])
+        (qpos,) = b.node("Add", [pos3, tsteps3], ["qpos"])
+        (validt,) = b.node("LessOrEqual", [arange, qpos], ["validt"])
+        (attn_bias_t,) = b.node("Where", [validt, zero, neg], ["attn_bt"])
+        (attn_bias4,) = b.node("Reshape", [attn_bias_t, b.init(
+            "shape_B_1_T_L", np.array([B, 1, T, L], np.int64))],
+            ["attn_bias4"])
 
     qshape = b.init("q_shape", np.array([B, T, H, hd], np.int64))
     kvshape = b.init("kv_shape", np.array([B, T, Hkv, hd], np.int64))
@@ -312,6 +359,14 @@ def build_llama_decode(
                          f"l{i}_krope", hd)
         vh = _heads(v, "v", kvshape)
 
+        def _spread(t, tag):
+            """[B,Hkv,T,hd] -> [B,Hkv,L,hd] window scatter (chunk mode)."""
+            if T == 1:
+                return t
+            (sp,) = b.node("GatherElements", [t, gather_idx],
+                           [f"l{i}_{tag}_spread"], axis=2)
+            return sp
+
         pk, pv = pasts[i]
         if int8_kv:
             sk, sv = kv_scales[i]
@@ -319,9 +374,9 @@ def build_llama_decode(
                             [f"l{i}_k_q8"], axis=1)
             (vh8,) = b.node("QuantizeLinear", [vh, sv, zp8],
                             [f"l{i}_v_q8"], axis=1)
-            (kc8,) = b.node("Where", [is_now4, kh8, pk],
+            (kc8,) = b.node("Where", [is_now4, _spread(kh8, "k8"), pk],
                             [f"present_key_{i}"])
-            (vc8,) = b.node("Where", [is_now4, vh8, pv],
+            (vc8,) = b.node("Where", [is_now4, _spread(vh8, "v8"), pv],
                             [f"present_value_{i}"])
             if not fused_attention:
                 (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
@@ -329,8 +384,9 @@ def build_llama_decode(
                 (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
                                [f"l{i}_v_dq"], axis=1)
         else:
-            (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
-            (vc,) = b.node("Where", [is_now4, vh, pv],
+            (kc,) = b.node("Where", [is_now4, _spread(kh, "k"), pk],
+                           [f"present_key_{i}"])
+            (vc,) = b.node("Where", [is_now4, _spread(vh, "v"), pv],
                            [f"present_value_{i}"])
 
         if int8_kv and fused_attention:

@@ -110,3 +110,23 @@ def test_bert_int8(bert_graph):
     ref = Engine(bert_graph).run(feed)["pooler_output"]
     got = Engine(q).run(feed)["pooler_output"]
     assert np.abs(got - ref).max() < 0.15
+
+
+def test_bert_int8_quantization(bert_graph):
+    """Transformer INT8: weight matmuls become QLinearMatMul; the
+    activation-by-activation attention contractions (scores, ctx) stay
+    fp32 by design; outputs within ~1%."""
+    from onnx_rusty_inference_engine_tpu.quant import quantize_graph
+
+    feed = _feed()
+    q = quantize_graph(bert_graph, calibration_inputs=[feed])
+    ops = {}
+    for n in q.nodes:
+        ops[n.op_type] = ops.get(n.op_type, 0) + 1
+    assert ops.get("QLinearMatMul", 0) >= 12
+    assert ops.get("MatMul", 0) == 4  # 2 layers x (scores + ctx)
+    of = Engine(bert_graph).run(feed)
+    oq = Engine(q).run(feed)
+    a = np.asarray(of.outputs["last_hidden_state"])
+    b = np.asarray(oq.outputs["last_hidden_state"])
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.02

@@ -90,3 +90,48 @@ def test_speculative_lossless_small_draft():
     toks, _ = sg.generate(ids, 10)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
     assert 0.0 <= sg.acceptance_rate <= 1.0
+
+
+def test_llama_chunk_decode_matches_sequential():
+    from onnx_rusty_inference_engine_tpu.models.llama import (
+        TINY as LT, build_llama_decode)
+
+    B, L, K = 2, 16, 3
+    Hkv, hd = LT.n_kv_head, LT.head_dim
+    g1 = Engine(import_model(build_llama_decode(LT, batch=B, max_len=L,
+                                                kv_dtype="int8")))
+    gk = Engine(import_model(build_llama_decode(LT, batch=B, max_len=L,
+                                                kv_dtype="int8", chunk=K)))
+    base = {}
+    for i in range(LT.n_layer):
+        for kind in ("key", "value"):
+            base[f"past_{kind}_{i}"] = rng.integers(
+                -127, 127, (B, Hkv, L, hd)).astype(np.int8)
+            base[f"kv_scale_{kind}_{i}"] = np.full((Hkv,), 0.02, np.float32)
+    toks = rng.integers(0, LT.vocab_size, (B, K)).astype(np.int64)
+    pos0 = np.array([6, 2], dtype=np.int64)
+    seq_cache = dict(base)
+    seq_logits = []
+    for j in range(K):
+        out = g1({"input_ids": toks[:, j:j + 1], "pos": pos0 + j,
+                  **seq_cache})
+        seq_logits.append(np.asarray(out["logits"]))
+        for i in range(LT.n_layer):
+            for kind in ("key", "value"):
+                seq_cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
+    outk = gk({"input_ids": toks, "pos": pos0, **base})
+    np.testing.assert_allclose(np.asarray(outk["logits"]),
+                               np.concatenate(seq_logits, axis=1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_speculative_llama_lossless():
+    from onnx_rusty_inference_engine_tpu.models.llama import TINY as LT
+
+    ids = rng.integers(0, LT.vocab_size, (2, 4)).astype(np.int64)
+    ref, _ = Generator(LT, batch=2, prompt_len=4, max_len=32,
+                       family="llama").generate(ids, 8)
+    sg = SpeculativeGenerator(LT, batch=2, prompt_len=4, max_len=32, k=3,
+                              family="llama", target_seed=0, draft_seed=0)
+    toks, _ = sg.generate(ids, 8)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
