@@ -244,6 +244,9 @@ class Seq2SeqGenerator:
         self.src_len = src_len
         self.max_len = max_len
         self.kv_dtype = np.dtype(kv_dtype)
+        if self.kv_dtype == np.int8 and calib_steps < 1:
+            raise ValueError("int8 KV needs calib_steps >= 1 (the shadow "
+                             "fp32 steps that set the scales)")
         self.calib_steps = calib_steps
 
         enc_graph = import_model(build_t5_encoder(
@@ -286,6 +289,12 @@ class Seq2SeqGenerator:
         ML = self.max_len
         int8 = self.kv_dtype == np.int8
 
+        if int8 and n_new <= self.calib_steps:
+            import logging
+            logging.getLogger(__name__).warning(
+                "n_new=%d <= calib_steps=%d: every step runs the shadow "
+                "fp32 graph; the int8 cache never engages", n_new,
+                self.calib_steps)
         enc = self.encoder({"src_ids": src_ids.astype(np.int64)})
         cross = {k: v for k, v in enc.items() if k.startswith("cross_")}
 
@@ -452,6 +461,18 @@ class SpeculativeGenerator:
                 d_tok = np.asarray(jnp.argmax(step["logits"][:, -1, :],
                                               axis=-1)).astype(np.int64)
                 drafts.append(d_tok)
+            # write the LAST draft token's KV row as well (logits unused):
+            # on a full-acceptance round pos jumps past position pos+k-1,
+            # and without this write that row would stay zero forever and
+            # be attended by every later draft step, silently degrading
+            # acceptance (found by review, verified empirically)
+            feed = {"input_ids": d_tok[:, None], "pos": pos + k - 1}
+            feed.update(d_cache)
+            step = self.d_decode(feed)
+            for i in range(self.dcfg.n_layer):
+                for kind in ("key", "value"):
+                    d_cache[f"past_{kind}_{i}"] = step[
+                        f"present_{kind}_{i}"]
             chunk = np.stack(drafts, axis=1)                     # [B, k]
 
             # 2) one target call verifies the whole chunk

@@ -206,18 +206,21 @@ def build_gpt2_decode(
     (+ kv_scale_key/kv_scale_value [n_layer,H] for int8), outputs
     present_key/present_value with the same shapes.
     """
+    int8_kv = np.dtype(kv_dtype) == np.int8
+    if fused_attention and not int8_kv:
+        raise ValueError("fused_attention requires kv_dtype='int8'")
+    if fused_attention and chunk != 1:
+        raise ValueError("fused_attention supports chunk=1 only")
     if scan_layers:
+        if fused_attention or chunk != 1:
+            raise ValueError(
+                "scan_layers is incompatible with fused_attention/chunk")
         return _build_gpt2_decode_scan(cfg, batch=batch, max_len=max_len,
                                        opset=opset, seed=seed,
                                        kv_dtype=kv_dtype)
     b = GraphBuilder("gpt2_decode", opset=opset, seed=seed)
     B, T = batch, chunk
     D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
-    int8_kv = np.dtype(kv_dtype) == np.int8
-    if fused_attention and not int8_kv:
-        raise ValueError("fused_attention requires kv_dtype='int8'")
-    if fused_attention and chunk != 1:
-        raise ValueError("fused_attention supports chunk=1 only")
 
     # per-slot positions: each batch row decodes at its own cache offset —
     # the graph shape continuous batching needs (serve_llm.DecodeServer

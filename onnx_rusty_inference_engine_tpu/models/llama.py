@@ -167,7 +167,6 @@ def build_llama(
 
     qshape = b.init("q_shape", np.array([B, T, H, hd], np.int64))
     kvshape = b.init("kv_shape", np.array([B, T, Hkv, hd], np.int64))
-    merge_shape = b.init("ctx_merge_shape", np.array([B, T, D], np.int64))
 
     for i in range(cfg.n_layer):
         xn = _rmsnorm(b, x, f"l{i}_attn_norm", D)
@@ -244,7 +243,15 @@ def build_llama_decode(
 
     scan_layers=True emits the scan-over-layers form with stacked weights
     and a stacked cache interface (see gpt2.build_gpt2_decode)."""
+    int8_kv = np.dtype(kv_dtype) == np.int8
+    if fused_attention and not int8_kv:
+        raise ValueError("fused_attention requires kv_dtype='int8'")
+    if fused_attention and chunk != 1:
+        raise ValueError("fused_attention supports chunk=1 only")
     if scan_layers:
+        if fused_attention or chunk != 1:
+            raise ValueError(
+                "scan_layers is incompatible with fused_attention/chunk")
         return _build_llama_decode_scan(cfg, batch=batch, max_len=max_len,
                                         opset=opset, seed=seed,
                                         kv_dtype=kv_dtype)
@@ -252,11 +259,6 @@ def build_llama_decode(
     B, T = batch, chunk
     D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
     L = max_len
-    int8_kv = np.dtype(kv_dtype) == np.int8
-    if fused_attention and not int8_kv:
-        raise ValueError("fused_attention requires kv_dtype='int8'")
-    if fused_attention and chunk != 1:
-        raise ValueError("fused_attention supports chunk=1 only")
     cache_np = np.int8 if int8_kv else np.float32
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)

@@ -201,7 +201,13 @@ def conv_integer(ctx: LoweringContext, node: Node, ins):
     if x_zp is not None:
         x = x - x_zp.astype(jnp.int32)
     if w_zp is not None:
-        w = w - w_zp.astype(jnp.int32)
+        z = w_zp.astype(jnp.int32)
+        if z.ndim == 1 and z.shape[0] > 1:
+            # per-output-channel zero point aligns with w's M axis (axis
+            # 0), not the trailing kernel-width axis plain broadcasting
+            # would hit
+            z = z.reshape((-1,) + (1,) * (w.ndim - 1))
+        w = w - z
     acc = lax.conv_general_dilated(
         x, w, window_strides=strides, padding=padding,
         rhs_dilation=dilations,

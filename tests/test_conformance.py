@@ -382,3 +382,25 @@ def test_every_registered_op_is_tested():
     assert not missing, (
         f"registered ops with no test coverage: {missing} — add a "
         f"conformance case in this file when registering a new op")
+
+
+def test_conv_integer_per_channel_w_zero_point():
+    """1-D w_zero_point [M] must align with the OUTPUT-CHANNEL axis of w
+    [M,C,kH,kW], not the trailing kernel axis (review-found bug: with
+    kW == M plain broadcasting produced silently wrong accumulations)."""
+    M, C, kH, kW = 3, 2, 3, 3  # kW == M: the silent-wrong-answer shape
+    x = rng.integers(0, 20, (1, C, 5, 5)).astype(np.uint8)
+    w = rng.integers(-5, 5, (M, C, kH, kW)).astype(np.int8)
+    x_zp = np.uint8(3)
+    w_zp = np.array([1, -2, 0], np.int8)
+    (out,) = run_op("ConvInteger", {"x": x, "w": w},
+                    initializers={"x_zp": x_zp, "w_zp": w_zp}, opset=13)
+    xs = x.astype(np.int32) - 3
+    ws = w.astype(np.int32) - w_zp.reshape(-1, 1, 1, 1)
+    ref = np.zeros((1, M, 3, 3), np.int32)
+    for m in range(M):
+        for i in range(3):
+            for j in range(3):
+                ref[0, m, i, j] = (xs[0, :, i:i + kH, j:j + kW]
+                                   * ws[m]).sum()
+    np.testing.assert_array_equal(out, ref)
