@@ -99,10 +99,20 @@ class Generator:
     # -- token selection ---------------------------------------------------
     @staticmethod
     def _select(logits: jax.Array, key, temperature: float,
-                top_k: Optional[int], top_p: Optional[float]) -> jax.Array:
+                top_k: Optional[int], top_p: Optional[float],
+                seen=None, repetition_penalty: float = 1.0) -> jax.Array:
         """logits [B, V] -> token ids [B]. temperature == 0 is greedy;
         otherwise categorical sampling with optional top-k / nucleus
-        filtering — all on device (sort/cumsum/where, no host sync)."""
+        filtering — all on device (sort/cumsum/where, no host sync).
+
+        repetition_penalty > 1 applies the CTRL scheme to tokens already
+        in the sequence (`seen` [B, V] bool): positive logits divided by
+        the penalty, negative multiplied."""
+        if seen is not None and repetition_penalty != 1.0:
+            p = jnp.float32(repetition_penalty)
+            logits = jnp.where(seen,
+                               jnp.where(logits > 0, logits / p,
+                                         logits * p), logits)
         if temperature == 0.0:
             return jnp.argmax(logits, axis=-1)
         l = logits / temperature
@@ -127,19 +137,34 @@ class Generator:
                  top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
                  sample_seed: int = 0,
+                 eos_id: Optional[int] = None,
+                 repetition_penalty: float = 1.0,
                  ) -> Tuple[np.ndarray, Optional[list]]:
         """Decode n_new tokens. Greedy by default; temperature > 0 samples
-        (optionally top-k / top-p filtered). input_ids: [B, prompt_len]."""
+        (optionally top-k / top-p filtered). input_ids: [B, prompt_len].
+
+        eos_id: rows that emit it are frozen (keep emitting eos_id) and
+        generation stops early once every row has finished.
+        repetition_penalty: CTRL-style penalty on already-seen tokens
+        (prompt + generated), applied on device."""
         B, P = input_ids.shape
         assert (B, P) == (self.batch, self.prompt_len)
         assert P + n_new <= self.max_len
+        use_pen = repetition_penalty != 1.0
+        seen = None
+        if use_pen:
+            seen = jnp.zeros((B, self.cfg.vocab_size), bool).at[
+                jnp.arange(B)[:, None], jnp.asarray(input_ids)].set(True)
 
         key = jax.random.PRNGKey(sample_seed)
         out = self.prefill({"input_ids": input_ids.astype(np.int64)})
         logits = out["logits"]
         key, sub = jax.random.split(key)
         next_tok = self._select(logits[:, -1, :], sub, temperature,
-                                top_k, top_p)
+                                top_k, top_p, seen, repetition_penalty)
+        done = np.zeros((B,), bool)
+        if eos_id is not None:
+            done |= np.asarray(next_tok) == eos_id
 
         # calibrate per-(layer, kind, head) scales from the prefill presents
         L = self.cfg.n_layer
@@ -193,8 +218,17 @@ class Generator:
             step = self.decode(feed)
             step_logits = step["logits"]
             key, sub = jax.random.split(key)
+            if use_pen:
+                seen = seen.at[jnp.arange(B), jnp.asarray(next_tok)].set(
+                    True)
+            prev_tok = np.asarray(next_tok)
             next_tok = self._select(step_logits[:, -1, :], sub, temperature,
-                                    top_k, top_p)
+                                    top_k, top_p, seen, repetition_penalty)
+            if eos_id is not None:
+                nt = np.array(next_tok)
+                nt[done] = eos_id     # frozen rows keep emitting eos
+                next_tok = jnp.asarray(nt)
+                done |= nt == eos_id
             if self._stacked:
                 cache["past_key"] = step["present_key"]
                 cache["past_value"] = step["present_value"]
@@ -205,8 +239,15 @@ class Generator:
             tokens.append(np.asarray(next_tok))
             if return_logits:
                 all_logits.append(np.asarray(step_logits))
+            if eos_id is not None and bool(done.all()):
+                break
 
-        return np.stack(tokens, axis=1), all_logits
+        out_toks = np.stack(tokens, axis=1)
+        if eos_id is not None and out_toks.shape[1] < n_new:
+            pad = np.full((B, n_new - out_toks.shape[1]), eos_id,
+                          out_toks.dtype)
+            out_toks = np.concatenate([out_toks, pad], axis=1)
+        return out_toks, all_logits
 
 
 class Seq2SeqGenerator:

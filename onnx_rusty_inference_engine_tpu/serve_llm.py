@@ -45,17 +45,28 @@ __all__ = ["DecodeServer"]
 
 
 class _Request:
-    __slots__ = ("prompt", "max_new", "eos_id", "future", "tokens",
+    __slots__ = ("prompt", "max_new", "eos_id", "stop_sequences",
+                 "future", "tokens",
                  "t_enqueue")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
-                 eos_id: Optional[int] = None):
+                 eos_id: Optional[int] = None,
+                 stop_sequences: Optional[List[List[int]]] = None):
         self.prompt = prompt
         self.max_new = max_new
         self.eos_id = eos_id
+        self.stop_sequences = [list(q) for q in (stop_sequences or [])]
         self.future: Future = Future()
         self.tokens: List[int] = []
         self.t_enqueue = time.perf_counter()
+
+
+def _hits_stop(r: "_Request") -> bool:
+    """True when r.tokens ends with any registered stop sequence."""
+    for q in r.stop_sequences:
+        if q and len(r.tokens) >= len(q) and r.tokens[-len(q):] == q:
+            return True
+    return False
 
 
 class DecodeServer:
@@ -177,14 +188,17 @@ class DecodeServer:
 
     # -- client API ------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
-               eos_id: Optional[int] = None) -> Future:
+               eos_id: Optional[int] = None,
+               stop_sequences: Optional[List[List[int]]] = None) -> Future:
         """prompt_ids: [plen] int64, plen <= prompt_len. Resolves to the
         list of generated token ids (greedy); generation stops early when
-        eos_id is produced (the eos token is included in the result)."""
+        eos_id is produced (the eos token is included in the result) or
+        when the generated tail matches any of the given token-id stop
+        sequences (the matched sequence is included)."""
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         assert 1 <= prompt_ids.size <= self.prompt_len
         assert prompt_ids.size + max_new_tokens <= self.max_len
-        r = _Request(prompt_ids, max_new_tokens, eos_id)
+        r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences)
         self._q.put(r)
         return r.future
 
@@ -235,7 +249,8 @@ class DecodeServer:
         first = int(logits[0, plen - 1].argmax())
         r.tokens.append(first)
         self.tokens_out += 1
-        if len(r.tokens) >= r.max_new or first == r.eos_id:  # done already
+        if (len(r.tokens) >= r.max_new or first == r.eos_id
+                or _hits_stop(r)):  # done already
             r.future.set_result(r.tokens)
             self.requests_done += 1
             self._latencies.append(time.perf_counter() - r.t_enqueue)
@@ -269,7 +284,8 @@ class DecodeServer:
             r.tokens.append(tok)
             self._last_tok[s] = tok
             self.tokens_out += 1
-            if len(r.tokens) >= r.max_new or tok == r.eos_id:
+            if (len(r.tokens) >= r.max_new or tok == r.eos_id
+                    or _hits_stop(r)):
                 r.future.set_result(r.tokens)
                 self.requests_done += 1
                 self._latencies.append(time.perf_counter() - r.t_enqueue)

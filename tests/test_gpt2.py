@@ -153,3 +153,21 @@ def test_sampling_modes():
     # top_p with tiny p also collapses to (near-)greedy
     nucleus, _ = gen.generate(ids, n_new, temperature=0.5, top_p=1e-6)
     np.testing.assert_array_equal(greedy, nucleus)
+
+
+def test_generate_eos_and_repetition_penalty():
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    gen = Generator(TINY, batch=2, prompt_len=4, max_len=32)
+    base, _ = gen.generate(ids, 10)
+    base = np.asarray(base)
+    # eos freeze: everything after the first eos occurrence is eos
+    eos = int(base[0, 2])
+    e = np.asarray(gen.generate(ids, 10, eos_id=eos)[0])
+    assert e.shape == (2, 10)
+    for row in e:
+        if eos in row:
+            i = list(row).index(eos)
+            assert all(t == eos for t in row[i:])
+    # repetition penalty changes a repeating greedy stream
+    pen = np.asarray(gen.generate(ids, 10, repetition_penalty=1.5)[0])
+    assert not np.array_equal(base, pen)

@@ -171,3 +171,17 @@ def test_decode_server_concurrent_clients():
     for p, got in zip(prompts, results):
         assert got == _reference_tokens(p, 4, 6, 20)
     assert srv.stats()["requests"] == len(prompts)
+
+
+def test_decode_server_stop_sequences():
+    """Generation halts when the emitted tail matches a stop sequence;
+    the matched tokens are included in the result."""
+    prompt = rng.integers(0, TINY.vocab_size, (5,)).astype(np.int64)
+    ref = [int(t) for t in _reference_tokens(prompt, 8, 8, 24)]
+    stop = [ref[:3]]  # earliest possible match: the first 3 tokens
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    try:
+        got = srv.submit(prompt, 8, stop_sequences=stop).result(timeout=300)
+    finally:
+        srv.stop()
+    assert got == ref[:3], (got, ref)
