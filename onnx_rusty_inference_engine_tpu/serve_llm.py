@@ -97,6 +97,8 @@ class DecodeServer:
         family: str = "gpt2",
         prompt_buckets: Optional[Sequence[int]] = None,
         prefill_dtype: str = "float32",
+        chunked_prefill: bool = False,
+        chunk: int = 8,
     ):
         self.cfg = cfg
         self.B = slots
@@ -115,7 +117,20 @@ class DecodeServer:
         if self.kv_dtype == np.int8 and not int8_kv_ok:
             raise NotImplementedError(
                 f"{family}: in-graph INT8 KV cache not implemented")
+        # chunked prefill: ONE chunk-C decode graph serves BOTH prompt
+        # ingestion (C tokens/step into a slot) and decoding (1 real
+        # token/step) — no per-bucket prefill compiles, prompts of any
+        # length <= max_len, mixed prefill/decode batches every step
+        # (the vLLM/Sarathi-style unified loop, TPU-shaped: one program).
+        self.chunked = bool(chunked_prefill)
+        self.chunk = int(chunk)
+        if self.chunked and self.kv_dtype == np.int8:
+            raise NotImplementedError(
+                "chunked_prefill currently requires kv_dtype='float32' "
+                "(int8 KV scales calibrate from a bucketed prefill)")
         dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
+        if self.chunked:
+            dkw["chunk"] = self.chunk
         pkw = ({"past_len": 0} if family == "gpt2" else {})
         decode_graph = import_model(build_decode(
             cfg, batch=slots, max_len=max_len, seed=seed, **dkw))
@@ -154,6 +169,7 @@ class DecodeServer:
         self._req: List[Optional[_Request]] = [None] * slots
         self._pos = np.full((slots,), max_len - 1, np.int64)  # parked
         self._last_tok = np.zeros((slots,), np.int64)
+        self._pending: List[Optional[np.ndarray]] = [None] * slots
 
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._running = True
@@ -196,7 +212,8 @@ class DecodeServer:
         when the generated tail matches any of the given token-id stop
         sequences (the matched sequence is included)."""
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
-        assert 1 <= prompt_ids.size <= self.prompt_len
+        limit = self.max_len if self.chunked else self.prompt_len
+        assert 1 <= prompt_ids.size <= limit
         assert prompt_ids.size + max_new_tokens <= self.max_len
         r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences)
         self._q.put(r)
@@ -220,7 +237,23 @@ class DecodeServer:
         s = self._kv_scales[name].reshape(1, -1, 1, 1)
         return np.clip(np.round(kv / s), -127, 127).astype(np.int8)
 
+    def _finish(self, slot_or_none, r: _Request) -> None:
+        r.future.set_result(r.tokens)
+        self.requests_done += 1
+        self._latencies.append(time.perf_counter() - r.t_enqueue)
+        if slot_or_none is not None:
+            self._req[slot_or_none] = None
+            self._pending[slot_or_none] = None
+            self._pos[slot_or_none] = self.max_len - 1  # park
+
     def _admit(self, slot: int, r: _Request) -> None:
+        if self.chunked:
+            # no prefill engine: the prompt streams through the chunk
+            # graph C tokens per step from position 0
+            self._req[slot] = r
+            self._pending[slot] = r.prompt.copy()
+            self._pos[slot] = 0
+            return
         plen = r.prompt.size
         bucket, prefill = self._prefill_for(plen)
         padded = np.zeros((1, bucket), np.int64)
@@ -264,6 +297,8 @@ class DecodeServer:
         return [i for i, r in enumerate(self._req) if r is not None]
 
     def _step(self) -> None:
+        if self.chunked:
+            return self._step_chunked()
         feed = {"input_ids": jnp.asarray(self._last_tok[:, None]),
                 "pos": jnp.asarray(self._pos)}
         feed.update(self._cache)
@@ -291,6 +326,50 @@ class DecodeServer:
                 self._latencies.append(time.perf_counter() - r.t_enqueue)
                 self._req[s] = None
                 self._pos[s] = self.max_len - 1  # park the slot
+
+    def _step_chunked(self) -> None:
+        C = self.chunk
+        B = self.B
+        ids = np.zeros((B, C), np.int64)
+        fed = np.zeros((B,), np.int64)          # real prompt tokens fed
+        for s in range(B):
+            r = self._req[s]
+            if r is None:
+                continue
+            pend = self._pending[s]
+            if pend is not None and pend.size > 0:
+                n = int(min(C, pend.size))
+                ids[s, :n] = pend[:n]
+                self._pending[s] = pend[n:]
+                fed[s] = n
+            else:
+                ids[s, 0] = self._last_tok[s]
+
+        out = self.decode({"input_ids": jnp.asarray(ids),
+                           "pos": jnp.asarray(self._pos), **self._cache})
+        logits = np.asarray(out["logits"])      # [B, C, V]
+        for i in range(self.cfg.n_layer):
+            for kind in ("key", "value"):
+                self._cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
+        self.steps += 1
+        self._occupancy_sum += len(self._active())
+
+        for s in self._active():
+            r = self._req[s]
+            if fed[s] > 0:
+                self._pos[s] += fed[s]
+                if self._pending[s].size > 0:
+                    continue                    # still prefilling
+                tok = int(logits[s, fed[s] - 1].argmax())
+            else:
+                self._pos[s] += 1
+                tok = int(logits[s, 0].argmax())
+            r.tokens.append(tok)
+            self._last_tok[s] = tok
+            self.tokens_out += 1
+            if (len(r.tokens) >= r.max_new or tok == r.eos_id
+                    or _hits_stop(r)):
+                self._finish(s, r)
 
     def _loop(self) -> None:
         while self._running:

@@ -185,3 +185,33 @@ def test_decode_server_stop_sequences():
     finally:
         srv.stop()
     assert got == ref[:3], (got, ref)
+
+
+def test_chunked_prefill_matches_isolated_generation():
+    """chunked_prefill=True: ONE chunk graph serves mixed prefill/decode
+    steps — no per-bucket prefill engines, prompts longer than any
+    'prompt_len' admitted. Served tokens must equal isolated generation
+    exactly, including under staggered admissions."""
+    srv = DecodeServer(TINY, slots=3, prompt_len=8, max_len=40,
+                       chunked_prefill=True, chunk=4)
+    try:
+        reqs = []
+        for i in range(6):
+            plen = int(rng.integers(2, 20))   # > prompt_len allowed
+            n_new = int(rng.integers(2, 8))
+            prompt = rng.integers(0, TINY.vocab_size, (plen,)).astype(
+                np.int64)
+            reqs.append((prompt, n_new, srv.submit(prompt, n_new)))
+        for prompt, n_new, fut in reqs:
+            got = fut.result(timeout=300)
+            want = _reference_tokens(prompt, n_new, prompt.size, 40)
+            assert got == want, (prompt.size, got, want)
+    finally:
+        srv.stop()
+    assert srv.steps > 0 and srv.tokens_out > 0
+
+
+def test_chunked_prefill_rejects_int8():
+    with pytest.raises(NotImplementedError):
+        DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                     chunked_prefill=True, kv_dtype="int8")
