@@ -209,6 +209,8 @@ class Generator:
         tokens = [np.asarray(next_tok)]
         all_logits = [np.asarray(logits)] if return_logits else None
         for t in range(n_new - 1):
+            if eos_id is not None and bool(done.all()) and not return_logits:
+                break  # every row frozen; remaining output is eos padding
             pos = np.full((B,), P + t, dtype=np.int64)
             feed = {"input_ids": np.asarray(next_tok)[:, None].astype(np.int64),
                     "pos": pos}
@@ -221,7 +223,6 @@ class Generator:
             if use_pen:
                 seen = seen.at[jnp.arange(B), jnp.asarray(next_tok)].set(
                     True)
-            prev_tok = np.asarray(next_tok)
             next_tok = self._select(step_logits[:, -1, :], sub, temperature,
                                     top_k, top_p, seen, repetition_penalty)
             if eos_id is not None:
@@ -239,8 +240,6 @@ class Generator:
             tokens.append(np.asarray(next_tok))
             if return_logits:
                 all_logits.append(np.asarray(step_logits))
-            if eos_id is not None and bool(done.all()):
-                break
 
         out_toks = np.stack(tokens, axis=1)
         if eos_id is not None and out_toks.shape[1] < n_new:

@@ -120,8 +120,12 @@ def _make_generate_handler(server):
                 req = json.loads(self.rfile.read(length))
                 prompt = np.asarray(req["prompt_ids"], dtype=np.int64)
                 n_new = int(req.get("max_new_tokens", 16))
+                eos = req.get("eos_id")
+                stops = req.get("stop_sequences")
                 toks = server.generate(
-                    prompt, n_new, timeout=float(req.get("timeout", 300)))
+                    prompt, n_new, timeout=float(req.get("timeout", 300)),
+                    eos_id=None if eos is None else int(eos),
+                    stop_sequences=stops)
                 self._send(200, {"prompt_ids": prompt.tolist(),
                                  "generated_ids": toks})
             except Exception as e:  # request-level failure isolation
@@ -133,7 +137,8 @@ def _make_generate_handler(server):
 def serve_generate_http(decode_server, port: int = 8001, block: bool = True):
     """HTTP front end over the continuous-batching DecodeServer:
 
-      POST /v1/generate  {"prompt_ids": [...], "max_new_tokens": N}
+      POST /v1/generate  {"prompt_ids": [...], "max_new_tokens": N,
+                          "eos_id": t?, "stop_sequences": [[...], ...]?}
                          -> {"generated_ids": [...]}
       GET  /v1/stats     -> DecodeServer.stats()
       GET  /healthz      -> ok

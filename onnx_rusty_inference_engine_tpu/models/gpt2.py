@@ -279,16 +279,20 @@ def build_gpt2_decode(
         (is_now4,) = b.node("Reshape", [in_win, b.init(
             "shape_B_1_L_1", np.array([B, 1, max_len, 1], np.int64))],
             ["is_now4"])
+        # scatter matrix: onehot[b, l, j] = (l - pos_b == j). The chunk
+        # write becomes a [B,1,L,T] x [B,H,T,hd] batched MATMUL — MXU
+        # work, not a gather (GatherElements with [B,H,L,hd] int64
+        # indices lowered catastrophically on TPU: 523 ms/step, PERF.md)
         (rel,) = b.node("Sub", [arange, pos2d], ["slot_rel"])   # [B, L]
-        zero_i = b.init("zero_i64", np.int64(0))
-        hi_i = b.init("chunk_hi_m1", np.int64(T - 1))
-        (relc,) = b.node("Clip", [rel, zero_i, hi_i], ["slot_rel_c"])
-        (rel4,) = b.node("Reshape", [relc, b.init(
-            "shape_B_1_L_1b", np.array([B, 1, max_len, 1], np.int64))],
-            ["slot_rel4"])
-        eshape = b.init("gidx_shape", np.array([B, H, max_len, hd],
-                                               np.int64))
-        (gather_idx,) = b.node("Expand", [rel4, eshape], ["gather_idx"])
+        (rel3,) = b.node("Reshape", [rel, b.init(
+            "shape_B_L_1", np.array([B, max_len, 1], np.int64))], ["rel3"])
+        steps_k = b.init("scatter_steps", np.arange(T, dtype=np.int64
+                                                    ).reshape(1, 1, T))
+        (oh,) = b.node("Equal", [rel3, steps_k], ["scatter_oh"])
+        (ohf,) = b.node("Cast", [oh], ["scatter_ohf"], to=1)    # f32
+        (oh4,) = b.node("Reshape", [ohf, b.init(
+            "shape_B_1_L_T", np.array([B, 1, max_len, T], np.int64))],
+            ["scatter_oh4"])
         # per-query-position causal bias [B, 1, T, L]: key l valid for
         # query j when l <= pos + j
         tsteps3 = b.init("chunk_steps3", np.arange(T, dtype=np.int64
@@ -321,12 +325,18 @@ def build_gpt2_decode(
         qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
 
         def _spread(t: str, tag: str) -> str:
-            """[B,H,T,hd] -> [B,H,L,hd]: slot l takes chunk token l-pos
-            (only consumed where the window mask is true)."""
+            """[B,H,T,hd] -> [B,H,L,hd] via the one-hot scatter matmul;
+            exact for int8 payloads (|v| <= 127 in f32), cast back."""
             if T == 1:
                 return t
-            (sp,) = b.node("GatherElements", [t, gather_idx],
-                           [f"blk{i}_{tag}_spread"], axis=2)
+            src = t
+            if int8_kv:
+                (src,) = b.node("Cast", [t], [f"blk{i}_{tag}_f"], to=1)
+            (sp,) = b.node("MatMul", ["scatter_oh4", src],
+                           [f"blk{i}_{tag}_spread_f"])
+            if int8_kv:
+                (sp,) = b.node("Cast", [sp], [f"blk{i}_{tag}_spread"],
+                               to=3)  # int8
             return sp
 
         pk, pv = pasts[i]

@@ -319,15 +319,18 @@ def build_llama_decode(
         (in_win,) = b.node("And", [in_lo, in_hi], ["in_win"])
         (is_now4,) = b.node("Reshape", [in_win, b.init(
             "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
+        # one-hot scatter matmul (see gpt2 builder: GatherElements was
+        # catastrophically slow on TPU)
         (rel,) = b.node("Sub", [arange, pos2d], ["slot_rel"])
-        zero_i = b.init("zero_i64", np.int64(0))
-        hi_i = b.init("chunk_hi_m1", np.int64(T - 1))
-        (relc,) = b.node("Clip", [rel, zero_i, hi_i], ["slot_rel_c"])
-        (rel4,) = b.node("Reshape", [relc, b.init(
-            "shape_B_1_L_1b", np.array([B, 1, L, 1], np.int64))],
-            ["slot_rel4"])
-        eshape = b.init("gidx_shape", np.array([B, Hkv, L, hd], np.int64))
-        (gather_idx,) = b.node("Expand", [rel4, eshape], ["gather_idx"])
+        (rel3,) = b.node("Reshape", [rel, b.init(
+            "shape_B_L_1", np.array([B, L, 1], np.int64))], ["rel3"])
+        steps_k = b.init("scatter_steps", np.arange(T, dtype=np.int64
+                                                    ).reshape(1, 1, T))
+        (oh,) = b.node("Equal", [rel3, steps_k], ["scatter_oh"])
+        (ohf,) = b.node("Cast", [oh], ["scatter_ohf"], to=1)
+        (oh4,) = b.node("Reshape", [ohf, b.init(
+            "shape_B_1_L_T", np.array([B, 1, L, T], np.int64))],
+            ["scatter_oh4"])
         tsteps3 = b.init("chunk_steps3", np.arange(T, dtype=np.int64
                                                    ).reshape(1, T, 1))
         (pos3,) = b.node("Reshape", [pos, b.init(
@@ -362,11 +365,16 @@ def build_llama_decode(
         vh = _heads(v, "v", kvshape)
 
         def _spread(t, tag):
-            """[B,Hkv,T,hd] -> [B,Hkv,L,hd] window scatter (chunk mode)."""
+            """[B,Hkv,T,hd] -> [B,Hkv,L,hd] one-hot scatter matmul."""
             if T == 1:
                 return t
-            (sp,) = b.node("GatherElements", [t, gather_idx],
-                           [f"l{i}_{tag}_spread"], axis=2)
+            src = t
+            if int8_kv:
+                (src,) = b.node("Cast", [t], [f"l{i}_{tag}_f"], to=1)
+            (sp,) = b.node("MatMul", ["scatter_oh4", src],
+                           [f"l{i}_{tag}_spread_f"])
+            if int8_kv:
+                (sp,) = b.node("Cast", [sp], [f"l{i}_{tag}_spread"], to=3)
             return sp
 
         pk, pv = pasts[i]

@@ -107,9 +107,11 @@ class DecodeServer:
         self.kv_dtype = np.dtype(kv_dtype)
         # prompts pad to the smallest compiled bucket >= their length:
         # one XLA program per bucket (compiled lazily on first use), so
-        # short prompts don't pay full-length prefill FLOPs
+        # short prompts don't pay full-length prefill FLOPs.
+        # (chunked_prefill mode never builds prefill engines; buckets and
+        # prompt_len are ignored there)
         self.prompt_buckets = tuple(sorted(prompt_buckets or (prompt_len,)))
-        assert self.prompt_buckets[-1] == prompt_len
+        assert chunked_prefill or self.prompt_buckets[-1] == prompt_len
 
         from .models import decoder_family
 
@@ -124,6 +126,8 @@ class DecodeServer:
         # (the vLLM/Sarathi-style unified loop, TPU-shaped: one program).
         self.chunked = bool(chunked_prefill)
         self.chunk = int(chunk)
+        if self.chunked and self.chunk < 1:
+            raise ValueError("chunk must be >= 1")
         if self.chunked and self.kv_dtype == np.int8:
             raise NotImplementedError(
                 "chunked_prefill currently requires kv_dtype='float32' "
@@ -206,11 +210,12 @@ class DecodeServer:
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
                eos_id: Optional[int] = None,
                stop_sequences: Optional[List[List[int]]] = None) -> Future:
-        """prompt_ids: [plen] int64, plen <= prompt_len. Resolves to the
-        list of generated token ids (greedy); generation stops early when
-        eos_id is produced (the eos token is included in the result) or
-        when the generated tail matches any of the given token-id stop
-        sequences (the matched sequence is included)."""
+        """prompt_ids: [plen] int64; plen <= prompt_len (bucketed-prefill
+        mode) or <= max_len - max_new_tokens (chunked_prefill mode).
+        Resolves to the list of generated token ids (greedy); generation
+        stops early when eos_id is produced (the eos token is included in
+        the result) or when the generated tail matches any of the given
+        token-id stop sequences (the matched sequence is included)."""
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         limit = self.max_len if self.chunked else self.prompt_len
         assert 1 <= prompt_ids.size <= limit
@@ -221,9 +226,11 @@ class DecodeServer:
 
     def generate(self, prompt_ids: np.ndarray, max_new_tokens: int,
                  timeout: Optional[float] = None,
-                 eos_id: Optional[int] = None) -> List[int]:
-        return self.submit(prompt_ids, max_new_tokens,
-                           eos_id=eos_id).result(timeout)
+                 eos_id: Optional[int] = None,
+                 stop_sequences: Optional[List[List[int]]] = None
+                 ) -> List[int]:
+        return self.submit(prompt_ids, max_new_tokens, eos_id=eos_id,
+                           stop_sequences=stop_sequences).result(timeout)
 
     def stop(self) -> None:
         self._running = False
@@ -284,9 +291,7 @@ class DecodeServer:
         self.tokens_out += 1
         if (len(r.tokens) >= r.max_new or first == r.eos_id
                 or _hits_stop(r)):  # done already
-            r.future.set_result(r.tokens)
-            self.requests_done += 1
-            self._latencies.append(time.perf_counter() - r.t_enqueue)
+            self._finish(None, r)
             return
         self._req[slot] = r
         self._pos[slot] = plen
@@ -321,11 +326,7 @@ class DecodeServer:
             self.tokens_out += 1
             if (len(r.tokens) >= r.max_new or tok == r.eos_id
                     or _hits_stop(r)):
-                r.future.set_result(r.tokens)
-                self.requests_done += 1
-                self._latencies.append(time.perf_counter() - r.t_enqueue)
-                self._req[s] = None
-                self._pos[s] = self.max_len - 1  # park the slot
+                self._finish(s, r)
 
     def _step_chunked(self) -> None:
         C = self.chunk
