@@ -128,16 +128,22 @@ class DecodeServer:
         self.chunk = int(chunk)
         if self.chunked and self.chunk < 1:
             raise ValueError("chunk must be >= 1")
-        if self.chunked and self.kv_dtype == np.int8:
-            raise NotImplementedError(
-                "chunked_prefill currently requires kv_dtype='float32' "
-                "(int8 KV scales calibrate from a bucketed prefill)")
         dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
         if self.chunked:
             dkw["chunk"] = self.chunk
         pkw = ({"past_len": 0} if family == "gpt2" else {})
         decode_graph = import_model(build_decode(
             cfg, batch=slots, max_len=max_len, seed=seed, **dkw))
+        # chunked + int8 KV: no bucketed prefill exists to calibrate the
+        # per-head scales from, so steps run a SHADOW fp32 chunk graph
+        # until the first request finishes prefilling; the fp32 cache is
+        # then quantized once and serving continues on the int8 graph
+        # (same pattern as generate.Seq2SeqGenerator)
+        self._shadow_graph = None
+        if self.chunked and self.kv_dtype == np.int8:
+            self._shadow_graph = import_model(build_decode(
+                cfg, batch=slots, max_len=max_len, seed=seed,
+                chunk=self.chunk))
         if int4_weights:
             from .quant import quantize_weights_int4
 
@@ -159,12 +165,16 @@ class DecodeServer:
 
         self._make_prefill = make_prefill
         self.decode = Engine(decode_graph, **ekw)
+        self._shadow = (Engine(self._shadow_graph, **ekw)
+                        if self._shadow_graph is not None else None)
 
         cache_np = np.int8 if self.kv_dtype == np.int8 else np.float32
         # cache shapes come from the decode graph itself (GQA families carry
-        # n_kv_head heads, not n_head)
+        # n_kv_head heads, not n_head); the shadow-calibration phase keeps
+        # the cache fp32 regardless
+        boot_np = np.float32 if self._shadow is not None else cache_np
         self._cache: Dict[str, jax.Array] = {
-            spec.name: jnp.zeros(spec.concrete_shape(batch=slots), cache_np)
+            spec.name: jnp.zeros(spec.concrete_shape(batch=slots), boot_np)
             for spec in self.decode.graph.inputs
             if spec.name.startswith("past_")}
         self._kv_scales: Optional[Dict[str, np.ndarray]] = None
@@ -346,8 +356,14 @@ class DecodeServer:
             else:
                 ids[s, 0] = self._last_tok[s]
 
-        out = self.decode({"input_ids": jnp.asarray(ids),
-                           "pos": jnp.asarray(self._pos), **self._cache})
+        calibrating = (self._shadow is not None
+                       and self._kv_scales is None)
+        eng = self._shadow if calibrating else self.decode
+        feed = {"input_ids": jnp.asarray(ids),
+                "pos": jnp.asarray(self._pos), **self._cache}
+        if self.kv_dtype == np.int8 and not calibrating:
+            feed.update(self._kv_scales)
+        out = eng(feed)
         logits = np.asarray(out["logits"])      # [B, C, V]
         for i in range(self.cfg.n_layer):
             for kind in ("key", "value"):
@@ -355,12 +371,14 @@ class DecodeServer:
         self.steps += 1
         self._occupancy_sum += len(self._active())
 
+        prefill_done = False
         for s in self._active():
             r = self._req[s]
             if fed[s] > 0:
                 self._pos[s] += fed[s]
                 if self._pending[s].size > 0:
                     continue                    # still prefilling
+                prefill_done = True
                 tok = int(logits[s, fed[s] - 1].argmax())
             else:
                 self._pos[s] += 1
@@ -371,6 +389,25 @@ class DecodeServer:
             if (len(r.tokens) >= r.max_new or tok == r.eos_id
                     or _hits_stop(r)):
                 self._finish(s, r)
+
+        if calibrating and prefill_done:
+            # first full prompt is in the fp32 shadow cache: derive the
+            # per-head scales from it and quantize the cache ONCE
+            self._kv_scales = {}
+            for i in range(self.cfg.n_layer):
+                for kind in ("key", "value"):
+                    kv = np.asarray(self._cache[f"past_{kind}_{i}"])
+                    amax = np.maximum(np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
+                    self._kv_scales[f"kv_scale_{kind}_{i}"] = (
+                        amax / 127.0).astype(np.float32)
+            for name in list(self._cache):
+                kind = "key" if "_key_" in name else "value"
+                i = name.rsplit("_", 1)[1]
+                sc = self._kv_scales[f"kv_scale_{kind}_{i}"].reshape(
+                    1, -1, 1, 1)
+                kv = np.asarray(self._cache[name])
+                self._cache[name] = jnp.asarray(np.clip(
+                    np.round(kv / sc), -127, 127).astype(np.int8))
 
     def _loop(self) -> None:
         while self._running:

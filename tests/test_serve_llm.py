@@ -211,7 +211,21 @@ def test_chunked_prefill_matches_isolated_generation():
     assert srv.steps > 0 and srv.tokens_out > 0
 
 
-def test_chunked_prefill_rejects_int8():
-    with pytest.raises(NotImplementedError):
-        DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
-                     chunked_prefill=True, kv_dtype="int8")
+
+def test_chunked_prefill_int8_kv():
+    """Chunked prefill + int8 KV: shadow-fp32 calibration on the first
+    prompt, then the int8 graph; tokens stay (mostly) equal to isolated
+    fp32 generation."""
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=32,
+                       chunked_prefill=True, chunk=4, kv_dtype="int8")
+    try:
+        prompts = [rng.integers(0, TINY.vocab_size, (int(p),)).astype(
+            np.int64) for p in (6, 11)]
+        futs = [srv.submit(p, 6) for p in prompts]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        srv.stop()
+    for p, got in zip(prompts, outs):
+        want = _reference_tokens(p, 6, p.size, 32)
+        agree = np.mean([g == w for g, w in zip(got, want)])
+        assert agree >= 0.5, (p.size, got, want)
