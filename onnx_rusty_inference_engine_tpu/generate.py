@@ -467,21 +467,40 @@ class SpeculativeGenerator:
                     kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
         return cache
 
-    def generate(self, input_ids: np.ndarray, n_new: int):
-        """Greedy decode n_new tokens per slot. Returns tokens [B, n_new]
-        (identical to the target's plain greedy decode)."""
+    def generate(self, input_ids: np.ndarray, n_new: int,
+                 temperature: float = 0.0, sample_seed: int = 0):
+        """Decode n_new tokens per slot. temperature == 0: greedy
+        verification — output is IDENTICAL to the target's own greedy
+        decode. temperature > 0: speculative REJECTION sampling
+        (Leviathan et al.): draft token x ~ q accepted with prob
+        min(1, p(x)/q(x)); on rejection the emitted token is drawn from
+        normalize(max(p - q, 0)) — the output token distribution equals
+        plain sampling from the target at that temperature."""
         B, P = input_ids.shape
         assert (B, P) == (self.batch, self.prompt_len)
         assert P + n_new + self.k <= self.max_len, "raise max_len"
         k = self.k
+        sampling = temperature > 0.0
+        host_rng = np.random.default_rng(sample_seed)
+
+        def soft(logits2d):
+            z = np.asarray(logits2d, np.float64) / temperature
+            z -= z.max(axis=-1, keepdims=True)
+            e = np.exp(z)
+            return e / e.sum(axis=-1, keepdims=True)
 
         t_out = self.t_prefill({"input_ids": input_ids.astype(np.int64)})
         t_cache = self._seed_cache(t_out, self.tcfg, self.max_len)
         d_out = self.d_prefill({"input_ids": input_ids.astype(np.int64)})
         d_cache = self._seed_cache(d_out, self.dcfg, self.max_len)
 
-        cur = np.asarray(jnp.argmax(t_out["logits"][:, -1, :], axis=-1)
-                         ).astype(np.int64)                      # [B]
+        first_logits = np.asarray(t_out["logits"][:, -1, :])
+        if sampling:
+            pf = soft(first_logits)
+            cur = np.array([host_rng.choice(pf.shape[-1], p=pf[b])
+                            for b in range(B)], dtype=np.int64)
+        else:
+            cur = first_logits.argmax(-1).astype(np.int64)       # [B]
         pos = np.full((B,), P, dtype=np.int64)
         emitted = [[int(c)] for c in cur]
 
@@ -490,6 +509,7 @@ class SpeculativeGenerator:
             #    chunk holds exactly k tokens: cur, d1..d_{k-1})
             drafts = [cur]
             d_tok = cur
+            q_dists = []       # q_j [B, V] — dist draft token j+1 came from
             for j in range(k - 1):
                 feed = {"input_ids": d_tok[:, None], "pos": pos + j}
                 feed.update(d_cache)
@@ -498,8 +518,14 @@ class SpeculativeGenerator:
                     for kind in ("key", "value"):
                         d_cache[f"past_{kind}_{i}"] = step[
                             f"present_{kind}_{i}"]
-                d_tok = np.asarray(jnp.argmax(step["logits"][:, -1, :],
-                                              axis=-1)).astype(np.int64)
+                dl = np.asarray(step["logits"][:, -1, :])
+                if sampling:
+                    q = soft(dl)
+                    q_dists.append(q)
+                    d_tok = np.array([host_rng.choice(q.shape[-1], p=q[b])
+                                      for b in range(B)], dtype=np.int64)
+                else:
+                    d_tok = dl.argmax(-1).astype(np.int64)
                 drafts.append(d_tok)
             # write the LAST draft token's KV row as well (logits unused):
             # on a full-acceptance round pos jumps past position pos+k-1,
@@ -523,11 +549,11 @@ class SpeculativeGenerator:
                 for kind in ("key", "value"):
                     t_cache[f"past_{kind}_{i}"] = vout[
                         f"present_{kind}_{i}"]
-            tpred = np.asarray(jnp.argmax(vout["logits"], axis=-1)
-                               ).astype(np.int64)                # [B, k]
+            t_logits = np.asarray(vout["logits"])               # [B, k, V]
+            tpred = t_logits.argmax(-1).astype(np.int64)         # [B, k]
 
-            # 3) per-slot greedy acceptance: longest prefix where the
-            #    draft agrees with the target's own argmax
+            # 3) per-slot acceptance: greedy prefix match, or rejection
+            #    sampling when temperature > 0
             new_cur = np.empty_like(cur)
             for b in range(B):
                 if len(emitted[b]) >= n_new:
@@ -535,6 +561,35 @@ class SpeculativeGenerator:
                     # positions consistent (its row still decoded)
                     new_cur[b] = tpred[b, 0]
                     pos[b] += 1
+                    continue
+                if sampling:
+                    p_dists = soft(t_logits[b])                  # [k, V]
+                    out_toks = []
+                    m = 0
+                    for j in range(k - 1):
+                        x = int(chunk[b, j + 1])
+                        qx = q_dists[j][b, x]
+                        px = p_dists[j, x]
+                        if host_rng.random() < min(1.0, px / max(qx, 1e-30)):
+                            out_toks.append(x)
+                            m += 1
+                            continue
+                        res = np.maximum(p_dists[j] - q_dists[j][b], 0.0)
+                        tot = res.sum()
+                        if tot <= 0:  # q covers p exactly; resample p
+                            res, tot = p_dists[j], 1.0
+                        out_toks.append(int(host_rng.choice(
+                            res.shape[-1], p=res / tot)))
+                        break
+                    else:
+                        # every draft accepted: bonus token from p_{k-1}
+                        out_toks.append(int(host_rng.choice(
+                            p_dists[k - 1].shape[-1], p=p_dists[k - 1])))
+                    emitted[b].extend(out_toks)
+                    new_cur[b] = out_toks[-1]
+                    pos[b] += len(out_toks)
+                    self.accepted_total += m
+                    self.proposed_total += k - 1
                     continue
                 m = 0
                 while m < k - 1 and chunk[b, m + 1] == tpred[b, m]:

