@@ -144,6 +144,13 @@ class DecodeServer:
             self._shadow_graph = import_model(build_decode(
                 cfg, batch=slots, max_len=max_len, seed=seed,
                 chunk=self.chunk))
+            if int4_weights:
+                from .quant import quantize_weights_int4
+
+                # same weights as the int8 graph — tokens must not switch
+                # models mid-stream when calibration ends
+                self._shadow_graph = quantize_weights_int4(
+                    self._shadow_graph)
         if int4_weights:
             from .quant import quantize_weights_int4
 
@@ -402,12 +409,13 @@ class DecodeServer:
                         amax / 127.0).astype(np.float32)
             for name in list(self._cache):
                 kind = "key" if "_key_" in name else "value"
-                i = name.rsplit("_", 1)[1]
-                sc = self._kv_scales[f"kv_scale_{kind}_{i}"].reshape(
-                    1, -1, 1, 1)
-                kv = np.asarray(self._cache[name])
-                self._cache[name] = jnp.asarray(np.clip(
-                    np.round(kv / sc), -127, 127).astype(np.int8))
+                self._cache[name] = jnp.asarray(self._quant_kv(
+                    np.asarray(self._cache[name]),
+                    f"kv_scale_{kind}_{name.rsplit('_', 1)[1]}"))
+            # the shadow engine (a full duplicate parameter set) is dead
+            # from here on — release it
+            self._shadow = None
+            self._shadow_graph = None
 
     def _loop(self) -> None:
         while self._running:
