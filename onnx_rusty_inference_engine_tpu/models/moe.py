@@ -1,0 +1,177 @@
+"""Mixture-of-Experts transformer (switch-style top-1 routing) — the
+expert-parallel (ep) member of the model-family zoo.
+
+XLA-native routing with STATIC shapes: no data-dependent dispatch ever
+exists in the graph. The router's top-1 choice becomes a OneHot matrix
+and expert dispatch/combine are elementwise masks + a batched matmul over
+stacked expert weights [E, D, F]:
+
+    oh[n, e]    = OneHot(argmax(router(x)))          # [N, E]
+    xe[e, n, :] = oh[n, e] * x[n, :]                 # mask, not a gather
+    h[e]        = relu(xe[e] @ W1[e]) @ W2[e]        # ONE batched MatMul
+    y[n]        = sum_e oh[n, e] * gate[n] * h[e, n] # combine (+ psum
+                                                     #  when E is sharded)
+
+Every token "visits" every expert with a zero row unless routed there —
+dense-dispatch MoE, the standard TPU formulation (capacity factor = all
+tokens): FLOPs scale with E, but the MXU batched matmul form is exactly
+what XLA shards when the expert axis is laid over the mesh, and no
+dynamic shapes or sorts appear. Expert parallelism = shard the stacked
+expert weights (and the [E, N, D] dispatch) on axis 0 over the "model"
+axis; the combine's sum over E becomes an XLA psum over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import onnx_io
+from ._builder import GraphBuilder
+from .gpt2 import _layernorm, _linear
+
+
+@dataclasses.dataclass
+class MoEConfig:
+    vocab_size: int = 256
+    n_positions: int = 64
+    n_embd: int = 64
+    n_layer: int = 2
+    n_head: int = 4
+    n_expert: int = 4
+    d_ff: int = 128
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+TINY = MoEConfig()
+
+
+def build_moe(
+    cfg: MoEConfig = TINY,
+    *,
+    batch: int = 1,
+    seq_len: int = 16,
+    opset: int = 17,
+    seed: int = 0,
+) -> onnx_io.ModelProto:
+    """Causal MoE decoder forward: input_ids [B,T] -> logits [B,T,V];
+    also emits router_probs_{i} [B*T, E] per layer for load inspection."""
+    b = GraphBuilder("moe", opset=opset, seed=seed)
+    B, T = batch, seq_len
+    D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
+    E, F = cfg.n_expert, cfg.d_ff
+    N = B * T
+
+    ids = b.input("input_ids", [B, T], dtype=np.int64)
+    wte = b.init("wte", (b.rng.standard_normal((cfg.vocab_size, D))
+                         * 0.02).astype(np.float32))
+    wpe = b.init("wpe", (b.rng.standard_normal((cfg.n_positions, D))
+                         * 0.01).astype(np.float32))
+    pos = b.init("positions", np.arange(T, dtype=np.int64))
+    (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)
+    (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)
+    (x,) = b.node("Add", [tok, pe], ["h0"])
+
+    mask = np.where(np.arange(T)[None, :] <= np.arange(T)[:, None],
+                    0.0, -1e9).astype(np.float32).reshape(1, 1, T, T)
+    b.init("causal_mask", mask)
+    scale = b.init("attn_scale", np.float32(1.0 / np.sqrt(hd)))
+    shape_split = b.init("shape_bthd", np.array([B, T, H, hd], np.int64))
+    shape_merge = b.init("shape_btd", np.array([B, T, D], np.int64))
+    shape_nd = b.init("shape_nd", np.array([N, D], np.int64))
+    shape_n1d = b.init("shape_n1d", np.array([N, 1, D], np.int64))
+    shape_ne1 = b.init("shape_ne1", np.array([N, E, 1], np.int64))
+
+    for i in range(cfg.n_layer):
+        # -- standard causal self-attention ---------------------------------
+        ln1 = _layernorm(b, x, f"blk{i}_ln1", D)
+        qkv = _linear(b, ln1, f"blk{i}_attn_qkv", D, 3 * D)
+        q, k, v = b.node("Split", [qkv],
+                         [f"blk{i}_q", f"blk{i}_k", f"blk{i}_v"],
+                         axis=-1, split=[D, D, D])
+
+        def _heads(t, tag):
+            (r,) = b.node("Reshape", [t, shape_split], [f"blk{i}_{tag}_r"])
+            (tr,) = b.node("Transpose", [r], [f"blk{i}_{tag}_t"],
+                           perm=[0, 2, 1, 3])
+            return tr
+
+        qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
+        (kt,) = b.node("Transpose", [kh], [f"blk{i}_kT"], perm=[0, 1, 3, 2])
+        (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])
+        (att,) = b.node("Mul", [att, scale], [f"blk{i}_scaled"])
+        (att,) = b.node("Add", [att, "causal_mask"], [f"blk{i}_masked"])
+        (att,) = b.node("Softmax", [att], [f"blk{i}_probs"], axis=-1)
+        (c,) = b.node("MatMul", [att, vh], [f"blk{i}_ctx"])
+        (c,) = b.node("Transpose", [c], [f"blk{i}_ctx_t"], perm=[0, 2, 1, 3])
+        (c,) = b.node("Reshape", [c, shape_merge], [f"blk{i}_ctx_m"])
+        proj = _linear(b, c, f"blk{i}_attn_proj", D, D)
+        (x,) = b.node("Add", [x, proj], [f"blk{i}_res1"])
+
+        # -- MoE FFN ---------------------------------------------------------
+        ln2 = _layernorm(b, x, f"blk{i}_ln2", D)
+        (xt,) = b.node("Reshape", [ln2, shape_nd], [f"blk{i}_tokens"])
+
+        wr = b.init(f"blk{i}_router_w", (b.rng.standard_normal((D, E))
+                                         * 0.02).astype(np.float32))
+        (rl,) = b.node("MatMul", [xt, wr], [f"blk{i}_router_logits"])
+        (rp,) = b.node("Softmax", [rl], [f"router_probs_{i}"], axis=-1)
+        (sel,) = b.node("ArgMax", [rp], [f"blk{i}_sel"], axis=-1,
+                        keepdims=0)                         # [N]
+        depth = b.init("oh_depth", np.int64(E))
+        vals = b.init("oh_vals", np.array([0.0, 1.0], np.float32))
+        (oh,) = b.node("OneHot", [sel, depth, vals], [f"blk{i}_oh"],
+                       axis=-1)                             # [N, E] f32
+        (gate,) = b.node("ReduceMax", [rp], [f"blk{i}_gate"], axes=[-1],
+                         keepdims=1)                        # [N, 1]
+
+        # dispatch: xe[n, e, d] = oh[n, e] * x[n, d] -> transpose [E, N, D]
+        (oh3,) = b.node("Reshape", [oh, shape_ne1], [f"blk{i}_oh3"])
+        (x3,) = b.node("Reshape", [xt, shape_n1d], [f"blk{i}_x3"])
+        (xe,) = b.node("Mul", [oh3, x3], [f"blk{i}_disp"])   # [N, E, D]
+        (xe,) = b.node("Transpose", [xe], [f"blk{i}_disp_t"],
+                       perm=[1, 0, 2])                       # [E, N, D]
+
+        w1 = b.init(f"blk{i}_exp_w1", (b.rng.standard_normal((E, D, F))
+                                       * D ** -0.5).astype(np.float32))
+        w2 = b.init(f"blk{i}_exp_w2", (b.rng.standard_normal((E, F, D))
+                                       * F ** -0.5).astype(np.float32))
+        (he,) = b.node("MatMul", [xe, w1], [f"blk{i}_exp_h"])  # [E, N, F]
+        (he,) = b.node("Relu", [he], [f"blk{i}_exp_act"])
+        (ye,) = b.node("MatMul", [he, w2], [f"blk{i}_exp_y"])  # [E, N, D]
+
+        # combine: y[n, d] = sum_e oh[n, e] * ye[e, n, d], then gate
+        (ye,) = b.node("Transpose", [ye], [f"blk{i}_exp_y_t"],
+                       perm=[1, 0, 2])                       # [N, E, D]
+        (yw,) = b.node("Mul", [ye, f"blk{i}_oh3"], [f"blk{i}_exp_sel"])
+        (y,) = b.node("ReduceSum", [yw], [f"blk{i}_comb"], axes=[1],
+                      keepdims=0)                            # [N, D]
+        (y,) = b.node("Mul", [y, gate], [f"blk{i}_gated"])
+        (y,) = b.node("Reshape", [y, shape_merge], [f"blk{i}_moe_out"])
+        (x,) = b.node("Add", [x, y], [f"blk{i}_res2"])
+
+    x = _layernorm(b, x, "ln_f", D)
+    wte_t = b.init("wte_T", np.ascontiguousarray(b.g.initializers["wte"].T))
+    (logits,) = b.node("MatMul", [x, wte_t], ["logits"])
+    b.output(logits, [B, T, cfg.vocab_size])
+    for i in range(cfg.n_layer):
+        b.output(f"router_probs_{i}", [N, cfg.n_expert])
+    return b.model()
+
+
+def moe_param_sharding(mesh, n_parts: int):
+    """Expert-parallel sharding rule: stacked expert weights [E, D, F]
+    split on the EXPERT axis over "model"; everything else replicated.
+    The combine's sum over E becomes an XLA psum over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def rule(name, arr):
+        if "_exp_w" in name and arr.ndim == 3 and arr.shape[0] % n_parts == 0:
+            return NamedSharding(mesh, P("model", None, None))
+        return NamedSharding(mesh, P())
+
+    return rule

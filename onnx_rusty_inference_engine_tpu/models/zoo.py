@@ -97,6 +97,13 @@ def _audio_path() -> str:
                                               n_samples=1024))
 
 
+def _moe_path() -> str:
+    from .moe import TINY, build_moe
+
+    return _synth("moe-tiny.synth",
+                  lambda: build_moe(TINY, batch=1, seq_len=16))
+
+
 MODELS: Dict[str, Callable[[], str]] = {
     "mnist": lambda: f"{_REFERENCE}/models/mnist-8.onnx",
     "matmul_2d": lambda: f"{_REFERENCE}/models/model.onnx",
@@ -110,6 +117,7 @@ MODELS: Dict[str, Callable[[], str]] = {
     "gpt2": _gpt2_path,
     "t5_encoder": _t5_encoder_path,
     "audio_encoder": _audio_path,
+    "moe": _moe_path,
 }
 
 

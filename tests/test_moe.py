@@ -1,0 +1,94 @@
+"""MoE family: routing invariants, torch parity of the full forward, and
+expert-parallel sharding == replicated execution."""
+
+import numpy as np
+import pytest
+
+from onnx_rusty_inference_engine_tpu.engine import Engine
+from onnx_rusty_inference_engine_tpu.graph import import_model
+from onnx_rusty_inference_engine_tpu.models.moe import (TINY, build_moe,
+                                                        moe_param_sharding)
+
+rng = np.random.default_rng(37)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return import_model(build_moe(TINY, batch=2, seq_len=8))
+
+
+def test_moe_forward_and_routing(graph):
+    ids = rng.integers(0, TINY.vocab_size, (2, 8)).astype(np.int64)
+    out = Engine(graph).run({"input_ids": ids})
+    assert out["logits"].shape == (2, 8, TINY.vocab_size)
+    assert np.all(np.isfinite(out["logits"]))
+    rp = out["router_probs_0"]
+    assert rp.shape == (16, TINY.n_expert)
+    np.testing.assert_allclose(rp.sum(-1), 1.0, atol=1e-5)
+
+
+def test_moe_vs_torch(graph):
+    """Independent torch reimplementation (real top-1 gather dispatch, not
+    the dense-mask form the graph uses) must agree — proving the masked
+    formulation computes true switch routing."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    ids = rng.integers(0, TINY.vocab_size, (2, 8)).astype(np.int64)
+    ours = Engine(graph).run({"input_ids": ids})["logits"]
+
+    c = {k: torch.from_numpy(np.asarray(v).copy())
+         for k, v in graph.constants.items()}
+    B, T, D, H = 2, 8, TINY.n_embd, TINY.n_head
+    hd = D // H
+    # wpe was constant-folded at import into the "pos_emb" gather
+    x = c["wte"][torch.from_numpy(ids)] + c["pos_emb"]
+
+    def ln(t, g, bias):
+        return F.layer_norm(t, (D,), g, bias, eps=1e-5)
+
+    causal = torch.where(torch.arange(T)[None, :] <= torch.arange(T)[:, None],
+                         0.0, -1e9)[None, None]
+    for i in range(TINY.n_layer):
+        y = ln(x, c[f"blk{i}_ln1_g"], c[f"blk{i}_ln1_b"])
+        qkv = y @ c[f"blk{i}_attn_qkv_w"] + c[f"blk{i}_attn_qkv_b"]
+        q, k, v = qkv.split(D, dim=-1)
+
+        def heads(t):
+            return t.view(B, T, H, hd).transpose(1, 2)
+
+        att = torch.softmax(heads(q) @ heads(k).transpose(-1, -2)
+                            / np.sqrt(hd) + causal, -1)
+        ctx = (att @ heads(v)).transpose(1, 2).reshape(B, T, D)
+        x = x + ctx @ c[f"blk{i}_attn_proj_w"] + c[f"blk{i}_attn_proj_b"]
+
+        y = ln(x, c[f"blk{i}_ln2_g"], c[f"blk{i}_ln2_b"]).reshape(-1, D)
+        probs = torch.softmax(y @ c[f"blk{i}_router_w"], -1)
+        sel = probs.argmax(-1)                        # [N]
+        gate = probs.max(-1).values                   # [N]
+        out = torch.zeros_like(y)
+        for n in range(y.shape[0]):                   # true gather dispatch
+            e = int(sel[n])
+            h = torch.relu(y[n] @ c[f"blk{i}_exp_w1"][e])
+            out[n] = (h @ c[f"blk{i}_exp_w2"][e]) * gate[n]
+        x = x + out.reshape(B, T, D)
+
+    x = ln(x, c["ln_f_g"], c["ln_f_b"])
+    ref = (x @ c["wte_T"]).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_expert_parallel_matches_replicated(graph):
+    """Expert weights sharded over a model=4 mesh (ep): outputs must equal
+    the replicated run — the combine's sum over the sharded expert axis
+    rides an XLA psum."""
+    from onnx_rusty_inference_engine_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 1, "model": 4})
+    ids = rng.integers(0, TINY.vocab_size, (2, 8)).astype(np.int64)
+    ref = Engine(graph).run({"input_ids": ids})["logits"]
+    with mesh:
+        eng = Engine(graph, mesh=mesh,
+                     param_sharding_fn=moe_param_sharding(mesh, 4))
+        out = eng.run({"input_ids": ids})["logits"]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
