@@ -41,6 +41,12 @@ def _cases():
         TINY as UNET_TINY, build_unet)
     from onnx_rusty_inference_engine_tpu.models.vit import (
         TINY as VIT_TINY, build_vit)
+    from onnx_rusty_inference_engine_tpu.models.t5 import (
+        TINY as T5_TINY, build_t5_encoder)
+    from onnx_rusty_inference_engine_tpu.models.audio import (
+        TINY as AUDIO_TINY, build_audio_encoder)
+    from onnx_rusty_inference_engine_tpu.models.moe import (
+        TINY as MOE_TINY, build_moe)
 
     rng = np.random.default_rng(123)
     img64 = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
@@ -70,6 +76,15 @@ def _cases():
         ("unet", lambda: build_unet(UNET_TINY, batch=1, size=32),
          {"image": rng.standard_normal((1, 3, 32, 32)).astype(np.float32)},
          "mask_logits"),
+        ("t5_encoder",
+         lambda: build_t5_encoder(T5_TINY, batch=1, src_len=8),
+         {"src_ids": ids % T5_TINY.vocab_size}, "enc_out"),
+        ("audio",
+         lambda: build_audio_encoder(AUDIO_TINY, batch=1, n_samples=512),
+         {"audio": (rng.standard_normal((1, 512)) * 0.1
+                    ).astype(np.float32)}, "logits"),
+        ("moe", lambda: build_moe(MOE_TINY, batch=1, seq_len=8),
+         {"input_ids": ids % MOE_TINY.vocab_size}, "logits"),
     ]
 
 
