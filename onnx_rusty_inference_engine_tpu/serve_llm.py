@@ -442,3 +442,149 @@ class DecodeServer:
                         self._req[s].future.set_exception(e)
                         self._req[s] = None
                         self._pos[s] = self.max_len - 1
+
+
+class Seq2SeqServer:
+    """Continuous batching for the encoder-decoder (T5) family.
+
+    Per-slot CROSS-ATTENTION state is the new ingredient vs DecodeServer:
+    each admitted request runs the batch-1 encoder once, and its
+    cross_key_i/cross_value_i projections are written into slot s of the
+    BATCHED cross tensors the shared decode graph reads every step — the
+    same slot-state pattern as the self-attention cache, but static after
+    admission. Decoding then proceeds exactly like DecodeServer: one
+    compiled chunk=1 decode program, per-slot positions, greedy tokens.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        *,
+        slots: int = 4,
+        src_len: int = 16,
+        max_len: int = 32,
+        seed: int = 0,
+        start_token: int = 0,
+        mesh=None,
+        param_sharding_fn=None,
+    ):
+        from .models.t5 import build_t5_decode, build_t5_encoder
+
+        self.cfg = cfg
+        self.B = slots
+        self.src_len = src_len
+        self.max_len = max_len
+        self.start_token = start_token
+        ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
+        self.encoder = Engine(import_model(build_t5_encoder(
+            cfg, batch=1, src_len=src_len, seed=seed)), **ekw)
+        self.decode = Engine(import_model(build_t5_decode(
+            cfg, batch=slots, max_len=max_len, src_len=src_len,
+            seed=seed)), **ekw)
+
+        H, hd = cfg.n_head, cfg.head_dim
+        self._cache = {}
+        for i in range(cfg.n_layer):
+            for kind in ("key", "value"):
+                self._cache[f"past_{kind}_{i}"] = jnp.zeros(
+                    (slots, H, max_len, hd), jnp.float32)
+                self._cache[f"cross_{kind}_{i}"] = jnp.zeros(
+                    (slots, H, src_len, hd), jnp.float32)
+
+        self._req: List[Optional[_Request]] = [None] * slots
+        self._pos = np.full((slots,), max_len - 1, np.int64)
+        self._last_tok = np.full((slots,), start_token, np.int64)
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._running = True
+        self.steps = 0
+        self.tokens_out = 0
+        self.requests_done = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API -------------------------------------------------------
+    def submit(self, src_ids: np.ndarray, max_new_tokens: int,
+               eos_id: Optional[int] = None) -> Future:
+        """src_ids: [plen] int64 source tokens (right-padded to src_len
+        with zeros at admission). Resolves to generated target ids."""
+        src_ids = np.asarray(src_ids).reshape(-1).astype(np.int64)
+        assert 1 <= src_ids.size <= self.src_len
+        assert max_new_tokens <= self.max_len
+        r = _Request(src_ids, max_new_tokens, eos_id)
+        self._q.put(r)
+        return r.future
+
+    def generate(self, src_ids: np.ndarray, max_new_tokens: int,
+                 timeout: Optional[float] = None,
+                 eos_id: Optional[int] = None) -> List[int]:
+        return self.submit(src_ids, max_new_tokens,
+                           eos_id=eos_id).result(timeout)
+
+    def stop(self) -> None:
+        self._running = False
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
+    # -- dispatcher -------------------------------------------------------
+    def _admit(self, slot: int, r: _Request) -> None:
+        src = np.zeros((1, self.src_len), np.int64)
+        src[0, : r.prompt.size] = r.prompt
+        enc = self.encoder({"src_ids": src})
+        for i in range(self.cfg.n_layer):
+            for kind in ("key", "value"):
+                name = f"cross_{kind}_{i}"
+                self._cache[name] = self._cache[name].at[slot].set(
+                    enc[name][0])
+        self._req[slot] = r
+        self._pos[slot] = 0
+        self._last_tok[slot] = self.start_token
+
+    def _active(self) -> List[int]:
+        return [i for i, r in enumerate(self._req) if r is not None]
+
+    def _step(self) -> None:
+        out = self.decode({"input_ids": jnp.asarray(self._last_tok[:, None]),
+                           "pos": jnp.asarray(self._pos), **self._cache})
+        logits = np.asarray(out["logits"])
+        for i in range(self.cfg.n_layer):
+            for kind in ("key", "value"):
+                self._cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
+        self.steps += 1
+        for s in self._active():
+            r = self._req[s]
+            self._pos[s] += 1
+            tok = int(logits[s, 0].argmax())
+            r.tokens.append(tok)
+            self._last_tok[s] = tok
+            self.tokens_out += 1
+            if (len(r.tokens) >= r.max_new or tok == r.eos_id
+                    or _hits_stop(r)):
+                r.future.set_result(r.tokens)
+                self.requests_done += 1
+                self._req[s] = None
+                self._pos[s] = self.max_len - 1
+
+    def _loop(self) -> None:
+        while self._running:
+            free = [i for i, r in enumerate(self._req) if r is None]
+            block = not self._active()
+            for slot in free:
+                try:
+                    r = self._q.get(timeout=0.05 if block else 0)
+                except queue.Empty:
+                    break
+                if r is None:
+                    return
+                try:
+                    self._admit(slot, r)
+                except Exception as e:
+                    r.future.set_exception(e)
+                block = False
+            if self._active():
+                try:
+                    self._step()
+                except Exception as e:
+                    for s in self._active():
+                        self._req[s].future.set_exception(e)
+                        self._req[s] = None
+                        self._pos[s] = self.max_len - 1

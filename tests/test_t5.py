@@ -144,3 +144,35 @@ def test_t5_int4_weights_run():
                          int4_weights=True)
     t, _ = g.generate(src, 4)
     assert np.asarray(t).shape == (1, 4)
+
+
+def test_seq2seq_server_matches_isolated_generation():
+    """T5 continuous batching: per-slot cross-attention state; served
+    tokens must equal isolated Seq2SeqGenerator output exactly.
+
+    NOTE the padding caveat this test encodes: the server right-pads the
+    source to src_len, so the reference must use the same src_len (the
+    encoder attends padding — T5-style models are trained with masks;
+    ours attends all src_len positions by design, documented in
+    models/t5.py)."""
+    from onnx_rusty_inference_engine_tpu.serve_llm import Seq2SeqServer
+
+    cfg = TINY
+    S = 8
+    srv = Seq2SeqServer(cfg, slots=2, src_len=S, max_len=16)
+    try:
+        reqs = []
+        for i in range(4):
+            plen = int(rng.integers(2, S + 1))
+            src = rng.integers(0, cfg.vocab_size, (plen,)).astype(np.int64)
+            reqs.append((src, srv.submit(src, 5)))
+        outs = [(src, fut.result(timeout=300)) for src, fut in reqs]
+    finally:
+        srv.stop()
+    gen = Seq2SeqGenerator(cfg, batch=1, src_len=S, max_len=16)
+    for src, got in outs:
+        padded = np.zeros((1, S), np.int64)
+        padded[0, : src.size] = src
+        want, _ = gen.generate(padded, 5, start_token=0)
+        assert got == list(np.asarray(want)[0]), (src, got, want)
+    assert srv.steps > 0
