@@ -175,3 +175,135 @@ def moe_param_sharding(mesh, n_parts: int):
         return NamedSharding(mesh, P())
 
     return rule
+
+
+def build_moe_decode(
+    cfg: MoEConfig = TINY,
+    *,
+    batch: int = 1,
+    max_len: int = 64,
+    opset: int = 17,
+    seed: int = 0,
+) -> onnx_io.ModelProto:
+    """Single-token MoE decode over a fixed KV cache — same per-slot
+    `pos [B]` contract as gpt2.build_gpt2_decode (servable by
+    DecodeServer / Generator). Weights are seeded in the same rng order
+    as build_moe, so prefill and decode graphs pair up. With T=1 the
+    router decides one expert per (batch row, layer) and the dense-mask
+    dispatch degenerates to masking E-1 expert outputs to zero rows."""
+    b = GraphBuilder("moe_decode", opset=opset, seed=seed)
+    B, T = batch, 1
+    D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
+    E, F = cfg.n_expert, cfg.d_ff
+    L = max_len
+    N = B * T
+
+    ids = b.input("input_ids", [B, T], dtype=np.int64)
+    pos = b.input("pos", [B], dtype=np.int64)
+    pasts = [(b.input(f"past_key_{i}", [B, H, L, hd]),
+              b.input(f"past_value_{i}", [B, H, L, hd]))
+             for i in range(cfg.n_layer)]
+
+    wte = b.init("wte", (b.rng.standard_normal((cfg.vocab_size, D))
+                         * 0.02).astype(np.float32))
+    wpe = b.init("wpe", (b.rng.standard_normal((cfg.n_positions, D))
+                         * 0.01).astype(np.float32))
+    (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)
+    (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)
+    (pe,) = b.node("Reshape", [pe, b.init(
+        "shape_B_1_D", np.array([B, 1, D], np.int64))], ["pos_emb3"])
+    (x,) = b.node("Add", [tok, pe], ["h0"])
+
+    arange = b.init("cache_positions", np.arange(L, dtype=np.int64))
+    (pos2d,) = b.node("Reshape", [pos, b.init(
+        "shape_B_1", np.array([B, 1], np.int64))], ["pos2d"])
+    (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])
+    (is_now4,) = b.node("Reshape", [is_now, b.init(
+        "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
+    (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])
+    neg = b.init("neg_inf", np.float32(-1e9))
+    zero = b.init("zero_f", np.float32(0.0))
+    (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])
+    (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
+        "shape_B_1_1_L", np.array([B, 1, 1, L], np.int64))], ["attn_bias4"])
+
+    scale = b.init("attn_scale", np.float32(1.0 / np.sqrt(hd)))
+    shape_split = b.init("shape_bthd", np.array([B, T, H, hd], np.int64))
+    shape_merge = b.init("shape_btd", np.array([B, T, D], np.int64))
+    shape_nd = b.init("shape_nd", np.array([N, D], np.int64))
+    shape_n1d = b.init("shape_n1d", np.array([N, 1, D], np.int64))
+    shape_ne1 = b.init("shape_ne1", np.array([N, E, 1], np.int64))
+
+    for i in range(cfg.n_layer):
+        ln1 = _layernorm(b, x, f"blk{i}_ln1", D)
+        qkv = _linear(b, ln1, f"blk{i}_attn_qkv", D, 3 * D)
+        q, k, v = b.node("Split", [qkv],
+                         [f"blk{i}_q", f"blk{i}_k", f"blk{i}_v"],
+                         axis=-1, split=[D, D, D])
+
+        def _heads(t, tag):
+            (r,) = b.node("Reshape", [t, shape_split], [f"blk{i}_{tag}_r"])
+            (tr,) = b.node("Transpose", [r], [f"blk{i}_{tag}_t"],
+                           perm=[0, 2, 1, 3])
+            return tr
+
+        qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
+        pk, pv = pasts[i]
+        (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
+        (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
+        (kt,) = b.node("Transpose", [kc], [f"blk{i}_kT"], perm=[0, 1, 3, 2])
+        (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])
+        (att,) = b.node("Mul", [att, scale], [f"blk{i}_scaled"])
+        (att,) = b.node("Add", [att, attn_bias4], [f"blk{i}_masked"])
+        (att,) = b.node("Softmax", [att], [f"blk{i}_probs"], axis=-1)
+        (c,) = b.node("MatMul", [att, vc], [f"blk{i}_ctx"])
+        (c,) = b.node("Transpose", [c], [f"blk{i}_ctx_t"],
+                      perm=[0, 2, 1, 3])
+        (c,) = b.node("Reshape", [c, shape_merge], [f"blk{i}_ctx_m"])
+        proj = _linear(b, c, f"blk{i}_attn_proj", D, D)
+        (x,) = b.node("Add", [x, proj], [f"blk{i}_res1"])
+
+        ln2 = _layernorm(b, x, f"blk{i}_ln2", D)
+        (xt,) = b.node("Reshape", [ln2, shape_nd], [f"blk{i}_tokens"])
+        wr = b.init(f"blk{i}_router_w", (b.rng.standard_normal((D, E))
+                                         * 0.02).astype(np.float32))
+        (rl,) = b.node("MatMul", [xt, wr], [f"blk{i}_router_logits"])
+        (rp,) = b.node("Softmax", [rl], [f"blk{i}_router_probs"], axis=-1)
+        (sel,) = b.node("ArgMax", [rp], [f"blk{i}_sel"], axis=-1,
+                        keepdims=0)
+        if i == 0:
+            b.init("oh_depth", np.int64(E))
+            b.init("oh_vals", np.array([0.0, 1.0], np.float32))
+        (oh,) = b.node("OneHot", [sel, "oh_depth", "oh_vals"],
+                       [f"blk{i}_oh"], axis=-1)
+        (gate,) = b.node("ReduceMax", [rp], [f"blk{i}_gate"], axes=[-1],
+                         keepdims=1)
+        (oh3,) = b.node("Reshape", [oh, shape_ne1], [f"blk{i}_oh3"])
+        (x3,) = b.node("Reshape", [xt, shape_n1d], [f"blk{i}_x3"])
+        (xe,) = b.node("Mul", [oh3, x3], [f"blk{i}_disp"])
+        (xe,) = b.node("Transpose", [xe], [f"blk{i}_disp_t"],
+                       perm=[1, 0, 2])
+        w1 = b.init(f"blk{i}_exp_w1", (b.rng.standard_normal((E, D, F))
+                                       * D ** -0.5).astype(np.float32))
+        w2 = b.init(f"blk{i}_exp_w2", (b.rng.standard_normal((E, F, D))
+                                       * F ** -0.5).astype(np.float32))
+        (he,) = b.node("MatMul", [xe, w1], [f"blk{i}_exp_h"])
+        (he,) = b.node("Relu", [he], [f"blk{i}_exp_act"])
+        (ye,) = b.node("MatMul", [he, w2], [f"blk{i}_exp_y"])
+        (ye,) = b.node("Transpose", [ye], [f"blk{i}_exp_y_t"],
+                       perm=[1, 0, 2])
+        (yw,) = b.node("Mul", [ye, f"blk{i}_oh3"], [f"blk{i}_exp_sel"])
+        (y,) = b.node("ReduceSum", [yw], [f"blk{i}_comb"], axes=[1],
+                      keepdims=0)
+        (y,) = b.node("Mul", [y, gate], [f"blk{i}_gated"])
+        (y,) = b.node("Reshape", [y, shape_merge], [f"blk{i}_moe_out"])
+        (x,) = b.node("Add", [x, y], [f"blk{i}_res2"])
+
+    x = _layernorm(b, x, "ln_f", D)
+    wte_t = b.init("wte_T", np.ascontiguousarray(b.g.initializers["wte"].T))
+    (logits,) = b.node("MatMul", [x, wte_t], ["logits"])
+    b.output(logits, [B, T, cfg.vocab_size])
+    for i in range(cfg.n_layer):
+        b.output(f"present_key_{i}", [B, H, L, hd])
+        b.output(f"present_value_{i}", [B, H, L, hd])
+    return b.model()

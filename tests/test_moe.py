@@ -92,3 +92,30 @@ def test_moe_expert_parallel_matches_replicated(graph):
                      param_sharding_fn=moe_param_sharding(mesh, 4))
         out = eng.run({"input_ids": ids})["logits"]
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_moe_decode_matches_prefill():
+    """Cached single-token MoE decode reproduces the full forward logits
+    token-for-token (router decisions included)."""
+    import jax.numpy as jnp
+
+    from onnx_rusty_inference_engine_tpu.models.moe import build_moe_decode
+
+    P = 4
+    ids = rng.integers(0, TINY.vocab_size, (1, P)).astype(np.int64)
+    pre = Engine(import_model(build_moe(TINY, batch=1, seq_len=P)))
+    dec = Engine(import_model(build_moe_decode(TINY, batch=1, max_len=16)))
+    full = np.asarray(pre.run({"input_ids": ids})["logits"])
+    cache = {f"past_{k}_{i}": jnp.zeros(
+        (1, TINY.n_head, 16, TINY.head_dim), jnp.float32)
+        for i in range(TINY.n_layer) for k in ("key", "value")}
+    inc = []
+    for t in range(P):
+        o = dec({"input_ids": ids[:, t:t + 1],
+                 "pos": np.array([t], np.int64), **cache})
+        inc.append(np.asarray(o["logits"]))
+        for i in range(TINY.n_layer):
+            for k in ("key", "value"):
+                cache[f"past_{k}_{i}"] = o[f"present_{k}_{i}"]
+    np.testing.assert_allclose(np.concatenate(inc, axis=1), full,
+                               rtol=1e-4, atol=1e-4)
