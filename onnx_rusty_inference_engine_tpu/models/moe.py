@@ -85,6 +85,9 @@ def build_moe(
     shape_nd = b.init("shape_nd", np.array([N, D], np.int64))
     shape_n1d = b.init("shape_n1d", np.array([N, 1, D], np.int64))
     shape_ne1 = b.init("shape_ne1", np.array([N, E, 1], np.int64))
+    b.init("oh_depth", np.int64(E))
+    b.init("oh_vals", np.array([0.0, 1.0], np.float32))
+    b.init("sum_axes", np.array([1], np.int64))  # ReduceSum-13 input form
 
     for i in range(cfg.n_layer):
         # -- standard causal self-attention ---------------------------------
@@ -122,10 +125,8 @@ def build_moe(
         (rp,) = b.node("Softmax", [rl], [f"router_probs_{i}"], axis=-1)
         (sel,) = b.node("ArgMax", [rp], [f"blk{i}_sel"], axis=-1,
                         keepdims=0)                         # [N]
-        depth = b.init("oh_depth", np.int64(E))
-        vals = b.init("oh_vals", np.array([0.0, 1.0], np.float32))
-        (oh,) = b.node("OneHot", [sel, depth, vals], [f"blk{i}_oh"],
-                       axis=-1)                             # [N, E] f32
+        (oh,) = b.node("OneHot", [sel, "oh_depth", "oh_vals"],
+                       [f"blk{i}_oh"], axis=-1)             # [N, E] f32
         (gate,) = b.node("ReduceMax", [rp], [f"blk{i}_gate"], axes=[-1],
                          keepdims=1)                        # [N, 1]
 
@@ -148,7 +149,7 @@ def build_moe(
         (ye,) = b.node("Transpose", [ye], [f"blk{i}_exp_y_t"],
                        perm=[1, 0, 2])                       # [N, E, D]
         (yw,) = b.node("Mul", [ye, f"blk{i}_oh3"], [f"blk{i}_exp_sel"])
-        (y,) = b.node("ReduceSum", [yw], [f"blk{i}_comb"], axes=[1],
+        (y,) = b.node("ReduceSum", [yw, "sum_axes"], [f"blk{i}_comb"],
                       keepdims=0)                            # [N, D]
         (y,) = b.node("Mul", [y, gate], [f"blk{i}_gated"])
         (y,) = b.node("Reshape", [y, shape_merge], [f"blk{i}_moe_out"])
@@ -186,11 +187,16 @@ def build_moe_decode(
     seed: int = 0,
 ) -> onnx_io.ModelProto:
     """Single-token MoE decode over a fixed KV cache — same per-slot
-    `pos [B]` contract as gpt2.build_gpt2_decode (servable by
-    DecodeServer / Generator). Weights are seeded in the same rng order
-    as build_moe, so prefill and decode graphs pair up. With T=1 the
-    router decides one expert per (batch row, layer) and the dense-mask
-    dispatch degenerates to masking E-1 expert outputs to zero rows."""
+    `pos [B]` cache contract as gpt2.build_gpt2_decode. (The MoE family
+    is not registered in models.decoder_family: build_moe lacks the
+    prefill-presents interface the Generator/DecodeServer drivers expect;
+    drive this graph directly, as test_moe_decode_matches_prefill does.)
+    Weights are seeded in the same rng order as build_moe, so full and
+    decode graphs pair up. With T=1 the router decides one expert per
+    (batch row, layer) and the dense-mask dispatch degenerates to masking
+    E-1 expert outputs to zero rows."""
+    assert max_len <= cfg.n_positions, \
+        "max_len beyond the position table silently clamps wpe gathers"
     b = GraphBuilder("moe_decode", opset=opset, seed=seed)
     B, T = batch, 1
     D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
@@ -233,6 +239,9 @@ def build_moe_decode(
     shape_nd = b.init("shape_nd", np.array([N, D], np.int64))
     shape_n1d = b.init("shape_n1d", np.array([N, 1, D], np.int64))
     shape_ne1 = b.init("shape_ne1", np.array([N, E, 1], np.int64))
+    b.init("oh_depth", np.int64(E))
+    b.init("oh_vals", np.array([0.0, 1.0], np.float32))
+    b.init("sum_axes", np.array([1], np.int64))
 
     for i in range(cfg.n_layer):
         ln1 = _layernorm(b, x, f"blk{i}_ln1", D)
@@ -271,9 +280,6 @@ def build_moe_decode(
         (rp,) = b.node("Softmax", [rl], [f"blk{i}_router_probs"], axis=-1)
         (sel,) = b.node("ArgMax", [rp], [f"blk{i}_sel"], axis=-1,
                         keepdims=0)
-        if i == 0:
-            b.init("oh_depth", np.int64(E))
-            b.init("oh_vals", np.array([0.0, 1.0], np.float32))
         (oh,) = b.node("OneHot", [sel, "oh_depth", "oh_vals"],
                        [f"blk{i}_oh"], axis=-1)
         (gate,) = b.node("ReduceMax", [rp], [f"blk{i}_gate"], axes=[-1],
@@ -293,7 +299,7 @@ def build_moe_decode(
         (ye,) = b.node("Transpose", [ye], [f"blk{i}_exp_y_t"],
                        perm=[1, 0, 2])
         (yw,) = b.node("Mul", [ye, f"blk{i}_oh3"], [f"blk{i}_exp_sel"])
-        (y,) = b.node("ReduceSum", [yw], [f"blk{i}_comb"], axes=[1],
+        (y,) = b.node("ReduceSum", [yw, "sum_axes"], [f"blk{i}_comb"],
                       keepdims=0)
         (y,) = b.node("Mul", [y, gate], [f"blk{i}_gated"])
         (y,) = b.node("Reshape", [y, shape_merge], [f"blk{i}_moe_out"])

@@ -41,7 +41,7 @@ from .engine import Engine
 from .graph import import_model
 from .models.gpt2 import GPT2Config, build_gpt2, build_gpt2_decode
 
-__all__ = ["DecodeServer"]
+__all__ = ["DecodeServer", "Seq2SeqServer"]
 
 
 class _Request:
@@ -447,6 +447,10 @@ class DecodeServer:
 class Seq2SeqServer:
     """Continuous batching for the encoder-decoder (T5) family.
 
+    NOTE: the dispatcher loop intentionally mirrors DecodeServer's (a
+    shared base class is future work) — keep fixes to admission/step/
+    exception handling in sync between the two.
+
     Per-slot CROSS-ATTENTION state is the new ingredient vs DecodeServer:
     each admitted request runs the batch-1 encoder once, and its
     cross_key_i/cross_value_i projections are written into slot s of the
@@ -509,7 +513,7 @@ class Seq2SeqServer:
         with zeros at admission). Resolves to generated target ids."""
         src_ids = np.asarray(src_ids).reshape(-1).astype(np.int64)
         assert 1 <= src_ids.size <= self.src_len
-        assert max_new_tokens <= self.max_len
+        assert 1 <= max_new_tokens <= self.max_len
         r = _Request(src_ids, max_new_tokens, eos_id)
         self._q.put(r)
         return r.future
