@@ -231,6 +231,24 @@ def cmd_generate(args) -> int:
                           n_kv_head=max(1, args.heads // 2))
     ids = np.asarray([int(t) for t in args.prompt_ids.split(",")],
                      dtype=np.int64)[None]
+    if args.draft_layers:
+        # lossless speculative decoding: a smaller same-vocab draft
+        # proposes, the target verifies each chunk in one call
+        from .generate import SpeculativeGenerator
+        import dataclasses
+
+        dcfg = dataclasses.replace(cfg, n_layer=args.draft_layers)
+        gen = SpeculativeGenerator(
+            cfg, dcfg, batch=1, prompt_len=ids.shape[1],
+            max_len=args.max_len, k=args.spec_k, family=args.family,
+            draft_seed=1)
+        toks, _ = gen.generate(ids, args.new)
+        print(json.dumps({"family": args.family, "prompt": ids[0].tolist(),
+                          "generated": [int(t) for t in toks[0]],
+                          "speculative": True,
+                          "draft_layers": args.draft_layers,
+                          "acceptance_rate": round(gen.acceptance_rate, 3)}))
+        return 0
     gen = Generator(cfg, batch=1, prompt_len=ids.shape[1],
                     max_len=args.max_len, kv_dtype=args.kv_dtype,
                     int4_weights=args.int4, family=args.family)
@@ -372,6 +390,12 @@ def main(argv: Optional[list] = None) -> int:
                     help="INT4 weight-only quantization")
     pg.add_argument("--family", default="gpt2",
                     choices=["gpt2", "llama", "t5"])
+    pg.add_argument("--draft-layers", dest="draft_layers", type=int,
+                    default=0,
+                    help="enable lossless speculative decoding with an "
+                         "N-layer draft of the same family/vocab")
+    pg.add_argument("--spec-k", dest="spec_k", type=int, default=4,
+                    help="speculation chunk size (draft proposes k-1)")
     pg.set_defaults(fn=cmd_generate)
 
     psl = sub.add_parser("serve-llm",
