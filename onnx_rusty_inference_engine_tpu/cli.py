@@ -177,12 +177,17 @@ def cmd_quantize(args) -> int:
     from .graph import import_onnx, save_graph
     from .quant import quantize_graph
 
+    from .quant import QuantConfig
+
     graph = import_onnx(args.model)
     calib = None
     if args.calib_input:
         t = onnx_io.read_tensor_file(args.calib_input)
         calib = [{t.name or graph.input_names[0]: t.array}]
-    qgraph = quantize_graph(graph, calibration_inputs=calib)
+    qgraph = quantize_graph(
+        graph, calibration_inputs=calib,
+        config=QuantConfig(calibration=args.calibration,
+                           percentile=args.percentile))
     if args.bias_correct and calib:
         from .quant import bias_correct
 
@@ -421,6 +426,10 @@ def main(argv: Optional[list] = None) -> int:
     pq.add_argument("--out", required=True)
     pq.add_argument("--calib-input", dest="calib_input",
                     help="TensorProto .pb used for range calibration")
+    pq.add_argument("--calibration", default="minmax",
+                    choices=["minmax", "percentile", "mse"],
+                    help="activation-range calibration method")
+    pq.add_argument("--percentile", type=float, default=99.99)
     pq.add_argument("--bias-correct", dest="bias_correct",
                     action="store_true",
                     help="DFQ-style sequential bias correction")

@@ -503,8 +503,16 @@ class Seq2SeqServer:
         self.steps = 0
         self.tokens_out = 0
         self.requests_done = 0
+        self._latencies: List[float] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def stats(self) -> Dict[str, float]:
+        lat = np.asarray(self._latencies) if self._latencies else np.zeros(1)
+        return {"requests": self.requests_done, "decode_steps": self.steps,
+                "tokens_out": self.tokens_out,
+                "p50_latency_s": float(np.percentile(lat, 50)),
+                "p99_latency_s": float(np.percentile(lat, 99))}
 
     # -- client API -------------------------------------------------------
     def submit(self, src_ids: np.ndarray, max_new_tokens: int,
@@ -565,6 +573,7 @@ class Seq2SeqServer:
                     or _hits_stop(r)):
                 r.future.set_result(r.tokens)
                 self.requests_done += 1
+                self._latencies.append(time.perf_counter() - r.t_enqueue)
                 self._req[s] = None
                 self._pos[s] = self.max_len - 1
 
