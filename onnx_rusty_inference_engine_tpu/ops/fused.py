@@ -42,7 +42,15 @@ def fused_decode_attention(ctx: LoweringContext, node: Node, ins):
     sv_h = jnp.repeat(sv, rep) if rep > 1 else sv
 
     if jax.default_backend() == "tpu":
-        from .kernels.decode_attn import decode_attention_int8
+        import os
+
+        if os.environ.get("ORIET_ATTN_I8"):
+            # experimental int8xint8 MXU formulation (s32 scores, dynamic
+            # q/prob quantization in-kernel) — see PERF.md
+            from .kernels.decode_attn import (
+                decode_attention_int8_mxu as decode_attention_int8)
+        else:
+            from .kernels.decode_attn import decode_attention_int8
 
         q2 = q * (sk_h * scale)[None, :, None, None]
         out = decode_attention_int8(

@@ -110,3 +110,79 @@ def decode_attention_int8(
         interpret=interpret,
     )(q3, k4, v4, bias)
     return out.reshape(BH, 1, hd)
+
+
+def _decode_attn_i8_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref,
+                           *, n_kv: int, rep: int):
+    """int8 x int8 MXU variant: q is dynamically quantized per row inside
+    the kernel, scores accumulate in s32 on the MXU, probs are quantized
+    to int8 for the p @ v contraction — the cache is NEVER widened on the
+    VPU (the explicit int8->bf16 convert is what sank the bf16 variant,
+    PERF.md "Fused decode attention")."""
+    bias = bias_ref[0]                               # [1, L]
+    dni = (((1,), (1,)), ((), ()))
+    for g in range(n_kv):
+        qf = q_ref[0, g * rep:(g + 1) * rep]         # [rep, hd] f32
+        amax = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-9)
+        sq = amax / 127.0
+        q8 = jnp.round(qf / sq).astype(jnp.int8)
+        s32 = jax.lax.dot_general(q8, k_ref[0, g], dni,
+                                  preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * sq + bias      # [rep, L]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # per-call dynamic prob scale: flat distributions (p ~ 1/L) would
+        # vanish under a fixed 1/127 grid
+        pmax = jnp.maximum(jnp.max(p), 1e-9)
+        sp = pmax / 127.0
+        p8 = jnp.round(p / sp).astype(jnp.int8)
+        c32 = jax.lax.dot_general(p8, v_ref[0, g],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        out_ref[0, g * rep:(g + 1) * rep] = c32.astype(jnp.float32) * sp
+
+
+@functools.partial(jax.jit, static_argnames=("n_q_heads", "interpret"))
+def decode_attention_int8_mxu(
+    q: jax.Array,      # f32 [B*H, 1, hd] — pre-scaled (see module doc)
+    k8: jax.Array,     # int8 [B*Hkv, L, hd]
+    v8: jax.Array,     # int8 [B*Hkv, L, hd]
+    bias: jax.Array,   # f32 [B, 1, L]
+    *,
+    n_q_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8xint8 fused decode attention -> f32 [B*H, 1, hd]."""
+    BH, one, hd = q.shape
+    H = n_q_heads
+    B = BH // H
+    BHkv, L, _ = k8.shape
+    Hkv = BHkv // B
+    rep = H // Hkv
+
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_i8_kernel, n_kv=Hkv, rep=rep),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, hd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, L, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, L, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, hd), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * L * hd,
+            bytes_accessed=2 * BHkv * L * hd + BH * hd * 8 + B * L * 4,
+            transcendentals=BH * L,
+        ),
+        interpret=interpret,
+    )(q.reshape(B, H, hd), k8.reshape(B, Hkv, L, hd),
+      v8.reshape(B, Hkv, L, hd), bias)
+    return out.reshape(BH, 1, hd)
