@@ -7,11 +7,9 @@ These complete the ai.onnx coverage beyond what any bundled model needs
 here has a conformance case in tests/test_conformance.py.
 
 ONNX ops whose OUTPUT SHAPE depends on input VALUES (NonZero, Unique,
-Compress without a static condition, NonMaxSuppression) are fundamentally
-incompatible with XLA's static-shape compilation model and stay
-unsupported with a clear UnsupportedOpError — that is a design boundary,
-not a gap: a TPU-native engine trades data-dependent shapes for one
-compiled program (SURVEY.md §3).
+Compress, NonMaxSuppression) live in ops/bounded.py with a static-bound
+padded-output convention (valid entries first, documented sentinels) —
+XLA still compiles one static-shape program.
 """
 
 from __future__ import annotations
@@ -172,6 +170,13 @@ def _window(name: str, ctx, node):
         raise UnsupportedOpError(f"{node.op_type}: dynamic size")
     size = int(np.asarray(size).reshape(()))
     periodic = bool(int(node.attr("periodic", 1)))
+    dtype_attr = node.attr("output_datatype", 1)
+    if size == 1 and not periodic:
+        # symmetric single-sample window is [1.0] (numpy/scipy convention);
+        # the cosine formula would divide by n = size - 1 = 0 -> NaN
+        from ..onnx_io import DTYPE_TO_NUMPY
+
+        return (jnp.ones((1,), DTYPE_TO_NUMPY[int(dtype_attr)]),)
     n = size if periodic else size - 1
     i = jnp.arange(size, dtype=jnp.float32)
     if name == "hann":
@@ -313,10 +318,19 @@ def mel_weight_matrix(ctx, node, ins):
 # from the seed attribute (or a fixed default) so the compiled program is a
 # pure function — same seed, same stream, every run (the XLA-native
 # contract; torch/ORT give different streams anyway).
-def _key(node, salt: int = 0):
+def _key(node):
     seed = node.attr("seed")
-    s = np.float32(seed).view(np.int32) if seed is not None else 0
-    return jax.random.PRNGKey(np.int64(s) + salt)
+    if seed is not None:
+        # explicit seed: honor it exactly (two nodes with the same seed
+        # attr intentionally share a stream, per the ONNX seed contract)
+        return jax.random.PRNGKey(int(np.float32(seed).view(np.int32)))
+    # seedless: salt by the node's output name so distinct random nodes in
+    # one graph get independent (but still deterministic) streams — without
+    # this, every same-shape seedless node emits bit-identical tensors
+    import zlib
+
+    salt = zlib.crc32(node.outputs[0].encode()) & 0x7FFFFFFF
+    return jax.random.PRNGKey(salt)
 
 
 def _rand_shape_dtype(node, like=None):

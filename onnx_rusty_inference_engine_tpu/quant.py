@@ -106,32 +106,60 @@ def calibrate(
         if method == "minmax":
             return float(jnp.min(val)), float(jnp.max(val))
         a = jnp.abs(val.astype(jnp.float32))
-        if method == "percentile":
-            amax = float(jnp.percentile(a, percentile))
-            return -amax, amax
-        # mse: sweep clip candidates, keep the int8-round-trip argmin
-        amax = jnp.maximum(jnp.max(a), 1e-8)
-        cands = amax * jnp.linspace(0.3, 1.0, 15)
-        scales = cands / 127.0                      # [C]
+        amax = float(jnp.percentile(a, percentile))
+        return -amax, amax
+
+    def mse_errors(val, cands) -> np.ndarray:
+        """Per-candidate summed int8 round-trip squared error (on device)."""
+        a = jnp.abs(val.astype(jnp.float32))
+        scales = jnp.asarray(cands) / 127.0          # [C]
         flat = a.reshape(1, -1)
         q = jnp.clip(jnp.round(flat / scales[:, None]), 0, 127)
-        err = jnp.mean((q * scales[:, None] - flat) ** 2, axis=1)
-        best = float(cands[jnp.argmin(err)])
-        return -best, best
+        return np.asarray(
+            jnp.sum((q * scales[:, None] - flat) ** 2, axis=1))
 
-    ranges: Dict[str, Tuple[float, float]] = {}
+    if method != "mse":
+        ranges: Dict[str, Tuple[float, float]] = {}
+        for feed in calibration_inputs:
+            out = fn(params, {k: jnp.asarray(v) for k, v in feed.items()})
+            for name, val in out.items():
+                if not np.issubdtype(np.asarray(val).dtype, np.floating):
+                    continue
+                lo, hi = batch_range(val)
+                if name in ranges:
+                    plo, phi = ranges[name]
+                    ranges[name] = (min(plo, lo), max(phi, hi))
+                else:
+                    ranges[name] = (lo, hi)
+        return ranges
+
+    # mse: the error-minimizing clip must be chosen over the COMBINED data,
+    # not per batch (max-of-per-batch-argmins defeats the minimization when
+    # batches differ — advisor finding). Pass 1 records the global amax to
+    # fix one shared candidate grid; pass 2 accumulates each candidate's
+    # error across batches and takes a single global argmin. With one batch
+    # both passes see the same tensors and this equals the one-shot sweep.
+    amaxes: Dict[str, float] = {}
     for feed in calibration_inputs:
         out = fn(params, {k: jnp.asarray(v) for k, v in feed.items()})
         for name, val in out.items():
             if not np.issubdtype(np.asarray(val).dtype, np.floating):
                 continue
-            lo, hi = batch_range(val)
-            if name in ranges:
-                plo, phi = ranges[name]
-                ranges[name] = (min(plo, lo), max(phi, hi))
-            else:
-                ranges[name] = (lo, hi)
-    return ranges
+            a = float(jnp.max(jnp.abs(val.astype(jnp.float32))))
+            amaxes[name] = max(amaxes.get(name, 0.0), a)
+    grids = {name: max(a, 1e-8) * np.linspace(0.3, 1.0, 15)
+             for name, a in amaxes.items()}
+    errs: Dict[str, np.ndarray] = {}
+    for feed in calibration_inputs:
+        out = fn(params, {k: jnp.asarray(v) for k, v in feed.items()})
+        for name, val in out.items():
+            if name not in grids:
+                continue
+            e = mse_errors(val, grids[name])
+            errs[name] = errs.get(name, 0.0) + e
+    return {name: (-float(grids[name][np.argmin(e)]),
+                   float(grids[name][np.argmin(e)]))
+            for name, e in errs.items()}
 
 
 def _static_clip_bounds(graph: Graph, node: Node
@@ -671,6 +699,14 @@ def _int4_scan_body(node: Node, consts: Dict[str, np.ndarray],
 
     if not changed:
         return node
+    # never mutate the caller's body GraphProto: node.attr("body") is the
+    # SAME object held by the input graph's Scan node, and rewriting its
+    # nodes/inputs in place would corrupt that graph (its Scan would keep
+    # fp32 scan inputs while the body expects packed uint8 + scales —
+    # advisor-verified repro). Shallow-copy and reassign fresh lists.
+    import copy
+
+    body = copy.copy(body)
     body.nodes = new_body_nodes
     body.inputs = body_inputs
     attrs = dict(node.attrs)

@@ -111,3 +111,26 @@ def test_quantizer_emits_planar_layout():
     assert nb
     for n in nb:
         assert n.attr("layout") in ("planar", b"planar")
+
+
+def test_int4_scan_quantize_preserves_input_graph():
+    """quantize_weights_int4 must NOT mutate the Scan body of its INPUT
+    graph (advisor repro: the original graph's Scan kept fp32 scan inputs
+    while its shared body object had been rewritten to expect packed
+    uint8 + scales, so Engine(original) died with a dtype TypeError)."""
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import build_gpt2_decode
+
+    g = import_model(build_gpt2_decode(TINY, batch=1, max_len=8,
+                                       scan_layers=True))
+    g4 = quantize_weights_int4(g, min_elems=512)
+    NL, H, hd = TINY.n_layer, TINY.n_head, TINY.head_dim
+    feed = {
+        "input_ids": np.zeros((1, 1), np.int64),
+        "pos": np.zeros((1,), np.int64),
+        "past_key": np.zeros((NL, 1, H, 8, hd), np.float32),
+        "past_value": np.zeros((NL, 1, H, 8, hd), np.float32),
+    }
+    ref = Engine(g)(feed)["logits"]          # original must still run fp32
+    out = Engine(g4)(feed)["logits"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.1, atol=0.1)

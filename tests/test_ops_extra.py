@@ -210,3 +210,39 @@ def test_scatter_deprecated_alias():
     ref = x.copy()
     ref[0, 0], ref[0, 2] = 1.0, 2.0
     np.testing.assert_array_equal(out, ref)
+
+
+def test_seedless_random_nodes_decorrelated():
+    """Two seedless RandomNormal nodes in ONE graph must draw independent
+    streams (advisor finding: both got PRNGKey(0) and emitted identical
+    tensors); explicit equal seeds still share a stream per the spec."""
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.models._builder import GraphBuilder
+
+    b = GraphBuilder("rnd", opset=17)
+    b.node("RandomNormal", [], ["a"], shape=[32, 32], dtype=1)
+    b.node("RandomNormal", [], ["b"], shape=[32, 32], dtype=1)
+    b.output("a", [32, 32])
+    b.output("b", [32, 32])
+    out = Engine(import_model(b.model()))({})
+    assert not np.allclose(np.asarray(out["a"]), np.asarray(out["b"]))
+
+    b2 = GraphBuilder("rnd2", opset=17)
+    b2.node("RandomNormal", [], ["a"], shape=[8, 8], dtype=1, seed=5.0)
+    b2.node("RandomNormal", [], ["b"], shape=[8, 8], dtype=1, seed=5.0)
+    b2.output("a", [8, 8])
+    b2.output("b", [8, 8])
+    out2 = Engine(import_model(b2.model()))({})
+    np.testing.assert_array_equal(np.asarray(out2["a"]),
+                                  np.asarray(out2["b"]))
+
+
+@pytest.mark.parametrize("op", ["HannWindow", "HammingWindow",
+                                "BlackmanWindow"])
+def test_window_size_one_symmetric(op):
+    """periodic=0, size=1 used to compute i/(size-1) = 0/0 -> NaN; the
+    symmetric single-sample window is [1.0] (numpy convention)."""
+    (out,) = run_op(op, {}, initializers={"size": np.array(1, np.int64)},
+                    periodic=0, opset=17)
+    np.testing.assert_array_equal(out, np.ones(1, np.float32))

@@ -243,3 +243,22 @@ def test_calibration_method_unknown_raises(mnist_model_path):
     graph = oriet.import_onnx(mnist_model_path)
     with pytest.raises(ValueError, match="calibration"):
         calibrate(graph, method="entropy")
+
+
+def test_calibrate_mse_multibatch_global_argmin(mnist_model_path,
+                                                mnist_golden):
+    """method='mse' across batches must minimize error over the COMBINED
+    data (advisor finding: per-batch argmins merged by max widened the
+    clip). Feeding the same batch twice must equal the single-batch sweep,
+    and a mixed wide+narrow pair must not exceed the wide batch's clip."""
+    x, _ = mnist_golden
+    graph = oriet.import_onnx(mnist_model_path)
+    one = calibrate(graph, [{"Input3": x.array}], method="mse")
+    two = calibrate(graph, [{"Input3": x.array}, {"Input3": x.array}],
+                    method="mse")
+    for name in one:
+        np.testing.assert_allclose(two[name], one[name], rtol=1e-6)
+    narrow = {"Input3": (x.array * 0.01).astype(np.float32)}
+    mixed = calibrate(graph, [{"Input3": x.array}, narrow], method="mse")
+    for name in one:
+        assert mixed[name][1] <= one[name][1] * 1.0 + 1e-6
