@@ -60,6 +60,7 @@ struct Model {
   std::vector<Tensor> initializers;
   std::vector<ValueInfo> inputs, outputs, value_infos;
   std::string error;
+  bool has_graph = false;
 };
 
 class Reader {
@@ -67,6 +68,10 @@ class Reader {
   Reader(const uint8_t* buf, size_t len) : p_(buf), end_(buf + len) {}
 
   bool done() const { return p_ >= end_; }
+  // clean parse = every next() advanced without hitting a malformed or
+  // truncated field (a varint truncated AT the buffer end leaves p_ == end_,
+  // so done() alone cannot distinguish truncation from a clean finish)
+  bool ok() const { return !corrupt_; }
 
   bool read_varint(uint64_t* out) {
     uint64_t result = 0;
@@ -79,12 +84,13 @@ class Reader {
         return true;
       }
       shift += 7;
-      if (shift > 70) return false;
+      if (shift > 70) { corrupt_ = true; return false; }
     }
+    corrupt_ = true;  // continuation bit set on the last byte
     return false;
   }
 
-  // Returns false at end or on corruption.
+  // Returns false at clean end or on corruption (see ok()).
   bool next(uint32_t* field, uint32_t* wire, uint64_t* varint, Slice* bytes) {
     if (done()) return false;
     uint64_t key;
@@ -96,25 +102,30 @@ class Reader {
         return read_varint(varint);
       case 2: {
         uint64_t len;
-        if (!read_varint(&len) || p_ + len > end_) return false;
+        if (!read_varint(&len)) return false;
+        if (p_ + len > end_ || p_ + len < p_) { corrupt_ = true; return false; }
         bytes->ptr = p_;
         bytes->len = static_cast<size_t>(len);
         p_ += len;
         return true;
       }
       case 5:
-        if (p_ + 4 > end_) return false;
+        if (p_ + 4 > end_) { corrupt_ = true; return false; }
         bytes->ptr = p_;
         bytes->len = 4;
         p_ += 4;
         return true;
       case 1:
-        if (p_ + 8 > end_) return false;
+        if (p_ + 8 > end_) { corrupt_ = true; return false; }
         bytes->ptr = p_;
         bytes->len = 8;
         p_ += 8;
         return true;
+      case 3:
+      case 4:
+        return true;  // obsolete group markers: skip (matches Python codec)
       default:
+        corrupt_ = true;
         return false;
     }
   }
@@ -122,6 +133,7 @@ class Reader {
  private:
   const uint8_t* p_;
   const uint8_t* end_;
+  bool corrupt_ = false;
 };
 
 std::string to_string(const Slice& s) {
@@ -174,19 +186,21 @@ bool parse_tensor(const Slice& s, Tensor* t) {
         t->data.assign(bytes.ptr, bytes.ptr + bytes.len);
         break;
       case 13:
-        return false;  // external_data unsupported
+        // external_data: a CAPABILITY gap, not corruption. Sentinel dtype
+        // makes the Python bridge fall back to the pure-Python parser
+        // (which resolves sidecar files) instead of erroring.
+        t->data_type = -1;
+        return true;
       default:
         break;
     }
   }
   if (t->data.empty() && !typed.empty()) {
     t->data = std::move(typed);
-    // flag for Python: typed int fields were widened to int64
-    if (t->data_type == 6 /*INT32*/ || t->data_type == 7 /*INT64*/) {
-      // Python reads data as int64 then casts to the declared dtype.
-    }
+    // Python reads typed int fields as int64 then casts to the declared dtype.
   }
-  return true;
+  // reader stopping mid-buffer = truncated/corrupt message
+  return r.done() && r.ok();
 }
 
 bool parse_node(const Slice& s, Node* n) {
@@ -218,7 +232,7 @@ bool parse_node(const Slice& s, Node* n) {
       default: break;
     }
   }
-  return true;
+  return r.done() && r.ok();
 }
 
 bool parse_value_info(const Slice& s, ValueInfo* v) {
@@ -259,7 +273,7 @@ bool parse_value_info(const Slice& s, ValueInfo* v) {
       }
     }
   }
-  return true;
+  return r.done() && r.ok();
 }
 
 bool parse_graph(const Slice& s, Model* m) {
@@ -284,26 +298,26 @@ bool parse_graph(const Slice& s, Model* m) {
       }
       case 11: {
         ValueInfo v;
-        parse_value_info(bytes, &v);
+        if (!parse_value_info(bytes, &v)) return false;
         m->inputs.push_back(std::move(v));
         break;
       }
       case 12: {
         ValueInfo v;
-        parse_value_info(bytes, &v);
+        if (!parse_value_info(bytes, &v)) return false;
         m->outputs.push_back(std::move(v));
         break;
       }
       case 13: {
         ValueInfo v;
-        parse_value_info(bytes, &v);
+        if (!parse_value_info(bytes, &v)) return false;
         m->value_infos.push_back(std::move(v));
         break;
       }
       default: break;
     }
   }
-  return true;
+  return r.done() && r.ok();
 }
 
 }  // namespace
@@ -325,9 +339,10 @@ void* oriet_parse_model(const uint8_t* buf, size_t len) {
       case 5: m->model_version = zz_to_i64(vi); break;
       case 7:
         if (!parse_graph(bytes, m.get())) {
-          m->error = "graph parse failed";
+          m->error = "graph parse failed (truncated or corrupt)";
           break;
         }
+        m->has_graph = true;
         break;
       case 8: {  // opset_import (repeated OperatorSetIdProto)
         Reader orr(bytes.ptr, bytes.len);
@@ -347,6 +362,10 @@ void* oriet_parse_model(const uint8_t* buf, size_t len) {
       default: break;
     }
   }
+  if (m->error.empty() && !(r.done() && r.ok()))
+    m->error = "truncated or corrupt protobuf stream";
+  if (m->error.empty() && !m->has_graph)
+    m->error = "ModelProto has no graph";
   return m.release();
 }
 

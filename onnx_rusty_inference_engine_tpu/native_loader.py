@@ -163,8 +163,13 @@ def read_tensor_native(path: str) -> Optional[onnx_io.TensorData]:
 
 
 def load_model_native(path: str) -> Optional[onnx_io.ModelProto]:
-    """Parse via the C++ library; returns None if unavailable (caller falls
-    back to the pure-Python parser)."""
+    """Parse via the C++ library.
+
+    Returns None only for CAPABILITY gaps (library missing/unbuildable,
+    dtype the bridge can't decode) — the caller then falls back to the
+    pure-Python parser. A MALFORMED buffer raises ModelParseError carrying
+    the C++ parser's own error string (never a silent None: a corrupt file
+    must fail loudly and identically through either parser)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -172,11 +177,13 @@ def load_model_native(path: str) -> Optional[onnx_io.ModelProto]:
         buf = f.read()
     h = lib.oriet_parse_model(buf, len(buf))
     if not h:
-        return None
+        raise onnx_io.ModelParseError(
+            f"{path}: native parser rejected the buffer (no handle)")
     try:
         err = lib.oriet_error(h)
         if err:
-            return None
+            raise onnx_io.ModelParseError(
+                f"{path}: invalid ONNX ModelProto: {err.decode(errors='replace')}")
 
         g = onnx_io.GraphProto(name=(lib.oriet_graph_name(h) or b"").decode())
         for i in range(lib.oriet_num_nodes(h)):

@@ -16,6 +16,7 @@ models/onnx.proto); this file is an independent implementation of that spec.
 from __future__ import annotations
 
 import dataclasses
+import struct
 from typing import Dict, List, Optional, Sequence, Union
 
 import ml_dtypes
@@ -47,6 +48,41 @@ DTYPE_TO_NUMPY = {
     BFLOAT16: np.dtype(ml_dtypes.bfloat16),
 }
 NUMPY_TO_DTYPE = {v: k for k, v in DTYPE_TO_NUMPY.items()}
+
+
+class ModelParseError(ValueError):
+    """A .onnx / .pb buffer could not be decoded (truncated, corrupt, or
+    not ONNX at all). The ONLY exception the parse layer lets escape —
+    the reference panics deep inside protobuf internals on bad input;
+    callers here get one typed, catchable error with context instead
+    (SURVEY.md §5 failure-detection row)."""
+
+
+# every low-level failure mode observed from fuzzing the wire codec:
+# numpy frombuffer/reshape (ValueError), varint-on-None (TypeError),
+# slicing past the buffer (IndexError), bogus enum codes (KeyError /
+# NotImplementedError), absurd varint dims (OverflowError, MemoryError)
+_DECODE_ERRORS = (ValueError, TypeError, IndexError, KeyError,
+                  OverflowError, MemoryError, NotImplementedError,
+                  UnicodeDecodeError, struct.error)
+
+
+def _parse_guard(what: str):
+    """Decorator: translate any decode failure into ModelParseError."""
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except ModelParseError:
+                raise
+            except _DECODE_ERRORS as e:
+                raise ModelParseError(
+                    f"{what}: {type(e).__name__}: {e}") from e
+        return wrapped
+    return deco
 
 
 # --------------------------------------------------------------------------
@@ -134,6 +170,7 @@ class ModelProto:
 # --------------------------------------------------------------------------
 # TensorProto decode / encode
 # --------------------------------------------------------------------------
+@_parse_guard("invalid TensorProto")
 def parse_tensor_proto(buf: bytes, base_dir: Optional[str] = None
                        ) -> TensorData:
     dims: List[int] = []
@@ -182,6 +219,13 @@ def parse_tensor_proto(buf: bytes, base_dir: Optional[str] = None
     if np_dtype is None:
         raise NotImplementedError(f"TensorProto data_type {data_type} ({name!r})")
     shape = tuple(dims)
+    n_declared = 1
+    for d in dims:
+        n_declared *= max(d, 1)
+    if any(d < 0 for d in dims) or n_declared > (1 << 40):
+        # corrupt varint dims would otherwise drive a giant allocation in
+        # the zero-fill path below before anything validates them
+        raise ValueError(f"implausible tensor dims {shape} ({name!r})")
     if data_location == 1 or external:  # EXTERNAL: weights in sidecar files
         import os
 
@@ -231,7 +275,10 @@ def encode_tensor_proto(name: str, array: np.ndarray) -> bytes:
 def read_tensor_file(path: str) -> TensorData:
     """Read a serialized TensorProto .pb file (the bundled golden I/O pairs)."""
     with open(path, "rb") as f:
-        return parse_tensor_proto(f.read())
+        try:
+            return parse_tensor_proto(f.read())
+        except ModelParseError as e:
+            raise ModelParseError(f"{path}: {e}") from e
 
 
 def write_tensor_file(path: str, name: str, array: np.ndarray) -> None:
@@ -351,6 +398,7 @@ def _parse_graph(buf: bytes, base_dir: Optional[str] = None) -> GraphProto:
     return g
 
 
+@_parse_guard("invalid ONNX ModelProto")
 def parse_model(buf: bytes, base_dir: Optional[str] = None) -> ModelProto:
     graph: Optional[GraphProto] = None
     m_kwargs: Dict[str, object] = {}
@@ -393,8 +441,11 @@ def load_model(path: str) -> ModelProto:
     import os
 
     with open(path, "rb") as f:
-        return parse_model(f.read(), base_dir=os.path.dirname(
-            os.path.abspath(path)))
+        try:
+            return parse_model(f.read(), base_dir=os.path.dirname(
+                os.path.abspath(path)))
+        except ModelParseError as e:
+            raise ModelParseError(f"{path}: {e}") from e
 
 
 # --------------------------------------------------------------------------

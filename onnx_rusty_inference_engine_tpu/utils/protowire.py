@@ -95,12 +95,21 @@ class WireReader:
                 value, pos = decode_varint(buf, pos)
             elif wire == 2:
                 length, pos = decode_varint(buf, pos)
+                if pos + length > end:
+                    # a silent short slice here would "successfully" parse a
+                    # truncated file into a partial model; fail loudly instead
+                    raise ValueError(
+                        f"truncated length-delimited field at byte {pos}")
                 value = memoryview(buf)[pos : pos + length]
                 pos += length
             elif wire == 5:
+                if pos + 4 > end:
+                    raise ValueError(f"truncated fixed32 at byte {pos}")
                 value = memoryview(buf)[pos : pos + 4]
                 pos += 4
             elif wire == 1:
+                if pos + 8 > end:
+                    raise ValueError(f"truncated fixed64 at byte {pos}")
                 value = memoryview(buf)[pos : pos + 8]
                 pos += 8
             elif wire in (3, 4):  # group start/end — obsolete, skip silently
