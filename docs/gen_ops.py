@@ -21,14 +21,19 @@ TITLES = {
     "rnn": "Recurrent ops (lax.scan)",
     "control_flow": "Control flow (lax.cond / lax.scan, subgraph closures)",
     "contrib_transformers": "ORT contrib ops (com.microsoft)",
+    "extra": "Long-tail ops (trig, Lp, spectral, random, geometry)",
+    "bounded": "Value-dependent-shape ops, static-bound convention "
+               "(padded outputs, valid-first)",
+    "fused": "com.oriet fused ops (Pallas kernels)",
 }
 ORDER = list(TITLES)
 
 
 def main() -> None:
     mods = {}
-    for op, fn in registry._REGISTRY.items():
-        mods.setdefault(fn.__module__.split(".")[-1], []).append(op)
+    for (domain, op), fn in registry._REGISTRY.items():
+        label = f"{op} ({domain})" if domain else op
+        mods.setdefault(fn.__module__.split(".")[-1], []).append(label)
 
     lines = [
         "# Supported operator coverage",
@@ -47,13 +52,22 @@ def main() -> None:
         lines += [f"## {TITLES.get(m, m)} ({len(ops)})", "",
                   ", ".join(f"`{o}`" for o in ops), ""]
     lines += [
-        "## Known unsupported (clean errors, documented reasons)",
+        "## Static-bound convention (ops/bounded.py)",
         "",
-        "- Dynamic-output-shape ops (`NonZero`, `Unique`, `NonMaxSuppression`,",
-        "  `Compress` with dynamic masks): XLA requires static shapes; these",
-        "  raise `UnsupportedOpError` naming the op.",
+        "`NonZero`, `Unique`, `Compress`, `NonMaxSuppression` have",
+        "value-dependent output shapes; they lower with ORT/TF-Lite-style",
+        "static bounds: outputs padded to the worst case (input extent, or",
+        "NMS `max_output_boxes_per_class`), valid entries first in spec",
+        "order, documented padding sentinels (0; -1 rows for NMS).",
+        "",
+        "## Known unsupported (clean `UnsupportedOpError`, documented reasons)",
+        "",
+        "- `Unique` with the `axis` attribute (unique subtensors).",
         "- `Loop` with a data-dependent trip count or dynamic early-exit plus",
         "  per-trip scan outputs (data-dependent result length).",
+        "- Dynamic (non-constant) `size`/`frame_step` for window/DFT/STFT ops,",
+        "  dynamic `max_output_boxes_per_class` for NMS, dynamic Clip bounds",
+        "  in the int8 path — each names the offending tensor in its error.",
         "- Training-only ops (gradients, optimizers): inference engine.",
         "",
     ]

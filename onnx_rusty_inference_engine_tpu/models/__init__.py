@@ -18,6 +18,7 @@ from .gpt2 import build_gpt2  # noqa: F401
 from .t5 import build_t5_encoder, build_t5_decode  # noqa: F401
 from .audio import build_audio_encoder  # noqa: F401
 from .moe import build_moe  # noqa: F401
+from .detection import build_detection  # noqa: F401
 from .zoo import get_model_path, MODELS  # noqa: F401
 
 

@@ -16,3 +16,4 @@ from . import control_flow  # noqa: F401,E402
 from . import contrib_transformers  # noqa: F401,E402
 from . import extra  # noqa: F401,E402
 from . import fused  # noqa: F401,E402
+from . import bounded  # noqa: F401,E402
