@@ -227,6 +227,12 @@ def cmd_generate(args) -> int:
         cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
                          n_embd=args.d, n_layer=args.layers,
                          n_head=args.heads)
+    elif args.family == "moe":
+        from .models.moe import MoEConfig
+
+        cfg = MoEConfig(vocab_size=args.vocab, n_positions=args.max_len,
+                        n_embd=args.d, n_layer=args.layers,
+                        n_head=args.heads)
     else:
         from .models.llama import LlamaConfig
 
@@ -256,7 +262,8 @@ def cmd_generate(args) -> int:
         return 0
     gen = Generator(cfg, batch=1, prompt_len=ids.shape[1],
                     max_len=args.max_len, kv_dtype=args.kv_dtype,
-                    int4_weights=args.int4, family=args.family)
+                    int4_weights=args.int4, family=args.family,
+                    device_loop=args.device_loop)
     toks, _ = gen.generate(ids, args.new)
     print(json.dumps({"family": args.family, "prompt": ids[0].tolist(),
                       "generated": toks[0].tolist(),
@@ -274,6 +281,12 @@ def cmd_serve_llm(args) -> int:
         cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
                          n_embd=args.d, n_layer=args.layers,
                          n_head=args.heads)
+    elif args.family == "moe":
+        from .models.moe import MoEConfig
+
+        cfg = MoEConfig(vocab_size=args.vocab, n_positions=args.max_len,
+                        n_embd=args.d, n_layer=args.layers,
+                        n_head=args.heads)
     else:
         from .models.llama import LlamaConfig
 
@@ -282,7 +295,8 @@ def cmd_serve_llm(args) -> int:
                           n_kv_head=max(1, args.heads // 2))
     srv = DecodeServer(cfg, slots=args.slots, prompt_len=args.prompt_len,
                        max_len=args.max_len, kv_dtype=args.kv_dtype,
-                       int4_weights=args.int4, family=args.family)
+                       int4_weights=args.int4, family=args.family,
+                       multi_step=args.multi_step)
     print(f"serving on :{args.port} (POST /v1/generate)", file=sys.stderr)
     serve_generate_http(srv, port=args.port)
     return 0
@@ -394,11 +408,15 @@ def main(argv: Optional[list] = None) -> int:
     pg.add_argument("--int4", action="store_true",
                     help="INT4 weight-only quantization")
     pg.add_argument("--family", default="gpt2",
-                    choices=["gpt2", "llama", "t5"])
+                    choices=["gpt2", "llama", "moe", "t5"])
     pg.add_argument("--draft-layers", dest="draft_layers", type=int,
                     default=0,
                     help="enable lossless speculative decoding with an "
                          "N-layer draft of the same family/vocab")
+    pg.add_argument("--device-loop", dest="device_loop", type=int,
+                    default=0, metavar="K",
+                    help="run K decode steps per dispatch on device "
+                         "(lax.scan over time, on-device sampling)")
     pg.add_argument("--spec-k", dest="spec_k", type=int, default=4,
                     help="speculation chunk size (draft proposes k-1)")
     pg.set_defaults(fn=cmd_generate)
@@ -417,7 +435,10 @@ def main(argv: Optional[list] = None) -> int:
     psl.add_argument("--kv-dtype", dest="kv_dtype", default="float32",
                      choices=["float32", "int8"])
     psl.add_argument("--int4", action="store_true")
-    psl.add_argument("--family", default="gpt2", choices=["gpt2", "llama"])
+    psl.add_argument("--family", default="gpt2",
+                     choices=["gpt2", "llama", "moe"])
+    psl.add_argument("--multi-step", dest="multi_step", type=int, default=0,
+                     metavar="K", help="K greedy decode steps per dispatch")
     psl.set_defaults(fn=cmd_serve_llm)
 
     pq = sub.add_parser("quantize",

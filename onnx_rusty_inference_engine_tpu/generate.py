@@ -41,6 +41,7 @@ class Generator:
         scan_layers: bool = False,
         fused_attention: bool = False,
         prefill_dtype: str = "float32",
+        device_loop: int = 0,
     ):
         assert max_len >= prompt_len
         self.cfg = cfg
@@ -87,6 +88,12 @@ class Generator:
         self.decode = Engine(decode_graph, **ekw)
         # per-(layer, kind, head) scales, calibrated from the prefill
         self._kv_scales: Optional[Dict[str, np.ndarray]] = None
+        # device-resident generation: K decode steps (select + KV update)
+        # inside ONE dispatch via lax.scan over time — the served-latency
+        # lever on a tunnel-dispatched chip where each host->device call
+        # pays ~96% idle (PERF.md). 0 = classic one-step-per-call loop.
+        self.device_loop = int(device_loop)
+        self._multi_cache: Dict[tuple, callable] = {}
 
     # -- cache quantization (INT8 KV; the decode GRAPH carries the QDQ,
     # so the cache never round-trips HBM in fp32) -----------------------
@@ -129,6 +136,58 @@ class Generator:
                              keepdims=True)
             l = jnp.where(l >= thresh, l, -jnp.inf)
         return jax.random.categorical(key, l, axis=-1)
+
+    # -- device-resident multi-step decode -------------------------------
+    def _multi_step_fn(self, temperature, top_k, top_p, eos_id,
+                       repetition_penalty):
+        """Compile (once per sampling config) a function running
+        `device_loop` decode steps inside one XLA program: lax.scan over
+        TIME, on-device token selection (same _select math as the host
+        loop), in-carry KV cache. Unlike the failed scan-over-LAYERS
+        (PERF.md), every iteration re-reads the SAME weights — no stacked-
+        weight dynamic-slice — so the negative result does not transfer."""
+        key_cfg = (temperature, top_k, top_p, eos_id, repetition_penalty)
+        if key_cfg in self._multi_cache:
+            return self._multi_cache[key_cfg]
+        K = self.device_loop
+        decode_fn = self.decode.jitted          # f(params, feed) -> out
+        use_pen = repetition_penalty != 1.0
+        present_of = {
+            name: name.replace("past_", "present_", 1)
+            for name in (spec.name for spec in self.decode.graph.inputs)
+            if name.startswith("past_")}
+        int8 = self.kv_dtype == np.int8
+        select = self._select
+
+        def multi(params, tok, pos, cache, scales, key, done, seen):
+            def body(carry, _):
+                tok, pos, cache, key, done, seen = carry
+                feed = {"input_ids": tok[:, None], "pos": pos}
+                feed.update(cache)
+                if int8:
+                    feed.update(scales)
+                out = decode_fn(params, feed)
+                logits = out["logits"][:, -1, :]
+                key, sub = jax.random.split(key)
+                if use_pen:
+                    seen = seen.at[jnp.arange(tok.shape[0]), tok].set(True)
+                nxt = select(logits, sub, temperature, top_k, top_p,
+                             seen if use_pen else None, repetition_penalty)
+                nxt = nxt.astype(tok.dtype)
+                if eos_id is not None:
+                    nxt = jnp.where(done, eos_id, nxt)
+                    done = done | (nxt == eos_id)
+                new_cache = {p: out[pr] for p, pr in present_of.items()}
+                return (nxt, pos + 1, new_cache, key, done, seen), nxt
+
+            carry0 = (tok, pos, cache, key, done, seen)
+            carry, toks = jax.lax.scan(body, carry0, None, length=K)
+            nxt, pos, cache, key, done, seen = carry
+            return toks.T, pos, cache, key, done, seen   # toks [B, K]
+
+        fn = jax.jit(multi)
+        self._multi_cache[key_cfg] = fn
+        return fn
 
     # -- generation ------------------------------------------------------
     def generate(self, input_ids: np.ndarray, n_new: int,
@@ -208,6 +267,41 @@ class Generator:
 
         tokens = [np.asarray(next_tok)]
         all_logits = [np.asarray(logits)] if return_logits else None
+
+        if self.device_loop > 0 and not return_logits:
+            # K steps per dispatch; the final partial block is truncated
+            # on the host (the over-decoded cache rows are never returned)
+            multi = self._multi_step_fn(temperature, top_k, top_p, eos_id,
+                                        repetition_penalty)
+            scales = ({k: jnp.asarray(v)
+                       for k, v in self._kv_scales.items()}
+                      if self.kv_dtype == np.int8 else {})
+            tok_d = jnp.asarray(next_tok)
+            pos_d = jnp.full((B,), P, dtype=jnp.int32)
+            done_d = jnp.asarray(done)
+            seen_d = (seen if use_pen
+                      else jnp.zeros((B, 1), bool))  # placeholder carry
+            cache_d = {k: jnp.asarray(v) for k, v in cache.items()}
+            remaining = n_new - 1
+            while remaining > 0:
+                if eos_id is not None and bool(np.asarray(done_d).all()):
+                    break
+                toks, pos_d, cache_d, key, done_d, seen_d = multi(
+                    self.decode.params, tok_d, pos_d, cache_d, scales,
+                    key, done_d, seen_d)
+                toks = np.asarray(toks)           # [B, K]
+                take = min(self.device_loop, remaining)
+                for j in range(take):
+                    tokens.append(toks[:, j])
+                tok_d = jnp.asarray(toks[:, self.device_loop - 1])
+                remaining -= take
+            out_toks = np.stack(tokens, axis=1)[:, :n_new]
+            if eos_id is not None and out_toks.shape[1] < n_new:
+                pad = np.full((B, n_new - out_toks.shape[1]), eos_id,
+                              out_toks.dtype)
+                out_toks = np.concatenate([out_toks, pad], axis=1)
+            return out_toks, None
+
         for t in range(n_new - 1):
             if eos_id is not None and bool(done.all()) and not return_logits:
                 break  # every row frozen; remaining output is eos padding

@@ -36,4 +36,8 @@ def decoder_family(name: str):
         from .llama import build_llama, build_llama_decode
 
         return build_llama, build_llama_decode, True
-    raise KeyError(f"unknown decoder family {name!r}; have gpt2, llama")
+    if name == "moe":
+        from .moe import build_moe, build_moe_decode
+
+        return build_moe, build_moe_decode, True
+    raise KeyError(f"unknown decoder family {name!r}; have gpt2, llama, moe")

@@ -57,9 +57,13 @@ def build_moe(
     seq_len: int = 16,
     opset: int = 17,
     seed: int = 0,
+    with_presents: bool = False,
 ) -> onnx_io.ModelProto:
     """Causal MoE decoder forward: input_ids [B,T] -> logits [B,T,V];
-    also emits router_probs_{i} [B*T, E] per layer for load inspection."""
+    also emits router_probs_{i} [B*T, E] per layer for load inspection.
+    with_presents=True additionally emits present_key_i/present_value_i
+    [B,H,T,hd] — the prefill interface the Generator/DecodeServer
+    drivers seed their decode cache from (same contract as gpt2)."""
     b = GraphBuilder("moe", opset=opset, seed=seed)
     B, T = batch, seq_len
     D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
@@ -104,6 +108,9 @@ def build_moe(
             return tr
 
         qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
+        if with_presents:
+            b.node("Identity", [kh], [f"present_key_{i}"])
+            b.node("Identity", [vh], [f"present_value_{i}"])
         (kt,) = b.node("Transpose", [kh], [f"blk{i}_kT"], perm=[0, 1, 3, 2])
         (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])
         (att,) = b.node("Mul", [att, scale], [f"blk{i}_scaled"])
@@ -159,6 +166,10 @@ def build_moe(
     wte_t = b.init("wte_T", np.ascontiguousarray(b.g.initializers["wte"].T))
     (logits,) = b.node("MatMul", [x, wte_t], ["logits"])
     b.output(logits, [B, T, cfg.vocab_size])
+    if with_presents:
+        for i in range(cfg.n_layer):
+            b.output(f"present_key_{i}", [B, H, T, hd])
+            b.output(f"present_value_{i}", [B, H, T, hd])
     for i in range(cfg.n_layer):
         b.output(f"router_probs_{i}", [N, cfg.n_expert])
     return b.model()
@@ -185,53 +196,98 @@ def build_moe_decode(
     max_len: int = 64,
     opset: int = 17,
     seed: int = 0,
+    kv_dtype: str = "float32",
+    chunk: int = 1,
 ) -> onnx_io.ModelProto:
-    """Single-token MoE decode over a fixed KV cache — same per-slot
-    `pos [B]` cache contract as gpt2.build_gpt2_decode. (The MoE family
-    is not registered in models.decoder_family: build_moe lacks the
-    prefill-presents interface the Generator/DecodeServer drivers expect;
-    drive this graph directly, as test_moe_decode_matches_prefill does.)
-    Weights are seeded in the same rng order as build_moe, so full and
-    decode graphs pair up. With T=1 the router decides one expert per
+    """MoE decode step over a fixed KV cache — same per-slot `pos [B]`
+    contract as gpt2.build_gpt2_decode, with the same optional
+    kv_dtype="int8" in-graph QDQ cache and chunk=k multi-token window
+    (the verify step of speculative decoding / chunked prefill).
+
+    Weights are seeded in the same rng order as build_moe, so prefill and
+    decode graphs pair up — the family is registered in
+    models.decoder_family("moe") and served by generate.Generator and
+    serve_llm.DecodeServer. With T=1 the router picks one expert per
     (batch row, layer) and the dense-mask dispatch degenerates to masking
     E-1 expert outputs to zero rows."""
     assert max_len <= cfg.n_positions, \
         "max_len beyond the position table silently clamps wpe gathers"
     b = GraphBuilder("moe_decode", opset=opset, seed=seed)
-    B, T = batch, 1
+    B, T = batch, chunk
     D, H, hd = cfg.n_embd, cfg.n_head, cfg.head_dim
     E, F = cfg.n_expert, cfg.d_ff
     L = max_len
     N = B * T
+    int8_kv = np.dtype(kv_dtype) == np.int8
+    cache_np = np.int8 if int8_kv else np.float32
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)
     pos = b.input("pos", [B], dtype=np.int64)
-    pasts = [(b.input(f"past_key_{i}", [B, H, L, hd]),
-              b.input(f"past_value_{i}", [B, H, L, hd]))
+    pasts = [(b.input(f"past_key_{i}", [B, H, L, hd], dtype=cache_np),
+              b.input(f"past_value_{i}", [B, H, L, hd], dtype=cache_np))
              for i in range(cfg.n_layer)]
+    kv_scales = [(b.input(f"kv_scale_key_{i}", [H]),
+                  b.input(f"kv_scale_value_{i}", [H]))
+                 for i in range(cfg.n_layer)] if int8_kv else None
+    zp8 = b.init("kv_zp8", np.int8(0)) if int8_kv else None
 
     wte = b.init("wte", (b.rng.standard_normal((cfg.vocab_size, D))
                          * 0.02).astype(np.float32))
     wpe = b.init("wpe", (b.rng.standard_normal((cfg.n_positions, D))
                          * 0.01).astype(np.float32))
     (tok,) = b.node("Gather", [wte, ids], ["tok_emb"], axis=0)
-    (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)
-    (pe,) = b.node("Reshape", [pe, b.init(
-        "shape_B_1_D", np.array([B, 1, D], np.int64))], ["pos_emb3"])
-    (x,) = b.node("Add", [tok, pe], ["h0"])
-
     arange = b.init("cache_positions", np.arange(L, dtype=np.int64))
     (pos2d,) = b.node("Reshape", [pos, b.init(
         "shape_B_1", np.array([B, 1], np.int64))], ["pos2d"])
-    (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])
-    (is_now4,) = b.node("Reshape", [is_now, b.init(
-        "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
-    (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])
     neg = b.init("neg_inf", np.float32(-1e9))
     zero = b.init("zero_f", np.float32(0.0))
-    (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])
-    (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
-        "shape_B_1_1_L", np.array([B, 1, 1, L], np.int64))], ["attn_bias4"])
+    if T == 1:
+        (pe,) = b.node("Gather", [wpe, pos], ["pos_emb"], axis=0)
+        (pe,) = b.node("Reshape", [pe, b.init(
+            "shape_B_1_D", np.array([B, 1, D], np.int64))], ["pos_emb3"])
+        (is_now,) = b.node("Equal", [arange, pos2d], ["is_now"])
+        (is_now4,) = b.node("Reshape", [is_now, b.init(
+            "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
+        (valid,) = b.node("LessOrEqual", [arange, pos2d], ["valid"])
+        (attn_bias,) = b.node("Where", [valid, zero, neg], ["attn_bias"])
+        (attn_bias4,) = b.node("Reshape", [attn_bias, b.init(
+            "shape_B_1_1_L", np.array([B, 1, 1, L], np.int64))],
+            ["attn_bias4"])
+    else:
+        # chunk window: token j of the chunk sits at per-slot pos + j
+        # (identical machinery to gpt2.build_gpt2_decode chunk mode: the
+        # cache write is a one-hot scatter MATMUL, never a gather)
+        tsteps = b.init("chunk_steps", np.arange(T, dtype=np.int64))
+        (positions,) = b.node("Add", [pos2d, tsteps], ["positions"])
+        (pe,) = b.node("Gather", [wpe, positions], ["pos_emb3"], axis=0)
+        (in_lo,) = b.node("GreaterOrEqual", [arange, pos2d], ["win_lo"])
+        hi = b.init("chunk_hi", np.int64(T))
+        (pos_hi,) = b.node("Add", [pos2d, hi], ["pos_hi"])
+        (in_hi,) = b.node("Less", [arange, pos_hi], ["win_hi"])
+        (in_win,) = b.node("And", [in_lo, in_hi], ["in_win"])
+        (is_now4,) = b.node("Reshape", [in_win, b.init(
+            "shape_B_1_L_1", np.array([B, 1, L, 1], np.int64))], ["is_now4"])
+        (rel,) = b.node("Sub", [arange, pos2d], ["slot_rel"])
+        (rel3,) = b.node("Reshape", [rel, b.init(
+            "shape_B_L_1", np.array([B, L, 1], np.int64))], ["rel3"])
+        steps_k = b.init("scatter_steps", np.arange(T, dtype=np.int64
+                                                    ).reshape(1, 1, T))
+        (oh,) = b.node("Equal", [rel3, steps_k], ["scatter_oh"])
+        (ohf,) = b.node("Cast", [oh], ["scatter_ohf"], to=1)
+        b.node("Reshape", [ohf, b.init(
+            "shape_B_1_L_T", np.array([B, 1, L, T], np.int64))],
+            ["scatter_oh4"])
+        tsteps3 = b.init("chunk_steps3", np.arange(T, dtype=np.int64
+                                                   ).reshape(1, T, 1))
+        (pos3,) = b.node("Reshape", [pos, b.init(
+            "shape_B_1_1", np.array([B, 1, 1], np.int64))], ["pos3"])
+        (qpos,) = b.node("Add", [pos3, tsteps3], ["qpos"])
+        (validt,) = b.node("LessOrEqual", [arange, qpos], ["validt"])
+        (attn_bias_t,) = b.node("Where", [validt, zero, neg], ["attn_bt"])
+        (attn_bias4,) = b.node("Reshape", [attn_bias_t, b.init(
+            "shape_B_1_T_L", np.array([B, 1, T, L], np.int64))],
+            ["attn_bias4"])
+    (x,) = b.node("Add", [tok, pe], ["h0"])
 
     scale = b.init("attn_scale", np.float32(1.0 / np.sqrt(hd)))
     shape_split = b.init("shape_bthd", np.array([B, T, H, hd], np.int64))
@@ -257,9 +313,41 @@ def build_moe_decode(
             return tr
 
         qh, kh, vh = _heads(q, "q"), _heads(k, "k"), _heads(v, "v")
+
+        def _spread(t, tag):
+            """[B,H,T,hd] -> [B,H,L,hd] one-hot scatter matmul (chunk)."""
+            if T == 1:
+                return t
+            src = t
+            if int8_kv:
+                (src,) = b.node("Cast", [t], [f"blk{i}_{tag}_f"], to=1)
+            (sp,) = b.node("MatMul", ["scatter_oh4", src],
+                           [f"blk{i}_{tag}_spread_f"])
+            if int8_kv:
+                (sp,) = b.node("Cast", [sp], [f"blk{i}_{tag}_spread"],
+                               to=3)
+            return sp
+
         pk, pv = pasts[i]
-        (kc,) = b.node("Where", [is_now4, kh, pk], [f"present_key_{i}"])
-        (vc,) = b.node("Where", [is_now4, vh, pv], [f"present_value_{i}"])
+        if int8_kv:
+            sk, sv = kv_scales[i]
+            (kh8,) = b.node("QuantizeLinear", [kh, sk, zp8],
+                            [f"blk{i}_k_q8"], axis=1)
+            (vh8,) = b.node("QuantizeLinear", [vh, sv, zp8],
+                            [f"blk{i}_v_q8"], axis=1)
+            (kc8,) = b.node("Where", [is_now4, _spread(kh8, "k8"), pk],
+                            [f"present_key_{i}"])
+            (vc8,) = b.node("Where", [is_now4, _spread(vh8, "v8"), pv],
+                            [f"present_value_{i}"])
+            (kc,) = b.node("DequantizeLinear", [kc8, sk, zp8],
+                           [f"blk{i}_k_dq"], axis=1)
+            (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
+                           [f"blk{i}_v_dq"], axis=1)
+        else:
+            (kc,) = b.node("Where", [is_now4, _spread(kh, "k"), pk],
+                           [f"present_key_{i}"])
+            (vc,) = b.node("Where", [is_now4, _spread(vh, "v"), pv],
+                           [f"present_value_{i}"])
         (kt,) = b.node("Transpose", [kc], [f"blk{i}_kT"], perm=[0, 1, 3, 2])
         (att,) = b.node("MatMul", [qh, kt], [f"blk{i}_scores"])
         (att,) = b.node("Mul", [att, scale], [f"blk{i}_scaled"])

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .registry import UnsupportedOpError, register
+from .registry import index_dtype as _idt
 
 
 def _stable_front_order(keep_mask: jnp.ndarray) -> jnp.ndarray:
@@ -59,7 +60,7 @@ def nonzero(ctx, node, ins):
     flat = jnp.where(jnp.arange(n) < count, order, 0)   # pad -> index 0...
     # padding must be 0, not a stale flat index
     idx = jnp.unravel_index(flat, x.shape)
-    out = jnp.stack([i.astype(jnp.int64) for i in idx])  # [rank, N]
+    out = jnp.stack([i.astype(_idt()) for i in idx])  # [rank, N]
     valid = (jnp.arange(n) < count)[None, :]
     return (jnp.where(valid, out, 0),)
 
@@ -108,7 +109,7 @@ def unique(ctx, node, ins):
     x = ins[0].reshape(-1)
     n = x.shape[0]
     if n == 0:
-        e = jnp.zeros((0,), jnp.int64)
+        e = jnp.zeros((0,), _idt())
         return x, e, e, e
 
     sort_perm = jnp.argsort(x, stable=True)             # stable: ties keep
@@ -120,7 +121,7 @@ def unique(ctx, node, ins):
 
     # per-group stats over the sorted stream (segment ops, static n bins)
     first_idx = jax.ops.segment_min(sort_perm, group_id, num_segments=n)
-    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int64), group_id,
+    counts = jax.ops.segment_sum(jnp.ones((n,), _idt()), group_id,
                                  num_segments=n)
     values = jax.ops.segment_max(sx, group_id, num_segments=n)  # any member
 
@@ -141,12 +142,12 @@ def unique(ctx, node, ins):
 
     valid = jnp.arange(n) < count
     y = jnp.where(valid, values, jnp.zeros((), x.dtype))
-    indices = jnp.where(valid, first_idx, 0).astype(jnp.int64)
-    counts = jnp.where(valid, counts, 0).astype(jnp.int64)
+    indices = jnp.where(valid, first_idx, 0).astype(_idt())
+    counts = jnp.where(valid, counts, 0).astype(_idt())
     # inverse: for input position p, the output slot of its group
     inv_sorted = rank_of_group[group_id]                # per sorted pos
-    inverse = jnp.zeros((n,), jnp.int64).at[sort_perm].set(inv_sorted)
-    return y, indices.astype(jnp.int64), inverse, counts
+    inverse = jnp.zeros((n,), _idt()).at[sort_perm].set(inv_sorted)
+    return y, indices.astype(_idt()), inverse, counts
 
 
 def _iou_matrix(boxes: jnp.ndarray, center_point_box: int) -> jnp.ndarray:
@@ -195,7 +196,7 @@ def _nms_single(scores: jnp.ndarray, iou: jnp.ndarray, max_out: int,
         alive = alive & jnp.where(any_left, ~suppress, True)
         return alive, sel, ok
 
-    sel0 = jnp.zeros((max_out,), jnp.int64)
+    sel0 = jnp.zeros((max_out,), _idt())
     ok0 = jnp.zeros((max_out,), bool)
     _, sel, ok = lax.fori_loop(0, max_out, body, (alive0, sel0, ok0))
     return sel, ok
@@ -220,7 +221,7 @@ def non_max_suppression(ctx, node, ins):
     else:
         max_out = 0
     if max_out <= 0:
-        return (jnp.zeros((0, 3), jnp.int64),)
+        return (jnp.zeros((0, 3), _idt()),)
     iou_thr = (ins[3].reshape(()) if len(ins) > 3 and ins[3] is not None
                else jnp.float32(0.0))
     score_thr = (ins[4].reshape(()) if len(ins) > 4 and ins[4] is not None
@@ -239,9 +240,9 @@ def non_max_suppression(ctx, node, ins):
 
     sel, ok = jax.vmap(per_batch)(scores, iou)           # [B,C,max_out]
     b_idx = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int64)[:, None, None], sel.shape)
+        jnp.arange(B, dtype=_idt())[:, None, None], sel.shape)
     c_idx = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.int64)[None, :, None], sel.shape)
+        jnp.arange(C, dtype=_idt())[None, :, None], sel.shape)
     rows = jnp.stack([b_idx, c_idx, sel], axis=-1)       # [B,C,M,3]
     rows = jnp.where(ok[..., None], rows, -1)
     return (rows.reshape(-1, 3),)

@@ -130,3 +130,16 @@ class LoweringContext:
                 if name:
                     env[name] = val
         return [env[vi.name] for vi in gproto.outputs]
+
+
+def index_dtype():
+    """Dtype for ONNX int64 index OUTPUTS (ArgMax, Shape, NonZero, ...).
+
+    Spec says int64; under JAX's default x64-off mode the engine-wide
+    convention is int32 (declared-int64 graph inputs already flow as
+    int32), and asking for int64 there only triggers a truncation warning
+    per op. Honors int64 when jax_enable_x64 is on."""
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32

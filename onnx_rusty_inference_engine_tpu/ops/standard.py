@@ -27,6 +27,7 @@ from jax import lax
 from .. import onnx_io
 from ..graph import Node, _resolve_reshape
 from .registry import LoweringContext, UnsupportedOpError, register
+from .registry import index_dtype as _idt
 
 
 # --------------------------------------------------------------------------
@@ -258,7 +259,7 @@ def _max_pool_indices(node: Node, x, out_shape):
     # this lands as int32 on device (values are range-guarded so they fit).
     # The host boundary (InferenceResult) widens to int64 for consumers
     # that check the dtype — same policy as ArgMax/TopK/Shape.
-    return (base + gh * W + gw).astype(jnp.int64)
+    return (base + gh * W + gw).astype(_idt())
 
 
 @register("MaxUnpool")
@@ -722,12 +723,12 @@ def _shape_slice(node: Node, rank: int):
 @register("Shape")
 def shape_op(ctx, node, ins):
     dims = ins[0].shape[_shape_slice(node, ins[0].ndim)]
-    return (jnp.asarray(dims, dtype=jnp.int64),)
+    return (jnp.asarray(dims, dtype=_idt()),)
 
 
 @register("Size")
 def size_op(ctx, node, ins):
-    return (jnp.asarray(ins[0].size, dtype=jnp.int64),)
+    return (jnp.asarray(ins[0].size, dtype=_idt()),)
 
 
 @register("Identity")
@@ -834,9 +835,9 @@ def _arg_reduce(fn):
             # ONNX: ties resolve to the LAST occurrence; argmax/argmin give
             # the first, so run on the reversed axis and re-map the index
             rev = jnp.flip(x, axis)
-            out = (x.shape[axis] - 1 - fn(rev, axis=axis)).astype(jnp.int64)
+            out = (x.shape[axis] - 1 - fn(rev, axis=axis)).astype(_idt())
         else:
-            out = fn(x, axis=axis).astype(jnp.int64)
+            out = fn(x, axis=axis).astype(_idt())
         if keepdims:
             out = jnp.expand_dims(out, axis)
         return (out,)
@@ -865,7 +866,7 @@ def topk(ctx: LoweringContext, node: Node, ins):
     if axis not in (-1, x.ndim - 1):
         v = jnp.moveaxis(v, -1, axis)
         i = jnp.moveaxis(i, -1, axis)
-    return (v, i.astype(jnp.int64))
+    return (v, i.astype(_idt()))
 
 
 # --------------------------------------------------------------------------

@@ -99,6 +99,7 @@ class DecodeServer:
         prefill_dtype: str = "float32",
         chunked_prefill: bool = False,
         chunk: int = 8,
+        multi_step: int = 0,
     ):
         self.cfg = cfg
         self.B = slots
@@ -128,6 +129,18 @@ class DecodeServer:
         self.chunk = int(chunk)
         if self.chunked and self.chunk < 1:
             raise ValueError("chunk must be >= 1")
+        # multi_step=K: K greedy decode steps inside ONE dispatch
+        # (lax.scan over time with on-device argmax + KV carry, same
+        # machinery as generate.Generator(device_loop=K)). Emitted tokens
+        # are exactly the single-step stream; the tradeoffs are admission/
+        # stop granularity of K tokens and discarded overshoot after a
+        # slot finishes mid-block. The served-latency lever on a chip
+        # where each dispatch pays a host roundtrip (PERF.md).
+        self.multi_step = int(multi_step)
+        if self.multi_step and self.chunked:
+            raise ValueError("multi_step is incompatible with "
+                             "chunked_prefill (one dispatch loop each)")
+        self._multi_fn = None
         dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
         if self.chunked:
             dkw["chunk"] = self.chunk
@@ -318,9 +331,73 @@ class DecodeServer:
     def _active(self) -> List[int]:
         return [i for i, r in enumerate(self._req) if r is not None]
 
+    def _get_multi_fn(self):
+        if self._multi_fn is not None:
+            return self._multi_fn
+        decode_fn = self.decode.jitted
+        int8 = self.kv_dtype == np.int8
+        present_of = {
+            name: name.replace("past_", "present_", 1)
+            for name in (spec.name for spec in self.decode.graph.inputs)
+            if name.startswith("past_")}
+        K = self.multi_step
+
+        def multi(params, tok, pos, cache, scales):
+            def body(carry, _):
+                tok, pos, cache = carry
+                feed = {"input_ids": tok[:, None], "pos": pos}
+                feed.update(cache)
+                if int8:
+                    feed.update(scales)
+                out = decode_fn(params, feed)
+                nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1
+                                 ).astype(tok.dtype)
+                new_cache = {p: out[pr] for p, pr in present_of.items()}
+                return (nxt, pos + 1, new_cache), nxt
+
+            carry, toks = jax.lax.scan(body, (tok, pos, cache), None,
+                                       length=K)
+            _, pos, cache = carry
+            return toks.T, cache                        # toks [B, K]
+
+        self._multi_fn = jax.jit(multi)
+        return self._multi_fn
+
+    def _step_multi(self) -> None:
+        """K decode steps in one dispatch; host-side bookkeeping after."""
+        K = self.multi_step
+        multi = self._get_multi_fn()
+        scales = ({k: jnp.asarray(v) for k, v in self._kv_scales.items()}
+                  if self.kv_dtype == np.int8 else {})
+        toks, self._cache = multi(
+            self.decode.params,
+            jnp.asarray(self._last_tok.astype(np.int32)),
+            jnp.asarray(self._pos.astype(np.int32)),
+            self._cache, scales)
+        toks = np.asarray(toks)                          # [B, K]
+        self.steps += 1
+        self._occupancy_sum += len(self._active())
+        for s in self._active():
+            r = self._req[s]
+            for j in range(K):
+                self._pos[s] += 1
+                tok = int(toks[s, j])
+                r.tokens.append(tok)
+                self._last_tok[s] = tok
+                self.tokens_out += 1
+                if (len(r.tokens) >= r.max_new or tok == r.eos_id
+                        or _hits_stop(r)):
+                    # overshoot tokens j+1..K-1 are discarded; the slot's
+                    # over-advanced cache rows are dead state (masked by
+                    # pos on re-admission)
+                    self._finish(s, r)
+                    break
+
     def _step(self) -> None:
         if self.chunked:
             return self._step_chunked()
+        if self.multi_step > 0:
+            return self._step_multi()
         feed = {"input_ids": jnp.asarray(self._last_tok[:, None]),
                 "pos": jnp.asarray(self._pos)}
         feed.update(self._cache)

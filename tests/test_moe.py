@@ -119,3 +119,73 @@ def test_moe_decode_matches_prefill():
                 cache[f"past_{k}_{i}"] = o[f"present_{k}_{i}"]
     np.testing.assert_allclose(np.concatenate(inc, axis=1), full,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_moe_generator_and_int8_kv():
+    """MoE is a full decoder family: Generator drives prefill+decode with
+    fp32 and int8 KV; int8 greedy tokens track fp32."""
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+
+    ids = np.random.default_rng(3).integers(
+        0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    gen = Generator(TINY, batch=2, prompt_len=4, max_len=24, family="moe")
+    ref, _ = gen.generate(ids, 8)
+    assert ref.shape == (2, 8)
+    gen8 = Generator(TINY, batch=2, prompt_len=4, max_len=24, family="moe",
+                     kv_dtype="int8")
+    got, _ = gen8.generate(ids, 8)
+    assert (got[:, :4] == ref[:, :4]).mean() >= 0.75  # int8 rounding slack
+
+
+def test_moe_device_loop_parity():
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+
+    ids = np.random.default_rng(4).integers(
+        0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    base = dict(batch=2, prompt_len=4, max_len=24, family="moe")
+    ref, _ = Generator(TINY, **base).generate(ids, 7)
+    got, _ = Generator(TINY, device_loop=3, **base).generate(ids, 7)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_moe_decode_server_matches_isolated():
+    """Continuous-batching MoE serving == isolated generation, exactly."""
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    rng = np.random.default_rng(7)
+    srv = DecodeServer(TINY, slots=2, prompt_len=6, max_len=24,
+                       family="moe")
+    try:
+        reqs = []
+        for _ in range(4):
+            plen = int(rng.integers(2, 7))
+            n_new = int(rng.integers(2, 6))
+            p = rng.integers(0, TINY.vocab_size, (plen,)).astype(np.int64)
+            reqs.append((p, n_new, srv.submit(p, n_new)))
+        for p, n_new, fut in reqs:
+            got = fut.result(timeout=300)
+            gen = Generator(TINY, batch=1, prompt_len=p.size, max_len=24,
+                            family="moe")
+            want, _ = gen.generate(p[None], n_new)
+            assert got == list(want[0]), (p, got, list(want[0]))
+    finally:
+        srv.stop()
+
+
+def test_moe_speculative_lossless():
+    """Chunked MoE decode powers speculative verification; greedy output
+    must equal plain greedy decode exactly (lossless property)."""
+    from onnx_rusty_inference_engine_tpu.generate import (
+        Generator, SpeculativeGenerator)
+    import dataclasses
+
+    ids = np.random.default_rng(11).integers(
+        0, TINY.vocab_size, (1, 4)).astype(np.int64)
+    ref, _ = Generator(TINY, batch=1, prompt_len=4, max_len=32,
+                       family="moe").generate(ids, 8)
+    dcfg = dataclasses.replace(TINY, n_layer=1)
+    spec = SpeculativeGenerator(TINY, dcfg, batch=1, prompt_len=4,
+                                max_len=32, k=3, family="moe")
+    got, _ = spec.generate(ids, 8)
+    np.testing.assert_array_equal(got, ref)

@@ -229,3 +229,40 @@ def test_chunked_prefill_int8_kv():
         want = _reference_tokens(p, 6, p.size, 32)
         agree = np.mean([g == w for g, w in zip(got, want)])
         assert agree >= 0.5, (p.size, got, want)
+
+
+def test_multi_step_server_matches_isolated_generation():
+    """multi_step=3: three decode steps per dispatch; emitted tokens must
+    still equal isolated generation exactly, across staggered admission
+    and mid-block finishes."""
+    srv = DecodeServer(TINY, slots=3, prompt_len=8, max_len=24,
+                       multi_step=3)
+    try:
+        reqs = []
+        for i in range(5):
+            plen = int(rng.integers(2, 9))
+            n_new = int(rng.integers(2, 8))   # deliberately not % 3
+            prompt = rng.integers(0, TINY.vocab_size, (plen,)
+                                  ).astype(np.int64)
+            reqs.append((prompt, n_new, srv.submit(prompt, n_new)))
+        for prompt, n_new, fut in reqs:
+            got = fut.result(timeout=300)
+            want = _reference_tokens(prompt, n_new, 8, 24)
+            assert got == want, (prompt, got, want)
+        assert srv.steps < sum(n for _, n, _ in reqs)
+    finally:
+        srv.stop()
+
+
+def test_multi_step_server_int8_kv_and_eos():
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=24,
+                       kv_dtype="int8", multi_step=4)
+    try:
+        p = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+        ref = srv.generate(p, 10, timeout=300)
+        eos = ref[4]
+        got = srv.generate(p, 10, eos_id=eos, timeout=300)
+        stop = ref.index(eos)             # first occurrence wins
+        assert got == ref[: stop + 1]     # stops mid-block at the eos
+    finally:
+        srv.stop()
