@@ -12,6 +12,11 @@ INT8 KV).
 Usage: python benchmarks/serve_latency.py [--new 96] [--loops 0,8,24]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

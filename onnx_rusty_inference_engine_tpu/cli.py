@@ -221,6 +221,26 @@ def cmd_generate(args) -> int:
                           "kv_dtype": args.kv_dtype, "int4": args.int4}))
         return 0
 
+    if args.family == "asr":
+        # waveform -> tokens through the full in-graph pipeline (STFT +
+        # mel + encoder + cross-KV + cached decoder); synthesizes a sine
+        # test tone since token prompts don't apply
+        from .generate import Seq2SeqGenerator
+        from .models.asr import TINY as ASR_TINY
+
+        n = 512
+        t = np.arange(n) / ASR_TINY.sample_rate
+        audio = np.sin(2 * np.pi * 200 * t)[None].astype(np.float32)
+        gen = Seq2SeqGenerator(ASR_TINY, batch=1, src_len=n,
+                               max_len=min(args.max_len,
+                                           ASR_TINY.n_positions),
+                               family="asr", kv_dtype=args.kv_dtype)
+        toks, _ = gen.generate(audio, args.new)
+        print(json.dumps({"family": "asr", "n_samples": n,
+                          "generated": toks[0].tolist(),
+                          "kv_dtype": args.kv_dtype}))
+        return 0
+
     if args.family == "gpt2":
         from .models.gpt2 import GPT2Config
 
@@ -408,7 +428,7 @@ def main(argv: Optional[list] = None) -> int:
     pg.add_argument("--int4", action="store_true",
                     help="INT4 weight-only quantization")
     pg.add_argument("--family", default="gpt2",
-                    choices=["gpt2", "llama", "moe", "t5"])
+                    choices=["gpt2", "llama", "moe", "t5", "asr"])
     pg.add_argument("--draft-layers", dest="draft_layers", type=int,
                     default=0,
                     help="enable lossless speculative decoding with an "

@@ -344,8 +344,9 @@ class Generator:
 
 
 class Seq2SeqGenerator:
-    """Encoder-decoder generation (T5 family): encode once, then greedy /
-    sampled decode over a fixed self-attn KV cache + static cross K/V.
+    """Encoder-decoder generation (seq2seq_family: "t5" tokens->tokens,
+    "asr" waveform->tokens): encode once, then greedy / sampled decode
+    over a fixed self-attn KV cache + static cross K/V.
 
     TPU-native split: the encoder (+ cross-KV projection) is ONE compiled
     program run once per request; the decode step is another, same
@@ -370,12 +371,15 @@ class Seq2SeqGenerator:
         kv_dtype: str = "float32",
         int4_weights: bool = False,
         calib_steps: int = 4,
+        family: str = "t5",
     ):
-        from .models.t5 import build_t5_decode, build_t5_encoder
+        from .models import seq2seq_family
 
+        self.fam = seq2seq_family(family)
         self.cfg = cfg
         self.batch = batch
         self.src_len = src_len
+        self.enc_len = self.fam.enc_len(cfg, src_len)
         self.max_len = max_len
         self.kv_dtype = np.dtype(kv_dtype)
         if self.kv_dtype == np.int8 and calib_steps < 1:
@@ -383,15 +387,15 @@ class Seq2SeqGenerator:
                              "fp32 steps that set the scales)")
         self.calib_steps = calib_steps
 
-        enc_graph = import_model(build_t5_encoder(
+        enc_graph = import_model(self.fam.build_encoder(
             cfg, batch=batch, src_len=src_len, seed=seed))
-        dec_graph = import_model(build_t5_decode(
-            cfg, batch=batch, max_len=max_len, src_len=src_len, seed=seed,
-            kv_dtype=kv_dtype))
+        dec_graph = import_model(self.fam.build_decode(
+            cfg, batch=batch, max_len=max_len, src_len=self.enc_len,
+            seed=seed, kv_dtype=kv_dtype))
         self._dec_fp32_graph = None
         if self.kv_dtype == np.int8:
-            self._dec_fp32_graph = import_model(build_t5_decode(
-                cfg, batch=batch, max_len=max_len, src_len=src_len,
+            self._dec_fp32_graph = import_model(self.fam.build_decode(
+                cfg, batch=batch, max_len=max_len, src_len=self.enc_len,
                 seed=seed))
         if int4_weights:
             from .quant import quantize_weights_int4
@@ -413,12 +417,15 @@ class Seq2SeqGenerator:
                  temperature: float = 0.0,
                  top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
-                 sample_seed: int = 0):
-        """Encode src_ids [B, src_len]; decode n_new tokens."""
+                 sample_seed: int = 0,
+                 src_lengths: Optional[np.ndarray] = None):
+        """Encode the source [B, src_len] (tokens or waveform, per
+        family); decode n_new tokens. src_lengths [B]: true per-row
+        source lengths for padding-masked families (default: full)."""
         B, S = src_ids.shape
         assert (B, S) == (self.batch, self.src_len)
         assert n_new <= self.max_len
-        L = self.cfg.n_layer
+        L = self.fam.n_layers(self.cfg)
         H, hd = self.cfg.n_head, self.cfg.head_dim
         ML = self.max_len
         int8 = self.kv_dtype == np.int8
@@ -429,8 +436,16 @@ class Seq2SeqGenerator:
                 "n_new=%d <= calib_steps=%d: every step runs the shadow "
                 "fp32 graph; the int8 cache never engages", n_new,
                 self.calib_steps)
-        enc = self.encoder({"src_ids": src_ids.astype(np.int64)})
+        if src_lengths is None:
+            src_lengths = np.full((B,), S, np.int64)
+        src_mask_feed = ({"src_len": src_lengths.astype(np.int64)}
+                         if self.fam.src_mask else {})
+        enc_feed = {self.fam.enc_input:
+                    src_ids.astype(self.fam.prompt_dtype)}
+        enc_feed.update(src_mask_feed)
+        enc = self.encoder(enc_feed)
         cross = {k: v for k, v in enc.items() if k.startswith("cross_")}
+        cross.update(src_mask_feed)
 
         cache = {}
         cache_dtype = np.float32  # calib phase runs fp32 even for int8

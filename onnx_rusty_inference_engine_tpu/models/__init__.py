@@ -41,3 +41,61 @@ def decoder_family(name: str):
 
         return build_moe, build_moe_decode, True
     raise KeyError(f"unknown decoder family {name!r}; have gpt2, llama, moe")
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class Seq2SeqSpec:
+    """Encoder-decoder family descriptor consumed by the shared seq2seq
+    drivers (generate.Seq2SeqGenerator, serve_llm.Seq2SeqServer):
+
+    - build_encoder(cfg, batch=, src_len=, seed=) -> ModelProto emitting
+      enc_out + cross_key_i/cross_value_i;
+    - build_decode(cfg, batch=, max_len=, src_len=S, seed=, kv_dtype=)
+      with the per-slot `pos [B]` fixed-cache contract;
+    - enc_input: the encoder's source input name;
+    - prompt_dtype: dtype of one request's source (int64 tokens / f32
+      waveform); sources are right-padded with zeros to src_len;
+    - enc_len(cfg, src_len): cross-attention length S the decode graph
+      sees (identity for token models; frontend frame count for audio);
+    - n_layers(cfg): decoder layer count (cache tensors per layer);
+    - src_mask: True when both graphs take a `src_len [B]` input that
+      masks source padding out of (cross-)attention.
+    """
+
+    name: str
+    build_encoder: object
+    build_decode: object
+    enc_input: str
+    prompt_dtype: object
+    enc_len: object
+    n_layers: object
+    src_mask: bool
+
+
+def seq2seq_family(name: str) -> Seq2SeqSpec:
+    import numpy as _np
+
+    if name == "t5":
+        from .t5 import build_t5_decode, build_t5_encoder
+
+        return Seq2SeqSpec(
+            name="t5", build_encoder=build_t5_encoder,
+            build_decode=build_t5_decode, enc_input="src_ids",
+            prompt_dtype=_np.int64, enc_len=lambda cfg, s: s,
+            n_layers=lambda cfg: cfg.n_layer, src_mask=True)
+    if name == "asr":
+        from .asr import build_asr_decode, build_asr_encoder, enc_frames
+
+        def build_enc(cfg, *, batch, src_len, seed, **kw):
+            return build_asr_encoder(cfg, batch=batch, n_samples=src_len,
+                                     seed=seed, **kw)
+
+        return Seq2SeqSpec(
+            name="asr", build_encoder=build_enc,
+            build_decode=build_asr_decode, enc_input="audio",
+            prompt_dtype=_np.float32, enc_len=enc_frames,
+            n_layers=lambda cfg: cfg.n_dec_layer, src_mask=False)
+    raise KeyError(f"unknown seq2seq family {name!r}; have t5, asr")

@@ -52,16 +52,13 @@ def _sinusoids(length: int, channels: int) -> np.ndarray:
     return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
 
 
-def build_audio_encoder(
-    cfg: AudioEncoderConfig = TINY,
-    *,
-    batch: int = 1,
-    n_samples: int = 1024,
-    opset: int = 17,
-    seed: int = 0,
-) -> onnx_io.ModelProto:
-    """audio [B, n_samples] f32 -> logits [B, num_classes]."""
-    b = GraphBuilder("audio_encoder", opset=opset, seed=seed)
+def encoder_trunk(b: GraphBuilder, cfg: AudioEncoderConfig,
+                  batch: int, n_samples: int) -> tuple:
+    """Shared waveform->hidden-states trunk: in-graph log-mel frontend +
+    GELU conv stem + sinusoidal positions + pre-LN transformer encoder.
+    Declares the "audio" input; returns (hidden_name [B, S, D], S).
+    Used by both the classification encoder (build_audio_encoder) and the
+    ASR encoder (models/asr.build_asr_encoder)."""
     B, D, H, hd = batch, cfg.d_model, cfg.n_head, cfg.head_dim
     n_frames = (n_samples - cfg.n_fft) // cfg.hop + 1
     bins = cfg.n_fft // 2 + 1
@@ -153,6 +150,21 @@ def build_audio_encoder(
         (h,) = b.node("Add", [h, m], [f"l{li}_res2"])
 
     h = _layernorm(b, h, "ln_f", D)
+    return h, S
+
+
+def build_audio_encoder(
+    cfg: AudioEncoderConfig = TINY,
+    *,
+    batch: int = 1,
+    n_samples: int = 1024,
+    opset: int = 17,
+    seed: int = 0,
+) -> onnx_io.ModelProto:
+    """audio [B, n_samples] f32 -> logits [B, num_classes]."""
+    b = GraphBuilder("audio_encoder", opset=opset, seed=seed)
+    B, D = batch, cfg.d_model
+    h, _ = encoder_trunk(b, cfg, batch, n_samples)
     (pooled,) = b.node("ReduceMean", [h], ["pooled"], axes=[1], keepdims=0)
     logits = _linear(b, pooled, "head", D, cfg.num_classes)
     b.node("Identity", [logits], ["logits"])

@@ -149,6 +149,11 @@ def build_t5_encoder(
     D, H, hd = cfg.d_model, cfg.n_head, cfg.head_dim
 
     ids = b.input("src_ids", [B, S], dtype=np.int64)
+    # per-row true source length: pad positions (>= src_len) are masked out
+    # of every self-attention — encoder output no longer depends on how far
+    # the caller padded (advisor finding: unmasked pads made generation a
+    # function of src_len)
+    slen = b.input("src_len", [B], dtype=np.int64)
     for name, arr in w.items():
         if name.startswith(("enc", "emb")) or name.startswith("dec") and (
                 "_ca_k" in name or "_ca_v" in name):
@@ -161,7 +166,22 @@ def build_t5_encoder(
     buckets = _rel_bucket(rel, True, cfg.rel_buckets, cfg.rel_max_dist)
     bias = w["enc_rel_bias"][buckets]                    # [S, S, H]
     bias = bias.transpose(2, 0, 1)[None]                 # [1, H, S, S]
-    b.init("enc_pos_bias", bias.astype(np.float32))
+    b.init("enc_pos_bias_table", bias.astype(np.float32))
+
+    # additive source-validity bias [B, 1, 1, S] folded into the pos bias
+    b.init("src_arange", np.arange(S, dtype=np.int64))
+    (sl2,) = b.node("Reshape", [slen, b.init(
+        "shape_B_1s", np.array([B, 1], np.int64))], ["src_len2"])
+    (src_ok,) = b.node("Less", ["src_arange", sl2], ["src_ok"])  # [B, S]
+    b.init("zero_fe", np.float32(0.0))
+    b.init("neg_inf_e", np.float32(-1e9))
+    (pad_bias,) = b.node("Where", ["src_ok", "zero_fe", "neg_inf_e"],
+                         ["src_pad_bias"])
+    (pad_bias4,) = b.node("Reshape", [pad_bias, b.init(
+        "shape_B_1_1_S", np.array([B, 1, 1, S], np.int64))],
+        ["src_pad_bias4"])
+    (enc_bias,) = b.node("Add", ["enc_pos_bias_table", pad_bias4],
+                         ["enc_pos_bias"])               # [B, H, S, S]
 
     shape_split = b.init("e_shape_bshd", np.array([B, S, H, hd], np.int64))
     shape_merge = b.init("e_shape_bsd", np.array([B, S, D], np.int64))
@@ -228,6 +248,9 @@ def build_t5_decode(
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)
     pos = b.input("pos", [B], dtype=np.int64)
+    # per-slot true source length: cross-attention masks encoder positions
+    # >= src_len (pads), mirroring the encoder-side mask
+    slen = b.input("src_len", [B], dtype=np.int64)
     pasts = [(b.input(f"past_key_{i}", [B, H, L, hd], dtype=cache_np),
               b.input(f"past_value_{i}", [B, H, L, hd], dtype=cache_np))
              for i in range(cfg.n_layer)]
@@ -272,6 +295,15 @@ def build_t5_decode(
     (pb,) = b.node("Reshape", [pb, b.init(
         "shape_B_H_1_L", np.array([B, H, 1, L], np.int64))], ["pos_bias4"])
     (bias_all,) = b.node("Add", [pb, attn_bias4], ["self_bias"])
+
+    # cross-attention source-validity bias [B, 1, 1, S]
+    b.init("src_arange", np.arange(S, dtype=np.int64))
+    (sl2,) = b.node("Reshape", [slen, b.init(
+        "shape_B_1s", np.array([B, 1], np.int64))], ["src_len2"])
+    (src_ok,) = b.node("Less", ["src_arange", sl2], ["src_ok"])
+    (xbias,) = b.node("Where", ["src_ok", zero, neg], ["src_pad_bias"])
+    (xbias4,) = b.node("Reshape", [xbias, b.init(
+        "shape_B_1_1_S", np.array([B, 1, 1, S], np.int64))], ["cross_bias4"])
 
     shape_split = b.init("shape_bthd", np.array([B, T, H, hd], np.int64))
     shape_merge = b.init("shape_btd", np.array([B, T, D], np.int64))
@@ -321,6 +353,7 @@ def build_t5_decode(
                     f"d{i}_cqh", "shape_bthd")
         (ckt,) = b.node("Transpose", [ck], [f"d{i}_ckT"], perm=[0, 1, 3, 2])
         (s,) = b.node("MatMul", [qh, ckt], [f"d{i}_xscores"])
+        (s,) = b.node("Add", [s, "cross_bias4"], [f"d{i}_xmasked"])
         (p,) = b.node("Softmax", [s], [f"d{i}_xprobs"], axis=-1)
         (c,) = b.node("MatMul", [p, cv], [f"d{i}_xctx"])
         (c,) = b.node("Transpose", [c], [f"d{i}_xctx_t"],

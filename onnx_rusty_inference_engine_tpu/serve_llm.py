@@ -69,7 +69,101 @@ def _hits_stop(r: "_Request") -> bool:
     return False
 
 
-class DecodeServer:
+class _ServerBase:
+    """Shared continuous-batching server core: slot pool, admission queue,
+    dispatcher thread, request finishing, serving stats. Subclasses
+    provide `_admit(slot, request)` and `_step()` (one batched decode
+    dispatch over the slot pool) plus their own compiled engines/caches.
+
+    One implementation of the loop/finish/failure-isolation logic serves
+    every family (decoder-only, encoder-decoder, ASR) — the round-2
+    DecodeServer/Seq2SeqServer duplication, factored."""
+
+    def _start_dispatch(self, slots: int) -> None:
+        """Call LAST in subclass __init__ (after all slot state exists)."""
+        self.B = slots
+        self._req: List[Optional[_Request]] = [None] * slots
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._running = True
+        self.steps = 0
+        self.tokens_out = 0
+        self.requests_done = 0
+        self._occupancy_sum = 0
+        self._latencies: List[float] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API ------------------------------------------------------
+    def generate(self, prompt, max_new_tokens: int,
+                 timeout: Optional[float] = None,
+                 eos_id: Optional[int] = None,
+                 **kw) -> List[int]:
+        return self.submit(prompt, max_new_tokens, eos_id=eos_id,
+                           **kw).result(timeout)
+
+    def stop(self) -> None:
+        self._running = False
+        self._q.put(None)
+        self._thread.join(timeout=30)
+
+    def stats(self) -> Dict[str, float]:
+        """Serving counters (the LLM analog of serve.ServerStats)."""
+        lat = np.asarray(self._latencies) if self._latencies else np.zeros(1)
+        return {
+            "requests": self.requests_done,
+            "decode_steps": self.steps,
+            "tokens_out": self.tokens_out,
+            "tokens_per_step": self.tokens_out / max(1, self.steps),
+            "mean_slot_occupancy": self._occupancy_sum / max(1, self.steps)
+                                   / self.B,
+            "p50_latency_s": float(np.percentile(lat, 50)),
+            "p99_latency_s": float(np.percentile(lat, 99)),
+        }
+
+    # -- slot lifecycle ---------------------------------------------------
+    def _clear_slot(self, slot: int) -> None:
+        self._req[slot] = None
+        self._pos[slot] = self.max_len - 1      # park
+
+    def _finish(self, slot_or_none, r: _Request) -> None:
+        r.future.set_result(r.tokens)
+        self.requests_done += 1
+        self._latencies.append(time.perf_counter() - r.t_enqueue)
+        if slot_or_none is not None:
+            self._clear_slot(slot_or_none)
+
+    def _active(self) -> List[int]:
+        return [i for i, r in enumerate(self._req) if r is not None]
+
+    # -- dispatcher -------------------------------------------------------
+    def _loop(self) -> None:
+        while self._running:
+            # fill free slots from the queue (non-blocking when busy)
+            free = [i for i, r in enumerate(self._req) if r is None]
+            block = not self._active()
+            for slot in free:
+                try:
+                    r = self._q.get(timeout=0.05 if block else 0)
+                except queue.Empty:
+                    break
+                if r is None:
+                    return
+                try:
+                    self._admit(slot, r)
+                except Exception as e:  # request-level failure isolation
+                    r.future.set_exception(e)
+                block = False
+            if self._active():
+                try:
+                    self._step()
+                except Exception as e:
+                    for s in self._active():
+                        self._req[s].future.set_exception(e)
+                        self._req[s] = None
+                        self._pos[s] = self.max_len - 1
+
+
+class DecodeServer(_ServerBase):
     """Continuous-batching generation server over a slot pool.
 
     Parameters
@@ -200,20 +294,10 @@ class DecodeServer:
         self._kv_scales: Optional[Dict[str, np.ndarray]] = None
 
         # per-slot state (dispatcher thread only)
-        self._req: List[Optional[_Request]] = [None] * slots
         self._pos = np.full((slots,), max_len - 1, np.int64)  # parked
         self._last_tok = np.zeros((slots,), np.int64)
         self._pending: List[Optional[np.ndarray]] = [None] * slots
-
-        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
-        self._running = True
-        self.steps = 0
-        self.tokens_out = 0
-        self.requests_done = 0
-        self._occupancy_sum = 0
-        self._latencies: List[float] = []
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._start_dispatch(slots)
 
     def _prefill_for(self, plen: int) -> tuple:
         """Smallest compiled bucket >= plen (lazy compile)."""
@@ -221,20 +305,6 @@ class DecodeServer:
         if bucket not in self._prefill_engines:
             self._prefill_engines[bucket] = self._make_prefill(bucket)
         return bucket, self._prefill_engines[bucket]
-
-    def stats(self) -> Dict[str, float]:
-        """Serving counters (the LLM analog of serve.ServerStats)."""
-        lat = np.asarray(self._latencies) if self._latencies else np.zeros(1)
-        return {
-            "requests": self.requests_done,
-            "decode_steps": self.steps,
-            "tokens_out": self.tokens_out,
-            "tokens_per_step": self.tokens_out / max(1, self.steps),
-            "mean_slot_occupancy": self._occupancy_sum / max(1, self.steps)
-                                   / self.B,
-            "p50_latency_s": float(np.percentile(lat, 50)),
-            "p99_latency_s": float(np.percentile(lat, 99)),
-        }
 
     # -- client API ------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
@@ -254,19 +324,6 @@ class DecodeServer:
         self._q.put(r)
         return r.future
 
-    def generate(self, prompt_ids: np.ndarray, max_new_tokens: int,
-                 timeout: Optional[float] = None,
-                 eos_id: Optional[int] = None,
-                 stop_sequences: Optional[List[List[int]]] = None
-                 ) -> List[int]:
-        return self.submit(prompt_ids, max_new_tokens, eos_id=eos_id,
-                           stop_sequences=stop_sequences).result(timeout)
-
-    def stop(self) -> None:
-        self._running = False
-        self._q.put(None)
-        self._thread.join(timeout=30)
-
     # -- admission --------------------------------------------------------
     def _quant_kv(self, kv: np.ndarray, name: str) -> np.ndarray:
         if self.kv_dtype != np.int8:
@@ -274,14 +331,9 @@ class DecodeServer:
         s = self._kv_scales[name].reshape(1, -1, 1, 1)
         return np.clip(np.round(kv / s), -127, 127).astype(np.int8)
 
-    def _finish(self, slot_or_none, r: _Request) -> None:
-        r.future.set_result(r.tokens)
-        self.requests_done += 1
-        self._latencies.append(time.perf_counter() - r.t_enqueue)
-        if slot_or_none is not None:
-            self._req[slot_or_none] = None
-            self._pending[slot_or_none] = None
-            self._pos[slot_or_none] = self.max_len - 1  # park
+    def _clear_slot(self, slot: int) -> None:
+        super()._clear_slot(slot)
+        self._pending[slot] = None
 
     def _admit(self, slot: int, r: _Request) -> None:
         if self.chunked:
@@ -328,9 +380,6 @@ class DecodeServer:
         self._last_tok[slot] = first
 
     # -- dispatcher -------------------------------------------------------
-    def _active(self) -> List[int]:
-        return [i for i, r in enumerate(self._req) if r is not None]
-
     def _get_multi_fn(self):
         if self._multi_fn is not None:
             return self._multi_fn
@@ -494,39 +543,10 @@ class DecodeServer:
             self._shadow = None
             self._shadow_graph = None
 
-    def _loop(self) -> None:
-        while self._running:
-            # fill free slots from the queue (non-blocking when busy)
-            free = [i for i, r in enumerate(self._req) if r is None]
-            block = not self._active()
-            for slot in free:
-                try:
-                    r = self._q.get(timeout=0.05 if block else 0)
-                except queue.Empty:
-                    break
-                if r is None:
-                    return
-                try:
-                    self._admit(slot, r)
-                except Exception as e:  # request-level failure isolation
-                    r.future.set_exception(e)
-                block = False
-            if self._active():
-                try:
-                    self._step()
-                except Exception as e:
-                    for s in self._active():
-                        self._req[s].future.set_exception(e)
-                        self._req[s] = None
-                        self._pos[s] = self.max_len - 1
 
-
-class Seq2SeqServer:
-    """Continuous batching for the encoder-decoder (T5) family.
-
-    NOTE: the dispatcher loop intentionally mirrors DecodeServer's (a
-    shared base class is future work) — keep fixes to admission/step/
-    exception handling in sync between the two.
+class Seq2SeqServer(_ServerBase):
+    """Continuous batching for encoder-decoder families
+    (models.seq2seq_family: "t5" tokens->tokens, "asr" waveform->tokens).
 
     Per-slot CROSS-ATTENTION state is the new ingredient vs DecodeServer:
     each admitted request runs the batch-1 encoder once, and its
@@ -535,7 +555,11 @@ class Seq2SeqServer:
     same slot-state pattern as the self-attention cache, but static after
     admission. Decoding then proceeds exactly like DecodeServer: one
     compiled chunk=1 decode program, per-slot positions, greedy tokens.
-    """
+    The admission/step/finish machinery lives in _ServerBase.
+
+    For src_mask families (t5) the per-slot TRUE source length is fed to
+    the decode graph, so cross-attention never reads padding and results
+    are independent of src_len (served == isolated, exactly)."""
 
     def __init__(
         self,
@@ -548,78 +572,60 @@ class Seq2SeqServer:
         start_token: int = 0,
         mesh=None,
         param_sharding_fn=None,
+        family: str = "t5",
     ):
-        from .models.t5 import build_t5_decode, build_t5_encoder
+        from .models import seq2seq_family
 
+        self.fam = seq2seq_family(family)
         self.cfg = cfg
-        self.B = slots
         self.src_len = src_len
+        self.enc_len = self.fam.enc_len(cfg, src_len)
         self.max_len = max_len
         self.start_token = start_token
+        self.n_layers = self.fam.n_layers(cfg)
         ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
-        self.encoder = Engine(import_model(build_t5_encoder(
+        self.encoder = Engine(import_model(self.fam.build_encoder(
             cfg, batch=1, src_len=src_len, seed=seed)), **ekw)
-        self.decode = Engine(import_model(build_t5_decode(
-            cfg, batch=slots, max_len=max_len, src_len=src_len,
+        self.decode = Engine(import_model(self.fam.build_decode(
+            cfg, batch=slots, max_len=max_len, src_len=self.enc_len,
             seed=seed)), **ekw)
 
         H, hd = cfg.n_head, cfg.head_dim
         self._cache = {}
-        for i in range(cfg.n_layer):
+        for i in range(self.n_layers):
             for kind in ("key", "value"):
                 self._cache[f"past_{kind}_{i}"] = jnp.zeros(
                     (slots, H, max_len, hd), jnp.float32)
                 self._cache[f"cross_{kind}_{i}"] = jnp.zeros(
-                    (slots, H, src_len, hd), jnp.float32)
+                    (slots, H, self.enc_len, hd), jnp.float32)
 
-        self._req: List[Optional[_Request]] = [None] * slots
         self._pos = np.full((slots,), max_len - 1, np.int64)
         self._last_tok = np.full((slots,), start_token, np.int64)
-        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
-        self._running = True
-        self.steps = 0
-        self.tokens_out = 0
-        self.requests_done = 0
-        self._latencies: List[float] = []
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
-
-    def stats(self) -> Dict[str, float]:
-        lat = np.asarray(self._latencies) if self._latencies else np.zeros(1)
-        return {"requests": self.requests_done, "decode_steps": self.steps,
-                "tokens_out": self.tokens_out,
-                "p50_latency_s": float(np.percentile(lat, 50)),
-                "p99_latency_s": float(np.percentile(lat, 99))}
+        self._src_lens = np.zeros((slots,), np.int64)
+        self._start_dispatch(slots)
 
     # -- client API -------------------------------------------------------
-    def submit(self, src_ids: np.ndarray, max_new_tokens: int,
+    def submit(self, src: np.ndarray, max_new_tokens: int,
                eos_id: Optional[int] = None) -> Future:
-        """src_ids: [plen] int64 source tokens (right-padded to src_len
-        with zeros at admission). Resolves to generated target ids."""
-        src_ids = np.asarray(src_ids).reshape(-1).astype(np.int64)
-        assert 1 <= src_ids.size <= self.src_len
+        """src: [plen] source (int64 tokens or f32 waveform per family;
+        right-padded with zeros to src_len at admission). Resolves to
+        generated target token ids."""
+        src = np.asarray(src).reshape(-1).astype(self.fam.prompt_dtype)
+        assert 1 <= src.size <= self.src_len
         assert 1 <= max_new_tokens <= self.max_len
-        r = _Request(src_ids, max_new_tokens, eos_id)
+        r = _Request(src, max_new_tokens, eos_id)
         self._q.put(r)
         return r.future
 
-    def generate(self, src_ids: np.ndarray, max_new_tokens: int,
-                 timeout: Optional[float] = None,
-                 eos_id: Optional[int] = None) -> List[int]:
-        return self.submit(src_ids, max_new_tokens,
-                           eos_id=eos_id).result(timeout)
-
-    def stop(self) -> None:
-        self._running = False
-        self._q.put(None)
-        self._thread.join(timeout=30)
-
     # -- dispatcher -------------------------------------------------------
     def _admit(self, slot: int, r: _Request) -> None:
-        src = np.zeros((1, self.src_len), np.int64)
+        src = np.zeros((1, self.src_len), self.fam.prompt_dtype)
         src[0, : r.prompt.size] = r.prompt
-        enc = self.encoder({"src_ids": src})
-        for i in range(self.cfg.n_layer):
+        feed = {self.fam.enc_input: src}
+        if self.fam.src_mask:
+            feed["src_len"] = np.array([r.prompt.size], np.int64)
+        enc = self.encoder(feed)
+        for i in range(self.n_layers):
             for kind in ("key", "value"):
                 name = f"cross_{kind}_{i}"
                 self._cache[name] = self._cache[name].at[slot].set(
@@ -627,18 +633,20 @@ class Seq2SeqServer:
         self._req[slot] = r
         self._pos[slot] = 0
         self._last_tok[slot] = self.start_token
-
-    def _active(self) -> List[int]:
-        return [i for i, r in enumerate(self._req) if r is not None]
+        self._src_lens[slot] = r.prompt.size
 
     def _step(self) -> None:
-        out = self.decode({"input_ids": jnp.asarray(self._last_tok[:, None]),
-                           "pos": jnp.asarray(self._pos), **self._cache})
+        feed = {"input_ids": jnp.asarray(self._last_tok[:, None]),
+                "pos": jnp.asarray(self._pos), **self._cache}
+        if self.fam.src_mask:
+            feed["src_len"] = jnp.asarray(self._src_lens)
+        out = self.decode(feed)
         logits = np.asarray(out["logits"])
-        for i in range(self.cfg.n_layer):
+        for i in range(self.n_layers):
             for kind in ("key", "value"):
                 self._cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
         self.steps += 1
+        self._occupancy_sum += len(self._active())
         for s in self._active():
             r = self._req[s]
             self._pos[s] += 1
@@ -648,33 +656,4 @@ class Seq2SeqServer:
             self.tokens_out += 1
             if (len(r.tokens) >= r.max_new or tok == r.eos_id
                     or _hits_stop(r)):
-                r.future.set_result(r.tokens)
-                self.requests_done += 1
-                self._latencies.append(time.perf_counter() - r.t_enqueue)
-                self._req[s] = None
-                self._pos[s] = self.max_len - 1
-
-    def _loop(self) -> None:
-        while self._running:
-            free = [i for i, r in enumerate(self._req) if r is None]
-            block = not self._active()
-            for slot in free:
-                try:
-                    r = self._q.get(timeout=0.05 if block else 0)
-                except queue.Empty:
-                    break
-                if r is None:
-                    return
-                try:
-                    self._admit(slot, r)
-                except Exception as e:
-                    r.future.set_exception(e)
-                block = False
-            if self._active():
-                try:
-                    self._step()
-                except Exception as e:
-                    for s in self._active():
-                        self._req[s].future.set_exception(e)
-                        self._req[s] = None
-                        self._pos[s] = self.max_len - 1
+                self._finish(s, r)

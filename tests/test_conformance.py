@@ -404,3 +404,46 @@ def test_conv_integer_per_channel_w_zero_point():
                 ref[0, m, i, j] = (xs[0, :, i:i + kH, j:j + kW]
                                    * ws[m]).sum()
     np.testing.assert_array_equal(out, ref)
+
+
+def test_folded_op_emitters_execute_directly():
+    """Constant / ConstantOfShape / Range / Shape / Size are normally
+    intercepted by import-time constant folding or the engine's trace-time
+    static propagation, so their registry emitters never dispatch through
+    run_op. Execute them directly here: the fallback path stays correct
+    and the registry-coverage meta-test (test_zz_registry_coverage) sees
+    a real emitter hit, not a string mention."""
+    import jax.numpy as jnp
+
+    from onnx_rusty_inference_engine_tpu.graph import Node, import_model
+    from onnx_rusty_inference_engine_tpu.ops.registry import (
+        LoweringContext,
+        get_emitter,
+    )
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY, build_gpt2
+
+    host = import_model(build_gpt2(TINY, batch=1, seq_len=4,
+                                   with_presents=False))
+    ctx = LoweringContext(host, {})
+    ctx.static_env["shp"] = np.array([2, 3], np.int64)
+    for nm, v in (("r0", 1.0), ("r1", 10.0), ("r2", 3.0)):
+        ctx.static_env[nm] = np.float32(v)
+
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    (out,) = get_emitter("Shape")(
+        ctx, Node("Shape", ["x"], ["y"]), [jnp.asarray(x)])
+    np.testing.assert_array_equal(np.asarray(out), [3, 4])
+    (out,) = get_emitter("Size")(
+        ctx, Node("Size", ["x"], ["y"]), [jnp.asarray(x)])
+    assert int(out) == 12
+    val = np.float32(2.5) * np.ones((2, 2), np.float32)
+    (out,) = get_emitter("Constant")(
+        ctx, Node("Constant", [], ["y"], attrs={"value": val}), [])
+    np.testing.assert_array_equal(np.asarray(out), val)
+    (out,) = get_emitter("ConstantOfShape")(
+        ctx, Node("ConstantOfShape", ["shp"], ["y"],
+                  attrs={"value": np.array([7.0], np.float32)}), [None])
+    np.testing.assert_array_equal(np.asarray(out), np.full((2, 3), 7.0))
+    (out,) = get_emitter("Range")(
+        ctx, Node("Range", ["r0", "r1", "r2"], ["y"]), [None, None, None])
+    np.testing.assert_allclose(np.asarray(out), np.arange(1.0, 10.0, 3.0))

@@ -32,7 +32,7 @@ def test_t5_encoder_forward():
     m = build_t5_encoder(TINY, batch=2, src_len=8)
     eng = Engine(import_model(m))
     src = rng.integers(0, TINY.vocab_size, (2, 8)).astype(np.int64)
-    out = eng.run({"src_ids": src})
+    out = eng.run({"src_ids": src, "src_len": np.full((2,), 8, np.int64)})
     assert out["enc_out"].shape == (2, 8, TINY.d_model)
     assert out["cross_key_0"].shape == (
         2, TINY.n_head, 8, TINY.head_dim)
@@ -148,13 +148,9 @@ def test_t5_int4_weights_run():
 
 def test_seq2seq_server_matches_isolated_generation():
     """T5 continuous batching: per-slot cross-attention state; served
-    tokens must equal isolated Seq2SeqGenerator output exactly.
-
-    NOTE the padding caveat this test encodes: the server right-pads the
-    source to src_len, so the reference must use the same src_len (the
-    encoder attends padding — T5-style models are trained with masks;
-    ours attends all src_len positions by design, documented in
-    models/t5.py)."""
+    tokens must equal isolated Seq2SeqGenerator output exactly. The
+    server feeds each slot's TRUE source length (src_len input masks
+    padding), so the isolated reference passes src_lengths too."""
     from onnx_rusty_inference_engine_tpu.serve_llm import Seq2SeqServer
 
     cfg = TINY
@@ -173,6 +169,23 @@ def test_seq2seq_server_matches_isolated_generation():
     for src, got in outs:
         padded = np.zeros((1, S), np.int64)
         padded[0, : src.size] = src
-        want, _ = gen.generate(padded, 5, start_token=0)
+        want, _ = gen.generate(padded, 5, start_token=0,
+                               src_lengths=np.array([src.size]))
         assert got == list(np.asarray(want)[0]), (src, got, want)
     assert srv.steps > 0
+
+
+def test_t5_output_independent_of_padding():
+    """The advisor's finding, locked: with the src_len mask, the same
+    prompt padded to different src_len must generate identical tokens."""
+    cfg = TINY
+    prompt = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int64)
+    outs = []
+    for S in (8, 12):
+        gen = Seq2SeqGenerator(cfg, batch=1, src_len=S, max_len=16)
+        padded = np.zeros((1, S), np.int64)
+        padded[0, :5] = prompt
+        toks, _ = gen.generate(padded, 6,
+                               src_lengths=np.array([5]))
+        outs.append(list(np.asarray(toks)[0]))
+    assert outs[0] == outs[1], outs
