@@ -118,14 +118,21 @@ def _make_generate_handler(server):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length))
-                prompt = np.asarray(req["prompt_ids"], dtype=np.int64)
+                # seq2seq/ASR servers declare their source dtype (int64
+                # tokens or f32 waveform) via their family spec; token
+                # decoders default to int64 prompt ids
+                dtype = getattr(getattr(server, "fam", None),
+                                "prompt_dtype", np.int64)
+                prompt = np.asarray(req.get("prompt_ids", req.get("src")),
+                                    dtype=dtype)
                 n_new = int(req.get("max_new_tokens", 16))
                 eos = req.get("eos_id")
-                stops = req.get("stop_sequences")
+                kw = {}
+                if req.get("stop_sequences") is not None:
+                    kw["stop_sequences"] = req["stop_sequences"]
                 toks = server.generate(
                     prompt, n_new, timeout=float(req.get("timeout", 300)),
-                    eos_id=None if eos is None else int(eos),
-                    stop_sequences=stops)
+                    eos_id=None if eos is None else int(eos), **kw)
                 self._send(200, {"prompt_ids": prompt.tolist(),
                                  "generated_ids": toks})
             except Exception as e:  # request-level failure isolation
@@ -135,12 +142,14 @@ def _make_generate_handler(server):
 
 
 def serve_generate_http(decode_server, port: int = 8001, block: bool = True):
-    """HTTP front end over the continuous-batching DecodeServer:
+    """HTTP front end over a continuous-batching generation server
+    (serve_llm.DecodeServer OR Seq2SeqServer — t5/asr families):
 
-      POST /v1/generate  {"prompt_ids": [...], "max_new_tokens": N,
-                          "eos_id": t?, "stop_sequences": [[...], ...]?}
+      POST /v1/generate  {"prompt_ids": [...] | "src": [...],
+                          "max_new_tokens": N, "eos_id": t?,
+                          "stop_sequences": [[...], ...]?}
                          -> {"generated_ids": [...]}
-      GET  /v1/stats     -> DecodeServer.stats()
+      GET  /v1/stats     -> server.stats()
       GET  /healthz      -> ok
 
     Concurrent requests share the slot pool (token-level batching)."""

@@ -104,6 +104,20 @@ def _moe_path() -> str:
                   lambda: build_moe(TINY, batch=1, seq_len=16))
 
 
+def _detection_path() -> str:
+    from .detection import TINY, build_detection
+
+    return _synth("detection-ssd.synth",
+                  lambda: build_detection(TINY, batch=1))
+
+
+def _asr_encoder_path() -> str:
+    from .asr import TINY, build_asr_encoder
+
+    return _synth("asr-encoder.synth",
+                  lambda: build_asr_encoder(TINY, batch=1, n_samples=512))
+
+
 MODELS: Dict[str, Callable[[], str]] = {
     "mnist": lambda: f"{_REFERENCE}/models/mnist-8.onnx",
     "matmul_2d": lambda: f"{_REFERENCE}/models/model.onnx",
@@ -118,6 +132,8 @@ MODELS: Dict[str, Callable[[], str]] = {
     "t5_encoder": _t5_encoder_path,
     "audio_encoder": _audio_path,
     "moe": _moe_path,
+    "detection": _detection_path,
+    "asr_encoder": _asr_encoder_path,
 }
 
 

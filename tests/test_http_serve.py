@@ -92,3 +92,27 @@ def test_http_generate_endpoint():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_http_generate_seq2seq_family():
+    """The /v1/generate front end serves Seq2SeqServer too (shared
+    _ServerBase): token prompt for t5, with stats exposed."""
+    from onnx_rusty_inference_engine_tpu.http_serve import (
+        serve_generate_http,
+    )
+    from onnx_rusty_inference_engine_tpu.models.t5 import TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import Seq2SeqServer
+
+    srv = Seq2SeqServer(TINY, slots=2, src_len=8, max_len=16)
+    httpd = serve_generate_http(srv, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        status, out = _post(port, "/v1/generate",
+                            {"src": [3, 5, 7], "max_new_tokens": 4})
+        assert status == 200
+        assert len(out["generated_ids"]) == 4
+        status, stats = _get(port, "/v1/stats")
+        assert stats["requests"] == 1
+    finally:
+        httpd.shutdown()
+        srv.stop()

@@ -78,7 +78,10 @@ def _cases():
          "mask_logits"),
         ("t5_encoder",
          lambda: build_t5_encoder(T5_TINY, batch=1, src_len=8),
-         {"src_ids": ids % T5_TINY.vocab_size}, "enc_out"),
+         # full src_len -> the pad mask adds 0 everywhere, so the golden
+         # from before the mask existed still holds bit-for-bit
+         {"src_ids": ids % T5_TINY.vocab_size,
+          "src_len": np.array([8], np.int64)}, "enc_out"),
         ("audio",
          lambda: build_audio_encoder(AUDIO_TINY, batch=1, n_samples=512),
          {"audio": (rng.standard_normal((1, 512)) * 0.1
