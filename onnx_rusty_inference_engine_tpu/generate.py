@@ -42,6 +42,7 @@ class Generator:
         fused_attention: bool = False,
         prefill_dtype: str = "float32",
         device_loop: int = 0,
+        pipeline_axis: Optional[str] = None,
     ):
         assert max_len >= prompt_len
         self.cfg = cfg
@@ -81,11 +82,34 @@ class Generator:
 
             prefill_graph = quantize_weights_int4(prefill_graph)
             decode_graph = quantize_weights_int4(decode_graph)
-        ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
-        # prefill is MXU-bound: bf16 measured 1.69x fp32 on chip (PERF.md
-        # "Prefill throughput"); decode stays in its own precision scheme
-        self.prefill = Engine(prefill_graph, dtype=prefill_dtype, **ekw)
-        self.decode = Engine(decode_graph, **ekw)
+        # pipeline parallelism: prefill AND decode trunks GPipe-sharded
+        # over mesh[pipeline_axis] — the capacity path for models beyond
+        # one chip's HBM (parallel/pipeline.py). The KV cache stays
+        # stacked [n_layer, B, H, max_len, hd] and pipe-sharded between
+        # steps (each stage keeps only its own layers' cache).
+        self._pipelined = pipeline_axis is not None
+        if self._pipelined:
+            from .parallel.pipeline import PipelinedDecoder
+
+            if mesh is None:
+                raise ValueError("pipeline_axis requires a mesh")
+            if scan_layers or fused_attention or device_loop:
+                raise NotImplementedError(
+                    "pipeline_axis is incompatible with scan_layers/"
+                    "fused_attention/device_loop")
+            if prefill_dtype != "float32":
+                raise NotImplementedError(
+                    "pipelined prefill runs fp32 (no bf16 cast path)")
+            self.prefill = PipelinedDecoder(prefill_graph, mesh,
+                                            axis=pipeline_axis)
+            self.decode = PipelinedDecoder(decode_graph, mesh,
+                                           axis=pipeline_axis)
+        else:
+            ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
+            # prefill is MXU-bound: bf16 measured 1.69x fp32 on chip
+            # (PERF.md "Prefill throughput"); decode keeps its own scheme
+            self.prefill = Engine(prefill_graph, dtype=prefill_dtype, **ekw)
+            self.decode = Engine(decode_graph, **ekw)
         # per-(layer, kind, head) scales, calibrated from the prefill
         self._kv_scales: Optional[Dict[str, np.ndarray]] = None
         # device-resident generation: K decode steps (select + KV update)
@@ -265,6 +289,20 @@ class Generator:
                 cache[f"past_{kind}"] = stacked.astype(
                     jnp.int8 if self.kv_dtype == np.int8 else jnp.float32)
 
+        # pipelined decode: stack the per-layer cache ONCE; thereafter the
+        # presents come back as [L, ...] arrays still sharded over the pipe
+        # axis and feed straight back in — each stage's KV never leaves it
+        pipe_cache: Dict[str, jax.Array] = {}
+        pipe_scales: Dict[str, jax.Array] = {}
+        if self._pipelined:
+            for kind in ("key", "value"):
+                pipe_cache[f"past_{kind}_0"] = jnp.stack(
+                    [cache.pop(f"past_{kind}_{i}") for i in range(L)])
+                if self.kv_dtype == np.int8:
+                    pipe_scales[f"kv_scale_{kind}_0"] = jnp.stack(
+                        [jnp.asarray(self._kv_scales[f"kv_scale_{kind}_{i}"])
+                         for i in range(L)])
+
         tokens = [np.asarray(next_tok)]
         all_logits = [np.asarray(logits)] if return_logits else None
 
@@ -308,10 +346,16 @@ class Generator:
             pos = np.full((B,), P + t, dtype=np.int64)
             feed = {"input_ids": np.asarray(next_tok)[:, None].astype(np.int64),
                     "pos": pos}
-            feed.update(cache)  # int8 pasts flow straight back in
-            if self.kv_dtype == np.int8:
-                feed.update(self._kv_scales)
-            step = self.decode(feed)
+            if self._pipelined:
+                step, ext = self.decode.stacked_call(
+                    feed, {**pipe_cache, **pipe_scales})
+                pipe_cache = {f"past_{k}_0": ext[f"present_{k}_0"]
+                              for k in ("key", "value")}
+            else:
+                feed.update(cache)  # int8 pasts flow straight back in
+                if self.kv_dtype == np.int8:
+                    feed.update(self._kv_scales)
+                step = self.decode(feed)
             step_logits = step["logits"]
             key, sub = jax.random.split(key)
             if use_pen:
@@ -324,7 +368,9 @@ class Generator:
                 nt[done] = eos_id     # frozen rows keep emitting eos
                 next_tok = jnp.asarray(nt)
                 done |= nt == eos_id
-            if self._stacked:
+            if self._pipelined:
+                pass  # pipe_cache already updated (sharded presents)
+            elif self._stacked:
                 cache["past_key"] = step["present_key"]
                 cache["past_value"] = step["present_value"]
             else:

@@ -644,7 +644,15 @@ def unsqueeze(ctx: LoweringContext, node: Node, ins):
 def expand(ctx: LoweringContext, node: Node, ins):
     from ..graph import _broadcast_expand
     x = ins[0]
-    shape = ctx.require_constant(node.inputs[1], "Expand shape")
+    shape = np.asarray(ctx.require_constant(node.inputs[1], "Expand shape"))
+    # Batch polymorphism (same convention as Reshape above): exports bake
+    # the batch size into Expand targets; when ranks match and the leading
+    # dims disagree without either being broadcastable-1, follow the
+    # runtime batch (e.g. pipeline microbatching slices the batch dim).
+    if (len(shape) == x.ndim and x.shape[0] != 1 and shape[0] != 1
+            and int(shape[0]) != x.shape[0]):
+        shape = shape.copy()
+        shape[0] = x.shape[0]
     return (jnp.broadcast_to(x, _broadcast_expand(x.shape, shape)),)
 
 

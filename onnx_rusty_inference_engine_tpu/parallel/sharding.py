@@ -41,6 +41,32 @@ def data_input_sharding(mesh: Mesh, axis: str = "data") -> Callable:
     return fn
 
 
+def seq_input_sharding(mesh: Mesh, axis: str = "seq",
+                       data_axis: str = "data") -> Callable:
+    """Sequence parallelism for prefill: shard dim 1 (the L axis of
+    [B, L] token inputs / [B, L, D] activations) over `axis`, composable
+    with batch sharding over `data_axis` on dim 0.
+
+    Jit propagates the L-sharding through embeddings, layernorms and MLPs
+    (which stay fully sequence-parallel) and inserts the all-gathers that
+    attention genuinely needs (K/V over the full sequence) — the XLA-native
+    form of sequence parallelism: annotate, don't hand-schedule."""
+
+    def fn(name: str, arr) -> NamedSharding:
+        spec = [None] * max(arr.ndim, 0)
+        if arr.ndim >= 1 and data_axis in mesh.axis_names:
+            n = mesh.shape[data_axis]
+            if n > 1 and arr.shape[0] % n == 0:
+                spec[0] = data_axis
+        if arr.ndim >= 2 and axis in mesh.axis_names:
+            n = mesh.shape[axis]
+            if n > 1 and arr.shape[1] % n == 0:
+                spec[1] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return fn
+
+
 def cnn_param_sharding(mesh: Mesh, axis: str = "model") -> Callable:
     """Tensor-shard conv kernels (O I kh kw) and matmul weights on the
     output-feature dim when it divides the model axis; replicate the rest."""

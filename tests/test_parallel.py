@@ -90,3 +90,33 @@ def test_entry_compiles():
     shapes = jax.eval_shape(fn, params, inputs)
     (out,) = shapes.values()
     assert out.shape[1] == 1000
+
+
+def test_seq_parallel_prefill_matches_replicated():
+    """Sequence parallelism (sp): prefill with the L axis sharded over
+    "seq" (composed with batch over "data") matches the replicated run —
+    XLA inserts the attention all-gathers; MLP/layernorm stay L-sharded."""
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import (
+        GPT2Config, build_gpt2)
+    from onnx_rusty_inference_engine_tpu.parallel import (
+        replicated, seq_input_sharding)
+
+    cfg = GPT2Config(vocab_size=128, n_positions=32, n_embd=48, n_layer=2,
+                     n_head=4)
+    graph = import_model(build_gpt2(cfg, batch=4, seq_len=16,
+                                    with_presents=False))
+    ids = rng.integers(0, 128, (4, 16)).astype(np.int64)
+
+    want = np.asarray(oriet.Engine(graph)({"input_ids": ids})["logits"])
+
+    mesh = make_mesh({"data": 2, "seq": 4})
+    eng = oriet.Engine(
+        graph,
+        mesh=mesh,
+        param_sharding_fn=lambda name, arr: replicated(mesh),
+        input_sharding_fn=seq_input_sharding(mesh),
+    )
+    with mesh:
+        got = np.asarray(eng({"input_ids": ids})["logits"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

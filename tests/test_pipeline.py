@@ -1,0 +1,276 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe trunk over a mesh axis.
+
+The pipelined forward must match the unpipelined Engine bit-for-bit modulo
+fp32 reduction-order noise, for fp32 and int4-quantized weights, across
+the decoder families. The reference has no pipeline capability at all
+(its scheduler walks one replica with threads, multithreading/*)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from onnx_rusty_inference_engine_tpu.engine import Engine
+from onnx_rusty_inference_engine_tpu.graph import import_model
+from onnx_rusty_inference_engine_tpu.models.gpt2 import GPT2Config, build_gpt2
+from onnx_rusty_inference_engine_tpu.models.llama import (
+    LlamaConfig,
+    build_llama,
+)
+from onnx_rusty_inference_engine_tpu.parallel import make_mesh
+from onnx_rusty_inference_engine_tpu.parallel.pipeline import (
+    PipelineError,
+    PipelinedDecoder,
+    infer_boundaries,
+    split_stages,
+)
+
+CFG4 = GPT2Config(vocab_size=128, n_positions=32, n_embd=48, n_layer=4,
+                  n_head=4)
+
+
+def _gpt2_graph(batch=8, seq=16):
+    return import_model(build_gpt2(CFG4, batch=batch, seq_len=seq,
+                                   with_presents=False))
+
+
+def _ids(batch=8, seq=16, seed=0, vocab=128):
+    return np.random.default_rng(seed).integers(
+        0, vocab, (batch, seq)).astype(np.int64)
+
+
+def test_gpt2_pipeline_matches_engine():
+    g = _gpt2_graph()
+    mesh = make_mesh({"pipe": 4})
+    pd = PipelinedDecoder(g, mesh)
+    ids = _ids()
+    out = np.asarray(pd({"input_ids": ids})["logits"])
+    ref = np.asarray(Engine(g)({"input_ids": ids})["logits"])
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_gpt2_pipeline_microbatch_choices():
+    g = _gpt2_graph(batch=8)
+    mesh = make_mesh({"pipe": 2})
+    ids = _ids()
+    ref = np.asarray(Engine(g)({"input_ids": ids})["logits"])
+    for m in (2, 4, 8):
+        pd = PipelinedDecoder(g, mesh, microbatches=m)
+        out = np.asarray(pd({"input_ids": ids})["logits"])
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_llama_pipeline_matches_engine():
+    cfg = LlamaConfig(vocab_size=128, max_positions=32, dim=48,
+                      n_layer=2, n_head=4, n_kv_head=2, ffn_mult=2)
+    g = import_model(build_llama(cfg, batch=4, seq_len=8,
+                                 with_presents=False))
+    mesh = make_mesh({"pipe": 2})
+    pd = PipelinedDecoder(g, mesh)
+    ids = _ids(batch=4, seq=8)
+    out = np.asarray(pd({"input_ids": ids})["logits"])
+    ref = np.asarray(Engine(g)({"input_ids": ids})["logits"])
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_int4_weights_stack_per_stage():
+    """Quantized trunks pipeline too: per-layer packed nibbles + scales
+    differ layer-to-layer, so they ride the stacked stage params."""
+    from onnx_rusty_inference_engine_tpu.quant import quantize_weights_int4
+
+    g = quantize_weights_int4(_gpt2_graph(), min_elems=512)
+    mesh = make_mesh({"pipe": 4})
+    pd = PipelinedDecoder(g, mesh)
+    ids = _ids()
+    out = np.asarray(pd({"input_ids": ids})["logits"])
+    ref = np.asarray(Engine(g)({"input_ids": ids})["logits"])
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_stage_weights_actually_sharded():
+    """The memory claim: each device holds only its own stage's layers."""
+    g = _gpt2_graph()
+    mesh = make_mesh({"pipe": 4})
+    pd = PipelinedDecoder(g, mesh)
+    qkv = next(v for k, v in pd.params["layers"].items() if "attn_qkv_w" in k)
+    assert qkv.shape[0] == CFG4.n_layer
+    shard_rows = {s.data.shape[0] for s in qkv.addressable_shards}
+    assert shard_rows == {CFG4.n_layer // 4}
+    # prefix/suffix (embeddings, head) stay replicated
+    wte = pd.params["prefix"]["wte"]
+    assert all(s.data.shape == wte.shape for s in wte.addressable_shards)
+
+
+def test_boundary_inference_and_split():
+    g = _gpt2_graph()
+    bnds = infer_boundaries(g)
+    assert bnds == ["h0"] + [f"blk{i}_res2" for i in range(4)]
+    prefix, blocks, suffix = split_stages(g, bnds)
+    assert len(blocks) == 4
+    covered = sum(len(b.nodes) for b in blocks) + len(prefix.nodes) + len(
+        suffix.nodes)
+    assert covered == len(g.nodes)
+
+
+def test_indivisible_layers_raise():
+    g = _gpt2_graph()
+    mesh = make_mesh({"pipe": 3})
+    with pytest.raises(PipelineError, match="divide"):
+        PipelinedDecoder(g, mesh)
+
+
+def test_non_transformer_graph_raises():
+    from onnx_rusty_inference_engine_tpu.models import build_squeezenet
+
+    g = import_model(build_squeezenet())
+    mesh = make_mesh({"pipe": 4})
+    with pytest.raises(PipelineError, match="boundaries"):
+        PipelinedDecoder(g, mesh)
+
+
+def test_bad_batch_microbatch_raises():
+    g = _gpt2_graph(batch=8)
+    mesh = make_mesh({"pipe": 4})
+    pd = PipelinedDecoder(g, mesh, microbatches=3)
+    with pytest.raises(Exception, match="microbatches"):
+        pd({"input_ids": _ids()})
+
+
+def test_pipeline_coexists_with_data_axis():
+    """A mesh can carry pipe alongside other axes; they're ignored
+    (activations replicated across them)."""
+    g = _gpt2_graph()
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    pd = PipelinedDecoder(g, mesh)
+    ids = _ids()
+    out = np.asarray(pd({"input_ids": ids})["logits"])
+    ref = np.asarray(Engine(g)({"input_ids": ids})["logits"])
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+# -------------------------------------------------------------------------
+# decode graphs: per-layer KV inputs/outputs pipeline too (the serving case)
+# -------------------------------------------------------------------------
+def _decode_feed(cfg, batch, max_len, kv, seed=0):
+    rng = np.random.default_rng(seed)
+    H, hd = cfg.n_head, cfg.head_dim
+    feed = {"input_ids": rng.integers(0, cfg.vocab_size,
+                                      (batch, 1)).astype(np.int64),
+            "pos": rng.integers(0, max_len // 2, (batch,)).astype(np.int64)}
+    for i in range(cfg.n_layer):
+        for kind in ("key", "value"):
+            if kv == "int8":
+                feed[f"past_{kind}_{i}"] = rng.integers(
+                    -127, 127, (batch, H, max_len, hd)).astype(np.int8)
+                feed[f"kv_scale_{kind}_{i}"] = np.full((H,), 0.02, np.float32)
+            else:
+                feed[f"past_{kind}_{i}"] = rng.standard_normal(
+                    (batch, H, max_len, hd)).astype(np.float32)
+    return feed
+
+
+@pytest.mark.parametrize("kv", ["float32", "int8"])
+def test_decode_pipeline_matches_engine(kv):
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import build_gpt2_decode
+
+    g = import_model(build_gpt2_decode(CFG4, batch=8, max_len=16,
+                                       kv_dtype=kv))
+    mesh = make_mesh({"pipe": 4})
+    pd = PipelinedDecoder(g, mesh)
+    # per-layer KV caches + scales ride the stacked stage inputs; the
+    # position masks every layer reads are hoisted into the prefix
+    assert f"past_key_0" in pd.aligned.layer_inputs
+    assert set(pd.plan.shared) == {"is_now4", "attn_bias4"}
+    feed = _decode_feed(CFG4, 8, 16, kv)
+    out = pd(feed)
+    ref = Engine(g)(feed)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k], dtype=np.float32),
+            np.asarray(ref[k], dtype=np.float32), atol=2e-5, rtol=1e-5,
+            err_msg=k)
+
+
+def test_decode_pipeline_device_resident_kv_roundtrip():
+    """stacked_call keeps the KV cache pipe-sharded across steps: presents
+    feed back as pasts without leaving their stage. Two pipelined steps
+    must equal two Engine steps."""
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import build_gpt2_decode
+
+    g = import_model(build_gpt2_decode(CFG4, batch=8, max_len=16))
+    mesh = make_mesh({"pipe": 4})
+    pd = PipelinedDecoder(g, mesh)
+    eng = Engine(g)
+    feed = _decode_feed(CFG4, 8, 16, "float32")
+
+    # pipelined: step 1 via __call__-style stacking, step 2 from the
+    # still-stacked (and still-sharded) presents
+    base = {"input_ids": feed["input_ids"], "pos": feed["pos"]}
+    stacked = {f"past_{kind}_{i}": None for kind in ("key", "value")
+               for i in range(CFG4.n_layer)}
+    stacked = {f"past_{k}_0": np.stack(
+        [feed[f"past_{k}_{i}"] for i in range(CFG4.n_layer)])
+        for k in ("key", "value")}
+    out1, ext1 = pd.stacked_call(base, stacked)
+    for k in ("key", "value"):
+        arr = ext1[f"present_{k}_0"]
+        # sharded over pipe on the layer axis: 1 layer per device shard
+        assert {s.data.shape[0] for s in arr.addressable_shards} == {1}
+    base2 = {"input_ids": feed["input_ids"] + 1,
+             "pos": feed["pos"] + 1}
+    out2, ext2 = pd.stacked_call(
+        base2, {f"past_{k}_0": ext1[f"present_{k}_0"]
+                for k in ("key", "value")})
+
+    # reference: two Engine steps
+    r1 = eng(feed)
+    feed2 = dict(base2)
+    for i in range(CFG4.n_layer):
+        for k in ("key", "value"):
+            feed2[f"past_{k}_{i}"] = r1[f"present_{k}_{i}"]
+    r2 = eng(feed2)
+    np.testing.assert_allclose(np.asarray(out2["logits"]),
+                               np.asarray(r2["logits"]),
+                               atol=2e-5, rtol=1e-5)
+    for i in range(CFG4.n_layer):
+        for k in ("key", "value"):
+            np.testing.assert_allclose(
+                np.asarray(ext2[f"present_{k}_0"][i]),
+                np.asarray(r2[f"present_{k}_{i}"]), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("kv", ["float32", "int8"])
+def test_generator_pipeline_axis_matches_unpipelined(kv):
+    """End-to-end generation with the trunk pipelined (prefill AND decode
+    GPipe-sharded, KV cache stacked + pipe-sharded between steps) emits
+    the same greedy tokens as the plain Generator."""
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+
+    kw = dict(batch=4, prompt_len=4, max_len=12, kv_dtype=kv)
+    ids = _ids(batch=4, seq=4)
+    want, _ = Generator(CFG4, **kw).generate(ids, 6)
+
+    mesh = make_mesh({"pipe": 4})
+    gen = Generator(CFG4, mesh=mesh, pipeline_axis="pipe", **kw)
+    got, _ = gen.generate(ids, 6)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_moe_decode_pipeline():
+    """MoE decode blocks (in-graph top-1 routing + stacked expert weights)
+    are isomorphic per layer, so they pipeline unchanged."""
+    from onnx_rusty_inference_engine_tpu.models.moe import (
+        MoEConfig, build_moe_decode)
+
+    cfg = MoEConfig(vocab_size=64, n_positions=32, n_embd=32, n_layer=2,
+                    n_head=2, n_expert=4)
+    g = import_model(build_moe_decode(cfg, batch=4, max_len=8))
+    mesh = make_mesh({"pipe": 2})
+    pd = PipelinedDecoder(g, mesh)
+    feed = _decode_feed(cfg, 4, 8, "float32")
+    out = pd(feed)
+    ref = Engine(g)(feed)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=2e-5, rtol=1e-5, err_msg=k)
