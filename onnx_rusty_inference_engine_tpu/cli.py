@@ -350,6 +350,72 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """AOT-export a model: compiled StableHLO + weights in one artifact
+    (export_aot.py). Optionally quantized first; optionally dual-platform."""
+    from . import onnx_io
+    from .export_aot import export_engine
+    from .graph import import_onnx
+
+    graph = import_onnx(args.model)
+    engine = _build_engine(args, graph)
+    if args.input:
+        feed = {}
+        for spec_str in args.input:
+            name, path = _split_input_spec(spec_str)
+            t = onnx_io.read_tensor_file(path)
+            feed[name or t.name or graph.input_names[len(feed)]] = t.array
+    else:
+        rng = np.random.default_rng(0)
+        feed = {s.name: rng.standard_normal(
+            s.concrete_shape(batch=args.batch)).astype(s.dtype)
+            for s in graph.inputs}
+    platforms = args.platforms.split(",") if args.platforms else None
+    export_engine(engine, feed, args.out, platforms=platforms)
+    print(json.dumps({
+        "artifact": args.out,
+        "bytes": os.path.getsize(args.out),
+        "platforms": platforms or ["<current backend>"],
+        "inputs": {k: list(np.shape(v)) for k, v in feed.items()},
+    }))
+    return 0
+
+
+def cmd_run_exported(args) -> int:
+    """Run an AOT artifact — no ONNX importer in the path."""
+    import time
+
+    from . import onnx_io
+    from .export_aot import load_exported
+
+    m = load_exported(args.artifact)
+    feed = {}
+    for spec_str in args.input:
+        name, path = _split_input_spec(spec_str)
+        t = onnx_io.read_tensor_file(path)
+        feed[name or t.name or list(m.input_specs)[len(feed)]] = t.array
+    t0 = time.perf_counter()
+    out = m.run(feed)
+    latency = time.perf_counter() - t0
+    print(json.dumps({
+        "outputs": {k: v.reshape(v.shape[0], -1)[:, :16].tolist()
+                    for k, v in out.items()},
+        "output_shapes": {k: list(v.shape) for k, v in out.items()},
+        "latency_s": latency,
+        "platforms": m.platforms,
+    }, indent=2))
+    if args.golden:
+        g = onnx_io.read_tensor_file(args.golden)
+        out_name = g.name if g.name in out else next(iter(out))
+        got = out[out_name][:1].reshape(g.array.shape)
+        ok = np.allclose(got, g.array, rtol=args.rtol, atol=args.atol)
+        err = float(np.max(np.abs(got - g.array)))
+        print(f"golden: {'MATCH' if ok else 'MISMATCH'} "
+              f"(max_abs_err={err:.3e})")
+        return 0 if ok else 1
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     p = argparse.ArgumentParser(prog="oriet",
                                 description="TPU-native ONNX inference engine")
@@ -460,6 +526,34 @@ def main(argv: Optional[list] = None) -> int:
     psl.add_argument("--multi-step", dest="multi_step", type=int, default=0,
                      metavar="K", help="K greedy decode steps per dispatch")
     psl.set_defaults(fn=cmd_serve_llm)
+
+    pe = sub.add_parser("export",
+                        help="AOT-export: compiled StableHLO + weights as "
+                             "one artifact (load with run-exported; no ONNX "
+                             "importer needed at serve time)")
+    pe.add_argument("--model", required=True)
+    pe.add_argument("--out", required=True, help="artifact path (.npz)")
+    pe.add_argument("--batch", type=int, default=1)
+    pe.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    pe.add_argument("--quantize", choices=["int8"])
+    pe.add_argument("--input", action="append",
+                    help="TensorProto .pb fixing input shapes (and int8 "
+                         "calibration); default: synthetic at --batch")
+    pe.add_argument("--platforms",
+                    help='comma-separated lowering targets, e.g. "cpu,tpu" '
+                         "(default: current backend)")
+    pe.set_defaults(fn=cmd_export)
+
+    pre = sub.add_parser("run-exported",
+                         help="run an AOT artifact on a TensorProto input")
+    pre.add_argument("--artifact", required=True)
+    pre.add_argument("--input", required=True, action="append",
+                     help="TensorProto .pb; repeatable, optionally name=path")
+    pre.add_argument("--golden")
+    pre.add_argument("--rtol", type=float, default=1e-4)
+    pre.add_argument("--atol", type=float, default=1e-3)
+    pre.set_defaults(fn=cmd_run_exported)
 
     pq = sub.add_parser("quantize",
                         help="offline INT8 PTQ: write a QLinear ONNX file")
