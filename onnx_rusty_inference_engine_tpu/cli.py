@@ -316,7 +316,8 @@ def cmd_serve_llm(args) -> int:
     srv = DecodeServer(cfg, slots=args.slots, prompt_len=args.prompt_len,
                        max_len=args.max_len, kv_dtype=args.kv_dtype,
                        int4_weights=args.int4, family=args.family,
-                       multi_step=args.multi_step)
+                       multi_step=args.multi_step,
+                       prompt_cache=args.prompt_cache)
     print(f"serving on :{args.port} (POST /v1/generate)", file=sys.stderr)
     serve_generate_http(srv, port=args.port)
     return 0
@@ -525,6 +526,11 @@ def main(argv: Optional[list] = None) -> int:
                      choices=["gpt2", "llama", "moe"])
     psl.add_argument("--multi-step", dest="multi_step", type=int, default=0,
                      metavar="K", help="K greedy decode steps per dispatch")
+    psl.add_argument("--prompt-cache", dest="prompt_cache", type=int,
+                     default=0, metavar="N",
+                     help="cache up to N prompts' KV (LRU): exact-match "
+                          "replay skips the prefill; with chunked prefill, "
+                          "shared prefixes stream only their suffix")
     psl.set_defaults(fn=cmd_serve_llm)
 
     pe = sub.add_parser("export",

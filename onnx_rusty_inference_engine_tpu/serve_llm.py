@@ -29,6 +29,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import OrderedDict
 from concurrent.futures import Future
 from typing import Dict, List, Optional, Sequence
 
@@ -194,6 +195,7 @@ class DecodeServer(_ServerBase):
         chunked_prefill: bool = False,
         chunk: int = 8,
         multi_step: int = 0,
+        prompt_cache: int = 0,
     ):
         self.cfg = cfg
         self.B = slots
@@ -235,6 +237,16 @@ class DecodeServer(_ServerBase):
             raise ValueError("multi_step is incompatible with "
                              "chunked_prefill (one dispatch loop each)")
         self._multi_fn = None
+        # prompt/prefix KV cache: up to `prompt_cache` prompts' presents
+        # kept host-side (LRU). Bucketed-prefill mode reuses EXACT prompt
+        # matches (skips the whole prefill); chunked mode reuses the
+        # longest cached PREFIX (the shared-system-prompt case: only the
+        # suffix streams through the chunk graph). Entries store the
+        # cache-dtype KV, so replayed admissions are bit-identical.
+        self.prompt_cache = int(prompt_cache)
+        self._pcache: "OrderedDict[bytes, dict]" = OrderedDict()
+        self.prefix_hits = 0
+        self.prefix_tokens_saved = 0
         dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
         if self.chunked:
             dkw["chunk"] = self.chunk
@@ -324,6 +336,13 @@ class DecodeServer(_ServerBase):
         self._q.put(r)
         return r.future
 
+    def stats(self) -> Dict[str, float]:
+        s = super().stats()
+        if self.prompt_cache:
+            s["prefix_hits"] = self.prefix_hits
+            s["prefix_tokens_saved"] = self.prefix_tokens_saved
+        return s
+
     # -- admission --------------------------------------------------------
     def _quant_kv(self, kv: np.ndarray, name: str) -> np.ndarray:
         if self.kv_dtype != np.int8:
@@ -335,40 +354,111 @@ class DecodeServer(_ServerBase):
         super()._clear_slot(slot)
         self._pending[slot] = None
 
+    # -- prompt/prefix KV cache (dispatcher thread only) -----------------
+    def _pcache_put(self, prompt: np.ndarray, kv: Dict[str, np.ndarray],
+                    first: Optional[int] = None) -> None:
+        if not self.prompt_cache:
+            return
+        key = prompt.tobytes()
+        self._pcache[key] = {"prompt": prompt.copy(), "kv": kv,
+                             "first": first}
+        self._pcache.move_to_end(key)
+        while len(self._pcache) > self.prompt_cache:
+            self._pcache.popitem(last=False)
+
+    def _pcache_exact(self, prompt: np.ndarray) -> Optional[dict]:
+        e = self._pcache.get(prompt.tobytes())
+        if e is not None:
+            self._pcache.move_to_end(prompt.tobytes())
+        return e
+
+    def _pcache_prefix(self, prompt: np.ndarray):
+        """Longest COMMON prefix between `prompt` and any cached entry.
+        KV rows are causal (row t depends only on tokens <= t), so any
+        shared prefix's rows transfer exactly — the shared-system-prompt
+        case. At least 1 token is left to stream (it produces the
+        first-token logits). Returns (entry, n_common) or (None, 0)."""
+        best, best_n = None, 0
+        for e in self._pcache.values():
+            p = e["prompt"]
+            n = int(min(p.size, prompt.size - 1))
+            neq = np.nonzero(p[:n] != prompt[:n])[0]
+            if neq.size:
+                n = int(neq[0])
+            if n > best_n:
+                best, best_n = e, n
+        if best is not None:
+            self._pcache.move_to_end(best["prompt"].tobytes())
+        return best, best_n
+
+    def _pcache_usable(self, e: Optional[dict]) -> bool:
+        """Entry KV dtype must match the live cache (the chunked-int8
+        calibration flip moves the cache fp32 -> int8 mid-serve)."""
+        if e is None:
+            return False
+        name, q = next(iter(e["kv"].items()))
+        return q.dtype == self._cache[name].dtype
+
     def _admit(self, slot: int, r: _Request) -> None:
         if self.chunked:
             # no prefill engine: the prompt streams through the chunk
-            # graph C tokens per step from position 0
+            # graph C tokens per step — from position 0, or from the end
+            # of the longest cached prefix (shared system prompts skip
+            # their prefill FLOPs entirely)
             self._req[slot] = r
-            self._pending[slot] = r.prompt.copy()
-            self._pos[slot] = 0
+            hit, n = self._pcache_prefix(r.prompt)
+            if n > 0 and self._pcache_usable(hit):
+                for name, q in hit["kv"].items():
+                    self._cache[name] = self._cache[name].at[
+                        slot, :, :n].set(q[:, :n])
+                self._pending[slot] = r.prompt[n:].copy()
+                self._pos[slot] = n
+                self.prefix_hits += 1
+                self.prefix_tokens_saved += n
+            else:
+                self._pending[slot] = r.prompt.copy()
+                self._pos[slot] = 0
             return
         plen = r.prompt.size
-        bucket, prefill = self._prefill_for(plen)
-        padded = np.zeros((1, bucket), np.int64)
-        padded[0, :plen] = r.prompt
-        out = prefill({"input_ids": padded})
-        logits = np.asarray(out["logits"])  # [1, bucket, V]
+        hit = self._pcache_exact(r.prompt)
+        if self._pcache_usable(hit):
+            for name, q in hit["kv"].items():
+                self._cache[name] = self._cache[name].at[
+                    slot, :, :plen].set(q)
+            first = int(hit["first"])
+            self.prefix_hits += 1
+            self.prefix_tokens_saved += plen
+        else:
+            bucket, prefill = self._prefill_for(plen)
+            padded = np.zeros((1, bucket), np.int64)
+            padded[0, :plen] = r.prompt
+            out = prefill({"input_ids": padded})
+            logits = np.asarray(out["logits"])  # [1, bucket, V]
 
-        if self.kv_dtype == np.int8 and self._kv_scales is None:
-            # one-time per-head calibration from the first admitted prompt
-            self._kv_scales = {}
+            if self.kv_dtype == np.int8 and self._kv_scales is None:
+                # one-time per-head calibration from the first prompt
+                self._kv_scales = {}
+                for i in range(self.cfg.n_layer):
+                    for kind in ("key", "value"):
+                        kv = np.asarray(out[f"present_{kind}_{i}"])
+                        amax = np.maximum(
+                            np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
+                        self._kv_scales[f"kv_scale_{kind}_{i}"] = (
+                            amax / 127.0).astype(np.float32)
+
+            store: Dict[str, np.ndarray] = {}
             for i in range(self.cfg.n_layer):
                 for kind in ("key", "value"):
-                    kv = np.asarray(out[f"present_{kind}_{i}"])
-                    amax = np.maximum(np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
-                    self._kv_scales[f"kv_scale_{kind}_{i}"] = (
-                        amax / 127.0).astype(np.float32)
+                    kv = np.asarray(out[f"present_{kind}_{i}"])  # [1,H,Pb,hd]
+                    q = self._quant_kv(kv, f"kv_scale_{kind}_{i}")[0]
+                    name = f"past_{kind}_{i}"
+                    self._cache[name] = self._cache[name].at[
+                        slot, :, : bucket].set(q)
+                    if self.prompt_cache:
+                        store[name] = q[:, :plen].copy()
 
-        for i in range(self.cfg.n_layer):
-            for kind in ("key", "value"):
-                kv = np.asarray(out[f"present_{kind}_{i}"])  # [1,H,Pb,hd]
-                q = self._quant_kv(kv, f"kv_scale_{kind}_{i}")[0]
-                name = f"past_{kind}_{i}"
-                self._cache[name] = self._cache[name].at[
-                    slot, :, : bucket].set(q)
-
-        first = int(logits[0, plen - 1].argmax())
+            first = int(logits[0, plen - 1].argmax())
+            self._pcache_put(r.prompt, store, first)
         r.tokens.append(first)
         self.tokens_out += 1
         if (len(r.tokens) >= r.max_new or first == r.eos_id
@@ -512,6 +602,13 @@ class DecodeServer(_ServerBase):
                 if self._pending[s].size > 0:
                     continue                    # still prefilling
                 prefill_done = True
+                if self.prompt_cache and not calibrating:
+                    # prompt fully ingested: snapshot its KV rows so later
+                    # requests sharing this prefix skip the prefill stream
+                    plen = int(self._pos[s])
+                    self._pcache_put(r.prompt, {
+                        name: np.asarray(self._cache[name][s, :, :plen])
+                        for name in self._cache})
                 tok = int(logits[s, fed[s] - 1].argmax())
             else:
                 self._pos[s] += 1
