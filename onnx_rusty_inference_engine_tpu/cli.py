@@ -280,14 +280,34 @@ def cmd_generate(args) -> int:
                           "draft_layers": args.draft_layers,
                           "acceptance_rate": round(gen.acceptance_rate, 3)}))
         return 0
+    lkw = {}
+    if args.adapters:
+        # demo bank: seeded random adapters over the attention+MLP
+        # projections; --adapter selects the serving row (0 = base)
+        from .graph import import_model
+        from .lora import make_adapter_stack
+        from .models import decoder_family
+
+        build_prefill = decoder_family(args.family)[0]
+        pg = import_model(build_prefill(cfg, batch=1,
+                                        seq_len=ids.shape[1]))
+        pats = (("attn", "mlp") if args.family in ("gpt2", "moe")
+                else ("_wq", "_wk", "_wv", "_wo"))
+        lkw = {"lora_bank": make_adapter_stack(
+                   pg, n_adapters=args.adapters, rank=args.lora_rank,
+                   targets=pats),
+               "adapter": args.adapter}
     gen = Generator(cfg, batch=1, prompt_len=ids.shape[1],
                     max_len=args.max_len, kv_dtype=args.kv_dtype,
                     int4_weights=args.int4, family=args.family,
-                    device_loop=args.device_loop)
+                    device_loop=args.device_loop, **lkw)
     toks, _ = gen.generate(ids, args.new)
-    print(json.dumps({"family": args.family, "prompt": ids[0].tolist(),
-                      "generated": toks[0].tolist(),
-                      "kv_dtype": args.kv_dtype, "int4": args.int4}))
+    out = {"family": args.family, "prompt": ids[0].tolist(),
+           "generated": toks[0].tolist(),
+           "kv_dtype": args.kv_dtype, "int4": args.int4}
+    if args.adapters:
+        out["adapter"] = args.adapter
+    print(json.dumps(out))
     return 0
 
 
@@ -506,6 +526,11 @@ def main(argv: Optional[list] = None) -> int:
                          "(lax.scan over time, on-device sampling)")
     pg.add_argument("--spec-k", dest="spec_k", type=int, default=4,
                     help="speculation chunk size (draft proposes k-1)")
+    pg.add_argument("--adapters", type=int, default=0, metavar="N",
+                    help="attach a seeded N-adapter LoRA bank (lora.py)")
+    pg.add_argument("--adapter", type=int, default=0,
+                    help="adapter index to generate with (0 = base)")
+    pg.add_argument("--lora-rank", dest="lora_rank", type=int, default=8)
     pg.set_defaults(fn=cmd_generate)
 
     psl = sub.add_parser("serve-llm",

@@ -43,6 +43,9 @@ class Generator:
         prefill_dtype: str = "float32",
         device_loop: int = 0,
         pipeline_axis: Optional[str] = None,
+        lora_bank=None,
+        lora_alpha: float = 16.0,
+        adapter=0,
     ):
         assert max_len >= prompt_len
         self.cfg = cfg
@@ -82,6 +85,24 @@ class Generator:
 
             prefill_graph = quantize_weights_int4(prefill_graph)
             decode_graph = quantize_weights_int4(decode_graph)
+        # multi-LoRA: batched adapter deltas on both graphs (lora.py);
+        # attached AFTER int4 so the base trunk quantizes while adapters
+        # stay fp32 (the bank keys match through the __w4 rename). The
+        # per-row `lora_idx` feed rides every prefill/decode call.
+        self._lora = lora_bank is not None
+        self._lora_idx: Optional[np.ndarray] = None
+        if self._lora:
+            from .lora import attach_lora
+
+            if pipeline_axis is not None:
+                raise NotImplementedError(
+                    "lora_bank with pipeline_axis is not supported yet")
+            prefill_graph = attach_lora(prefill_graph, lora_bank,
+                                        alpha=lora_alpha)
+            decode_graph = attach_lora(decode_graph, lora_bank,
+                                       alpha=lora_alpha)
+            self._lora_idx = np.broadcast_to(
+                np.asarray(adapter, np.int64), (batch,)).copy()
         # pipeline parallelism: prefill AND decode trunks GPipe-sharded
         # over mesh[pipeline_axis] — the capacity path for models beyond
         # one chip's HBM (parallel/pipeline.py). The KV cache stays
@@ -182,6 +203,7 @@ class Generator:
             if name.startswith("past_")}
         int8 = self.kv_dtype == np.int8
         select = self._select
+        lora_idx = jnp.asarray(self._lora_idx) if self._lora else None
 
         def multi(params, tok, pos, cache, scales, key, done, seen):
             def body(carry, _):
@@ -190,6 +212,8 @@ class Generator:
                 feed.update(cache)
                 if int8:
                     feed.update(scales)
+                if lora_idx is not None:
+                    feed["lora_idx"] = lora_idx
                 out = decode_fn(params, feed)
                 logits = out["logits"][:, -1, :]
                 key, sub = jax.random.split(key)
@@ -240,7 +264,10 @@ class Generator:
                 jnp.arange(B)[:, None], jnp.asarray(input_ids)].set(True)
 
         key = jax.random.PRNGKey(sample_seed)
-        out = self.prefill({"input_ids": input_ids.astype(np.int64)})
+        pfeed = {"input_ids": input_ids.astype(np.int64)}
+        if self._lora:
+            pfeed["lora_idx"] = self._lora_idx
+        out = self.prefill(pfeed)
         logits = out["logits"]
         key, sub = jax.random.split(key)
         next_tok = self._select(logits[:, -1, :], sub, temperature,
@@ -355,6 +382,8 @@ class Generator:
                 feed.update(cache)  # int8 pasts flow straight back in
                 if self.kv_dtype == np.int8:
                     feed.update(self._kv_scales)
+                if self._lora:
+                    feed["lora_idx"] = self._lora_idx
                 step = self.decode(feed)
             step_logits = step["logits"]
             key, sub = jax.random.split(key)

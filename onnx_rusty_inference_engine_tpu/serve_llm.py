@@ -47,16 +47,18 @@ __all__ = ["DecodeServer", "Seq2SeqServer"]
 
 class _Request:
     __slots__ = ("prompt", "max_new", "eos_id", "stop_sequences",
-                 "future", "tokens",
+                 "future", "tokens", "adapter",
                  "t_enqueue")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
                  eos_id: Optional[int] = None,
-                 stop_sequences: Optional[List[List[int]]] = None):
+                 stop_sequences: Optional[List[List[int]]] = None,
+                 adapter: int = 0):
         self.prompt = prompt
         self.max_new = max_new
         self.eos_id = eos_id
         self.stop_sequences = [list(q) for q in (stop_sequences or [])]
+        self.adapter = int(adapter)
         self.future: Future = Future()
         self.tokens: List[int] = []
         self.t_enqueue = time.perf_counter()
@@ -196,6 +198,8 @@ class DecodeServer(_ServerBase):
         chunk: int = 8,
         multi_step: int = 0,
         prompt_cache: int = 0,
+        lora_bank=None,
+        lora_alpha: float = 16.0,
     ):
         self.cfg = cfg
         self.B = slots
@@ -251,8 +255,21 @@ class DecodeServer(_ServerBase):
         if self.chunked:
             dkw["chunk"] = self.chunk
         pkw = ({"past_len": 0} if family == "gpt2" else {})
-        decode_graph = import_model(build_decode(
-            cfg, batch=slots, max_len=max_len, seed=seed, **dkw))
+        # multi-LoRA: every graph (decode, shadow, each prefill bucket)
+        # gets the batched-adapter rewrite; per-slot adapter indices feed
+        # the shared `lora_idx` input each step, so one compiled program
+        # serves a mixed-adapter batch (lora.py)
+        self._lora = lora_bank is not None
+
+        def _attach(g):
+            if not self._lora:
+                return g
+            from .lora import attach_lora
+
+            return attach_lora(g, lora_bank, alpha=lora_alpha)
+
+        decode_graph = _attach(import_model(build_decode(
+            cfg, batch=slots, max_len=max_len, seed=seed, **dkw)))
         # chunked + int8 KV: no bucketed prefill exists to calibrate the
         # per-head scales from, so steps run a SHADOW fp32 chunk graph
         # until the first request finishes prefilling; the fp32 cache is
@@ -260,9 +277,9 @@ class DecodeServer(_ServerBase):
         # (same pattern as generate.Seq2SeqGenerator)
         self._shadow_graph = None
         if self.chunked and self.kv_dtype == np.int8:
-            self._shadow_graph = import_model(build_decode(
+            self._shadow_graph = _attach(import_model(build_decode(
                 cfg, batch=slots, max_len=max_len, seed=seed,
-                chunk=self.chunk))
+                chunk=self.chunk)))
             if int4_weights:
                 from .quant import quantize_weights_int4
 
@@ -279,9 +296,9 @@ class DecodeServer(_ServerBase):
         self._prefill_engines: Dict[int, Engine] = {}
 
         def make_prefill(bucket: int) -> Engine:
-            g = import_model(build_prefill(
+            g = _attach(import_model(build_prefill(
                 cfg, batch=1, seq_len=bucket, with_presents=True,
-                seed=seed, **pkw))
+                seed=seed, **pkw)))
             if int4_weights:
                 from .quant import quantize_weights_int4
 
@@ -309,7 +326,13 @@ class DecodeServer(_ServerBase):
         self._pos = np.full((slots,), max_len - 1, np.int64)  # parked
         self._last_tok = np.zeros((slots,), np.int64)
         self._pending: List[Optional[np.ndarray]] = [None] * slots
+        self._adapter = np.zeros((slots,), np.int64)
         self._start_dispatch(slots)
+
+    def _lora_feed(self, feed: dict) -> dict:
+        if self._lora:
+            feed["lora_idx"] = jnp.asarray(self._adapter)
+        return feed
 
     def _prefill_for(self, plen: int) -> tuple:
         """Smallest compiled bucket >= plen (lazy compile)."""
@@ -321,18 +344,24 @@ class DecodeServer(_ServerBase):
     # -- client API ------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
                eos_id: Optional[int] = None,
-               stop_sequences: Optional[List[List[int]]] = None) -> Future:
+               stop_sequences: Optional[List[List[int]]] = None,
+               adapter: int = 0) -> Future:
         """prompt_ids: [plen] int64; plen <= prompt_len (bucketed-prefill
         mode) or <= max_len - max_new_tokens (chunked_prefill mode).
         Resolves to the list of generated token ids (greedy); generation
         stops early when eos_id is produced (the eos token is included in
         the result) or when the generated tail matches any of the given
-        token-id stop sequences (the matched sequence is included)."""
+        token-id stop sequences (the matched sequence is included).
+        adapter: LoRA adapter index for this request (0 = base model);
+        requires the server's lora_bank."""
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         limit = self.max_len if self.chunked else self.prompt_len
         assert 1 <= prompt_ids.size <= limit
         assert prompt_ids.size + max_new_tokens <= self.max_len
-        r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences)
+        if adapter and not self._lora:
+            raise ValueError("adapter requested but server has no lora_bank")
+        r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
+                     adapter=adapter)
         self._q.put(r)
         return r.future
 
@@ -355,31 +384,42 @@ class DecodeServer(_ServerBase):
         self._pending[slot] = None
 
     # -- prompt/prefix KV cache (dispatcher thread only) -----------------
-    def _pcache_put(self, prompt: np.ndarray, kv: Dict[str, np.ndarray],
+    @staticmethod
+    def _pkey(prompt: np.ndarray, adapter: int) -> bytes:
+        # KV rows depend on the adapter, so it is part of the identity
+        return np.int64(adapter).tobytes() + prompt.tobytes()
+
+    def _pcache_put(self, prompt: np.ndarray, adapter: int,
+                    kv: Dict[str, np.ndarray],
                     first: Optional[int] = None) -> None:
         if not self.prompt_cache:
             return
-        key = prompt.tobytes()
-        self._pcache[key] = {"prompt": prompt.copy(), "kv": kv,
-                             "first": first}
+        key = self._pkey(prompt, adapter)
+        self._pcache[key] = {"prompt": prompt.copy(), "adapter": adapter,
+                             "kv": kv, "first": first}
         self._pcache.move_to_end(key)
         while len(self._pcache) > self.prompt_cache:
             self._pcache.popitem(last=False)
 
-    def _pcache_exact(self, prompt: np.ndarray) -> Optional[dict]:
-        e = self._pcache.get(prompt.tobytes())
+    def _pcache_exact(self, prompt: np.ndarray,
+                      adapter: int) -> Optional[dict]:
+        key = self._pkey(prompt, adapter)
+        e = self._pcache.get(key)
         if e is not None:
-            self._pcache.move_to_end(prompt.tobytes())
+            self._pcache.move_to_end(key)
         return e
 
-    def _pcache_prefix(self, prompt: np.ndarray):
-        """Longest COMMON prefix between `prompt` and any cached entry.
-        KV rows are causal (row t depends only on tokens <= t), so any
-        shared prefix's rows transfer exactly — the shared-system-prompt
-        case. At least 1 token is left to stream (it produces the
-        first-token logits). Returns (entry, n_common) or (None, 0)."""
+    def _pcache_prefix(self, prompt: np.ndarray, adapter: int):
+        """Longest COMMON prefix between `prompt` and any same-adapter
+        cached entry. KV rows are causal (row t depends only on tokens
+        <= t), so any shared prefix's rows transfer exactly — the
+        shared-system-prompt case. At least 1 token is left to stream
+        (it produces the first-token logits). Returns (entry, n_common)
+        or (None, 0)."""
         best, best_n = None, 0
         for e in self._pcache.values():
+            if e["adapter"] != adapter:
+                continue
             p = e["prompt"]
             n = int(min(p.size, prompt.size - 1))
             neq = np.nonzero(p[:n] != prompt[:n])[0]
@@ -388,7 +428,8 @@ class DecodeServer(_ServerBase):
             if n > best_n:
                 best, best_n = e, n
         if best is not None:
-            self._pcache.move_to_end(best["prompt"].tobytes())
+            self._pcache.move_to_end(
+                self._pkey(best["prompt"], best["adapter"]))
         return best, best_n
 
     def _pcache_usable(self, e: Optional[dict]) -> bool:
@@ -406,7 +447,8 @@ class DecodeServer(_ServerBase):
             # of the longest cached prefix (shared system prompts skip
             # their prefill FLOPs entirely)
             self._req[slot] = r
-            hit, n = self._pcache_prefix(r.prompt)
+            self._adapter[slot] = r.adapter
+            hit, n = self._pcache_prefix(r.prompt, r.adapter)
             if n > 0 and self._pcache_usable(hit):
                 for name, q in hit["kv"].items():
                     self._cache[name] = self._cache[name].at[
@@ -420,7 +462,8 @@ class DecodeServer(_ServerBase):
                 self._pos[slot] = 0
             return
         plen = r.prompt.size
-        hit = self._pcache_exact(r.prompt)
+        self._adapter[slot] = r.adapter
+        hit = self._pcache_exact(r.prompt, r.adapter)
         if self._pcache_usable(hit):
             for name, q in hit["kv"].items():
                 self._cache[name] = self._cache[name].at[
@@ -432,7 +475,10 @@ class DecodeServer(_ServerBase):
             bucket, prefill = self._prefill_for(plen)
             padded = np.zeros((1, bucket), np.int64)
             padded[0, :plen] = r.prompt
-            out = prefill({"input_ids": padded})
+            pfeed = {"input_ids": padded}
+            if self._lora:
+                pfeed["lora_idx"] = np.array([r.adapter], np.int64)
+            out = prefill(pfeed)
             logits = np.asarray(out["logits"])  # [1, bucket, V]
 
             if self.kv_dtype == np.int8 and self._kv_scales is None:
@@ -458,7 +504,7 @@ class DecodeServer(_ServerBase):
                         store[name] = q[:, :plen].copy()
 
             first = int(logits[0, plen - 1].argmax())
-            self._pcache_put(r.prompt, store, first)
+            self._pcache_put(r.prompt, r.adapter, store, first)
         r.tokens.append(first)
         self.tokens_out += 1
         if (len(r.tokens) >= r.max_new or first == r.eos_id
@@ -481,13 +527,17 @@ class DecodeServer(_ServerBase):
             if name.startswith("past_")}
         K = self.multi_step
 
-        def multi(params, tok, pos, cache, scales):
+        lora = self._lora
+
+        def multi(params, tok, pos, cache, scales, idx):
             def body(carry, _):
                 tok, pos, cache = carry
                 feed = {"input_ids": tok[:, None], "pos": pos}
                 feed.update(cache)
                 if int8:
                     feed.update(scales)
+                if lora:
+                    feed["lora_idx"] = idx
                 out = decode_fn(params, feed)
                 nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1
                                  ).astype(tok.dtype)
@@ -512,7 +562,7 @@ class DecodeServer(_ServerBase):
             self.decode.params,
             jnp.asarray(self._last_tok.astype(np.int32)),
             jnp.asarray(self._pos.astype(np.int32)),
-            self._cache, scales)
+            self._cache, scales, jnp.asarray(self._adapter))
         toks = np.asarray(toks)                          # [B, K]
         self.steps += 1
         self._occupancy_sum += len(self._active())
@@ -542,7 +592,7 @@ class DecodeServer(_ServerBase):
         feed.update(self._cache)
         if self.kv_dtype == np.int8:
             feed.update(self._kv_scales)
-        out = self.decode(feed)
+        out = self.decode(self._lora_feed(feed))
         logits = np.asarray(out["logits"])  # [B,1,V]
         for i in range(self.cfg.n_layer):
             for kind in ("key", "value"):
@@ -586,7 +636,7 @@ class DecodeServer(_ServerBase):
                 "pos": jnp.asarray(self._pos), **self._cache}
         if self.kv_dtype == np.int8 and not calibrating:
             feed.update(self._kv_scales)
-        out = eng(feed)
+        out = eng(self._lora_feed(feed))
         logits = np.asarray(out["logits"])      # [B, C, V]
         for i in range(self.cfg.n_layer):
             for kind in ("key", "value"):
@@ -606,7 +656,7 @@ class DecodeServer(_ServerBase):
                     # prompt fully ingested: snapshot its KV rows so later
                     # requests sharing this prefix skip the prefill stream
                     plen = int(self._pos[s])
-                    self._pcache_put(r.prompt, {
+                    self._pcache_put(r.prompt, r.adapter, {
                         name: np.asarray(self._cache[name][s, :, :plen])
                         for name in self._cache})
                 tok = int(logits[s, fed[s] - 1].argmax())
