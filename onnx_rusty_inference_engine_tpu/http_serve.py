@@ -130,6 +130,12 @@ def _make_generate_handler(server):
                 kw = {}
                 if req.get("stop_sequences") is not None:
                     kw["stop_sequences"] = req["stop_sequences"]
+                # per-request sampling + LoRA adapter (DecodeServer)
+                for k, cast in (("temperature", float), ("top_k", int),
+                                ("top_p", float), ("seed", int),
+                                ("adapter", int)):
+                    if req.get(k) is not None:
+                        kw[k] = cast(req[k])
                 toks = server.generate(
                     prompt, n_new, timeout=float(req.get("timeout", 300)),
                     eos_id=None if eos is None else int(eos), **kw)

@@ -48,20 +48,55 @@ __all__ = ["DecodeServer", "Seq2SeqServer"]
 class _Request:
     __slots__ = ("prompt", "max_new", "eos_id", "stop_sequences",
                  "future", "tokens", "adapter",
+                 "temperature", "top_k", "top_p", "rng",
                  "t_enqueue")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
                  eos_id: Optional[int] = None,
                  stop_sequences: Optional[List[List[int]]] = None,
-                 adapter: int = 0):
+                 adapter: int = 0,
+                 temperature: float = 0.0,
+                 top_k: Optional[int] = None,
+                 top_p: Optional[float] = None,
+                 seed: int = 0):
         self.prompt = prompt
         self.max_new = max_new
         self.eos_id = eos_id
         self.stop_sequences = [list(q) for q in (stop_sequences or [])]
         self.adapter = int(adapter)
+        self.temperature = float(temperature)
+        self.top_k = top_k
+        self.top_p = top_p
+        # per-request PRNG: sampling is deterministic in (seed, prompt
+        # order) and independent across concurrent slots
+        self.rng = np.random.default_rng(seed)
         self.future: Future = Future()
         self.tokens: List[int] = []
         self.t_enqueue = time.perf_counter()
+
+
+def _select_token(logits: np.ndarray, r: _Request) -> int:
+    """Host-side per-request token selection: greedy at temperature 0,
+    else categorical over temperature-scaled logits with optional top-k /
+    nucleus filtering — the same filtering semantics as
+    generate.Generator._select, per slot instead of per batch."""
+    if r.temperature == 0.0:
+        return int(logits.argmax())
+    l = logits.astype(np.float64) / r.temperature
+    if r.top_k is not None:
+        kth = np.sort(l)[-int(r.top_k)]
+        l = np.where(l >= kth, l, -np.inf)
+    if r.top_p is not None:
+        sl = np.sort(l)[::-1]
+        probs = np.exp(sl - sl[0])
+        probs /= probs.sum()
+        cum = np.cumsum(probs)
+        keep = cum - probs < r.top_p
+        thresh = sl[keep].min() if keep.any() else sl[0]
+        l = np.where(l >= thresh, l, -np.inf)
+    p = np.exp(l - l.max())
+    p /= p.sum()
+    return int(r.rng.choice(l.size, p=p))
 
 
 def _hits_stop(r: "_Request") -> bool:
@@ -345,7 +380,11 @@ class DecodeServer(_ServerBase):
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
                eos_id: Optional[int] = None,
                stop_sequences: Optional[List[List[int]]] = None,
-               adapter: int = 0) -> Future:
+               adapter: int = 0,
+               temperature: float = 0.0,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None,
+               seed: int = 0) -> Future:
         """prompt_ids: [plen] int64; plen <= prompt_len (bucketed-prefill
         mode) or <= max_len - max_new_tokens (chunked_prefill mode).
         Resolves to the list of generated token ids (greedy); generation
@@ -353,15 +392,23 @@ class DecodeServer(_ServerBase):
         the result) or when the generated tail matches any of the given
         token-id stop sequences (the matched sequence is included).
         adapter: LoRA adapter index for this request (0 = base model);
-        requires the server's lora_bank."""
+        requires the server's lora_bank.
+        temperature / top_k / top_p / seed: per-request sampling (0.0 =
+        greedy); sampling is host-side from the returned logits, seeded
+        per request, so concurrent slots draw independent streams."""
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         limit = self.max_len if self.chunked else self.prompt_len
         assert 1 <= prompt_ids.size <= limit
         assert prompt_ids.size + max_new_tokens <= self.max_len
         if adapter and not self._lora:
             raise ValueError("adapter requested but server has no lora_bank")
+        if temperature and self.multi_step:
+            raise ValueError(
+                "per-request sampling needs per-step logits; multi_step "
+                "folds K argmax steps into one dispatch (greedy only)")
         r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
-                     adapter=adapter)
+                     adapter=adapter, temperature=temperature,
+                     top_k=top_k, top_p=top_p, seed=seed)
         self._q.put(r)
         return r.future
 
@@ -391,12 +438,12 @@ class DecodeServer(_ServerBase):
 
     def _pcache_put(self, prompt: np.ndarray, adapter: int,
                     kv: Dict[str, np.ndarray],
-                    first: Optional[int] = None) -> None:
+                    last_logits: Optional[np.ndarray] = None) -> None:
         if not self.prompt_cache:
             return
         key = self._pkey(prompt, adapter)
         self._pcache[key] = {"prompt": prompt.copy(), "adapter": adapter,
-                             "kv": kv, "first": first}
+                             "kv": kv, "last_logits": last_logits}
         self._pcache.move_to_end(key)
         while len(self._pcache) > self.prompt_cache:
             self._pcache.popitem(last=False)
@@ -468,7 +515,9 @@ class DecodeServer(_ServerBase):
             for name, q in hit["kv"].items():
                 self._cache[name] = self._cache[name].at[
                     slot, :, :plen].set(q)
-            first = int(hit["first"])
+            # select from the cached last-position logits: greedy replay
+            # is identical; sampled requests draw their own stream
+            first = _select_token(hit["last_logits"], r)
             self.prefix_hits += 1
             self.prefix_tokens_saved += plen
         else:
@@ -503,8 +552,9 @@ class DecodeServer(_ServerBase):
                     if self.prompt_cache:
                         store[name] = q[:, :plen].copy()
 
-            first = int(logits[0, plen - 1].argmax())
-            self._pcache_put(r.prompt, r.adapter, store, first)
+            last = logits[0, plen - 1]
+            first = _select_token(last, r)
+            self._pcache_put(r.prompt, r.adapter, store, last.copy())
         r.tokens.append(first)
         self.tokens_out += 1
         if (len(r.tokens) >= r.max_new or first == r.eos_id
@@ -603,7 +653,7 @@ class DecodeServer(_ServerBase):
         for s in self._active():
             r = self._req[s]
             self._pos[s] += 1
-            tok = int(logits[s, 0].argmax())
+            tok = _select_token(logits[s, 0], r)
             r.tokens.append(tok)
             self._last_tok[s] = tok
             self.tokens_out += 1
@@ -659,10 +709,10 @@ class DecodeServer(_ServerBase):
                     self._pcache_put(r.prompt, r.adapter, {
                         name: np.asarray(self._cache[name][s, :, :plen])
                         for name in self._cache})
-                tok = int(logits[s, fed[s] - 1].argmax())
+                tok = _select_token(logits[s, fed[s] - 1], r)
             else:
                 self._pos[s] += 1
-                tok = int(logits[s, 0].argmax())
+                tok = _select_token(logits[s, 0], r)
             r.tokens.append(tok)
             self._last_tok[s] = tok
             self.tokens_out += 1

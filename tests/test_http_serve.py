@@ -116,3 +116,29 @@ def test_http_generate_seq2seq_family():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_http_generate_sampling_params():
+    """temperature/top_k/top_p/seed ride the JSON body; same seed gives
+    the same stream, top_k=1 reduces to greedy."""
+    from onnx_rusty_inference_engine_tpu.http_serve import serve_generate_http
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=12)
+    httpd = serve_generate_http(srv, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        base = {"prompt_ids": [3, 1, 4, 1], "max_new_tokens": 4}
+        _, greedy = _post(port, "/v1/generate", base)
+        _, tk1 = _post(port, "/v1/generate",
+                       {**base, "temperature": 1.5, "top_k": 1, "seed": 2})
+        assert tk1["generated_ids"] == greedy["generated_ids"]
+        _, s1 = _post(port, "/v1/generate",
+                      {**base, "temperature": 1.0, "seed": 11})
+        _, s2 = _post(port, "/v1/generate",
+                      {**base, "temperature": 1.0, "seed": 11})
+        assert s1["generated_ids"] == s2["generated_ids"]
+    finally:
+        httpd.shutdown()
+        srv.stop()

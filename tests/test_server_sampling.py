@@ -1,0 +1,106 @@
+"""Per-request sampling in the continuous-batching server.
+
+Each request carries (temperature, top_k, top_p, seed); selection happens
+host-side from the returned logits with a per-request PRNG, so concurrent
+slots draw independent, reproducible streams while greedy requests in the
+same batch stay EXACTLY the isolated generation."""
+
+import numpy as np
+import pytest
+
+from onnx_rusty_inference_engine_tpu.generate import Generator
+from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+rng = np.random.default_rng(31)
+
+
+def _prompt(n=5):
+    return rng.integers(0, TINY.vocab_size, (n,)).astype(np.int64)
+
+
+def test_sampled_request_is_seed_deterministic():
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    try:
+        p = _prompt()
+        a = srv.submit(p, 8, temperature=1.0, seed=7).result(timeout=300)
+        b = srv.submit(p, 8, temperature=1.0, seed=7).result(timeout=300)
+        c = srv.submit(p, 8, temperature=1.0, seed=8).result(timeout=300)
+        d = srv.submit(p, 8, temperature=5.0, seed=9).result(timeout=300)
+    finally:
+        srv.stop()
+    assert a == b                      # same seed -> same stream
+    assert (a != c) or (a != d)        # different seeds/temps diverge
+
+
+def test_top_k_one_is_greedy():
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    try:
+        p = _prompt()
+        greedy = srv.submit(p, 6).result(timeout=300)
+        tk1 = srv.submit(p, 6, temperature=1.7, top_k=1,
+                         seed=3).result(timeout=300)
+    finally:
+        srv.stop()
+    assert tk1 == greedy
+
+
+def test_mixed_greedy_and_sampled_batch():
+    """A sampled request in the next slot must not perturb the greedy
+    one: greedy still equals isolated generation exactly."""
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    try:
+        pg, ps = _prompt(), _prompt()
+        fg = srv.submit(pg, 6)
+        fs = srv.submit(ps, 6, temperature=2.0, top_p=0.9, seed=5)
+        greedy = fg.result(timeout=300)
+        sampled = fs.result(timeout=300)
+    finally:
+        srv.stop()
+    gen = Generator(TINY, batch=1, prompt_len=pg.size, max_len=24)
+    want, _ = gen.generate(pg[None], 6)
+    assert greedy == list(want[0])
+    assert len(sampled) == 6
+    assert all(0 <= t < TINY.vocab_size for t in sampled)
+
+
+def test_sampled_with_prompt_cache_hit():
+    """An exact-prompt cache hit replays KV + cached logits; a sampled
+    request draws its own first token from them (greedy replay stays
+    bit-identical)."""
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                       prompt_cache=4)
+    try:
+        p = _prompt()
+        cold = srv.submit(p, 5).result(timeout=300)
+        warm_greedy = srv.submit(p, 5).result(timeout=300)
+        warm_tk1 = srv.submit(p, 5, temperature=1.0, top_k=1,
+                              seed=2).result(timeout=300)
+    finally:
+        srv.stop()
+    assert warm_greedy == cold
+    assert warm_tk1 == cold            # top_k=1 == greedy, even on a hit
+    assert srv.prefix_hits == 2
+
+
+def test_chunked_prefill_sampling():
+    srv = DecodeServer(TINY, slots=2, max_len=32, chunked_prefill=True,
+                       chunk=4)
+    try:
+        p = _prompt(9)
+        a = srv.submit(p, 6, temperature=1.0, seed=4).result(timeout=300)
+        b = srv.submit(p, 6, temperature=1.0, seed=4).result(timeout=300)
+    finally:
+        srv.stop()
+    assert a == b
+    assert len(a) == 6
+
+
+def test_multi_step_rejects_sampling():
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                       multi_step=4)
+    try:
+        with pytest.raises(ValueError, match="greedy only"):
+            srv.submit(_prompt(), 4, temperature=1.0)
+    finally:
+        srv.stop()
