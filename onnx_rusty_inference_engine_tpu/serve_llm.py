@@ -803,14 +803,19 @@ class Seq2SeqServer(_ServerBase):
 
     # -- client API -------------------------------------------------------
     def submit(self, src: np.ndarray, max_new_tokens: int,
-               eos_id: Optional[int] = None) -> Future:
+               eos_id: Optional[int] = None,
+               temperature: float = 0.0,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None,
+               seed: int = 0) -> Future:
         """src: [plen] source (int64 tokens or f32 waveform per family;
         right-padded with zeros to src_len at admission). Resolves to
-        generated target token ids."""
+        generated target token ids. Sampling knobs as DecodeServer.submit."""
         src = np.asarray(src).reshape(-1).astype(self.fam.prompt_dtype)
         assert 1 <= src.size <= self.src_len
         assert 1 <= max_new_tokens <= self.max_len
-        r = _Request(src, max_new_tokens, eos_id)
+        r = _Request(src, max_new_tokens, eos_id, temperature=temperature,
+                     top_k=top_k, top_p=top_p, seed=seed)
         self._q.put(r)
         return r.future
 
@@ -847,7 +852,7 @@ class Seq2SeqServer(_ServerBase):
         for s in self._active():
             r = self._req[s]
             self._pos[s] += 1
-            tok = int(logits[s, 0].argmax())
+            tok = _select_token(logits[s, 0], r)
             r.tokens.append(tok)
             self._last_tok[s] = tok
             self.tokens_out += 1

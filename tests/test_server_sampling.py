@@ -104,3 +104,25 @@ def test_multi_step_rejects_sampling():
             srv.submit(_prompt(), 4, temperature=1.0)
     finally:
         srv.stop()
+
+
+def test_seq2seq_server_sampling():
+    """Seq2SeqServer (t5) takes the same sampling knobs: seeded streams
+    reproduce, top_k=1 reduces to greedy."""
+    from onnx_rusty_inference_engine_tpu.models.t5 import TINY as T5_TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import Seq2SeqServer
+
+    srv = Seq2SeqServer(T5_TINY, slots=2, src_len=8, max_len=16)
+    try:
+        src = [3, 5, 7]
+        greedy = srv.submit(np.asarray(src), 4).result(timeout=300)
+        tk1 = srv.submit(np.asarray(src), 4, temperature=1.5, top_k=1,
+                         seed=2).result(timeout=300)
+        s1 = srv.submit(np.asarray(src), 4, temperature=1.0,
+                        seed=6).result(timeout=300)
+        s2 = srv.submit(np.asarray(src), 4, temperature=1.0,
+                        seed=6).result(timeout=300)
+    finally:
+        srv.stop()
+    assert tk1 == greedy
+    assert s1 == s2
