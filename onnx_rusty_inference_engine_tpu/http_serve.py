@@ -26,6 +26,19 @@ from .serve import InferenceServer
 __all__ = ["serve_http"]
 
 
+def _prometheus(stats: dict, prefix: str = "oriet") -> bytes:
+    """stats dict -> Prometheus text exposition (gauges; counters keep
+    their monotonic names). Scrapers get the same numbers /v1/stats
+    serves as JSON."""
+    lines = []
+    for k, v in stats.items():
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            name = f"{prefix}_{k}".replace(".", "_")
+            lines.append(f"# TYPE {name} gauge")
+            lines.append(f"{name} {float(v):g}")
+    return ("\n".join(lines) + "\n").encode()
+
+
 def _make_handler(server: InferenceServer, input_name: str):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
@@ -44,6 +57,14 @@ def _make_handler(server: InferenceServer, input_name: str):
                 self._send(200, {"status": "ok"})
             elif self.path == "/v1/stats":
                 self._send(200, server.stats.summary())
+            elif self.path == "/metrics":
+                body = _prometheus(server.stats.summary())
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -92,6 +113,9 @@ def _make_generate_handler(server):
     from .serve_llm import DecodeServer  # noqa: F401 (type only)
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 so streamed responses can use chunked transfer coding
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -108,6 +132,14 @@ def _make_generate_handler(server):
                 self._send(200, {"status": "ok"})
             elif self.path == "/v1/stats":
                 self._send(200, server.stats())
+            elif self.path == "/metrics":
+                body = _prometheus(server.stats())
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -136,13 +168,47 @@ def _make_generate_handler(server):
                                 ("adapter", int)):
                     if req.get(k) is not None:
                         kw[k] = cast(req[k])
-                toks = server.generate(
-                    prompt, n_new, timeout=float(req.get("timeout", 300)),
-                    eos_id=None if eos is None else int(eos), **kw)
+                timeout = float(req.get("timeout", 300))
+                eos_kw = None if eos is None else int(eos)
+                if req.get("stream"):
+                    return self._stream(prompt, n_new, eos_kw, timeout, kw)
+                toks = server.generate(prompt, n_new, timeout=timeout,
+                                       eos_id=eos_kw, **kw)
                 self._send(200, {"prompt_ids": prompt.tolist(),
                                  "generated_ids": toks})
             except Exception as e:  # request-level failure isolation
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def _stream(self, prompt, n_new, eos_id, timeout, kw) -> None:
+            """{"stream": true}: chunked NDJSON, one {"token": t} line per
+            generated token as the slot produces it, then a closing
+            {"done": true, "generated_ids": [...]} line. Tokens surface
+            mid-generation — the slot keeps decoding in the shared batch
+            while this handler thread drains the queue."""
+            import queue as _queue
+
+            tq: "_queue.Queue" = _queue.Queue()
+            fut = server.submit(prompt, n_new, eos_id=eos_id,
+                                on_token=tq.put, **kw)
+            # dispatcher emits all tokens before resolving, so the
+            # sentinel is ordered after the last token
+            fut.add_done_callback(lambda f: tq.put(None))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(payload: dict) -> None:
+                b = json.dumps(payload).encode() + b"\n"
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+
+            while True:
+                tok = tq.get(timeout=timeout)
+                if tok is None:
+                    break
+                chunk({"token": int(tok)})
+            chunk({"done": True, "generated_ids": fut.result(0)})
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

@@ -48,7 +48,7 @@ __all__ = ["DecodeServer", "Seq2SeqServer"]
 class _Request:
     __slots__ = ("prompt", "max_new", "eos_id", "stop_sequences",
                  "future", "tokens", "adapter",
-                 "temperature", "top_k", "top_p", "rng",
+                 "temperature", "top_k", "top_p", "rng", "on_token",
                  "t_enqueue")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
@@ -58,7 +58,8 @@ class _Request:
                  temperature: float = 0.0,
                  top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 on_token=None):
         self.prompt = prompt
         self.max_new = max_new
         self.eos_id = eos_id
@@ -70,9 +71,21 @@ class _Request:
         # per-request PRNG: sampling is deterministic in (seed, prompt
         # order) and independent across concurrent slots
         self.rng = np.random.default_rng(seed)
+        self.on_token = on_token
         self.future: Future = Future()
         self.tokens: List[int] = []
         self.t_enqueue = time.perf_counter()
+
+    def emit(self, tok: int) -> None:
+        """Append a generated token; stream it to the caller if asked.
+        A broken callback must not poison the dispatcher (other slots'
+        tokens ride the same step)."""
+        self.tokens.append(tok)
+        if self.on_token is not None:
+            try:
+                self.on_token(tok)
+            except Exception:
+                self.on_token = None
 
 
 def _select_token(logits: np.ndarray, r: _Request) -> int:
@@ -384,7 +397,8 @@ class DecodeServer(_ServerBase):
                temperature: float = 0.0,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
-               seed: int = 0) -> Future:
+               seed: int = 0,
+               on_token=None) -> Future:
         """prompt_ids: [plen] int64; plen <= prompt_len (bucketed-prefill
         mode) or <= max_len - max_new_tokens (chunked_prefill mode).
         Resolves to the list of generated token ids (greedy); generation
@@ -408,7 +422,8 @@ class DecodeServer(_ServerBase):
                 "folds K argmax steps into one dispatch (greedy only)")
         r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
                      adapter=adapter, temperature=temperature,
-                     top_k=top_k, top_p=top_p, seed=seed)
+                     top_k=top_k, top_p=top_p, seed=seed,
+                     on_token=on_token)
         self._q.put(r)
         return r.future
 
@@ -555,7 +570,7 @@ class DecodeServer(_ServerBase):
             last = logits[0, plen - 1]
             first = _select_token(last, r)
             self._pcache_put(r.prompt, r.adapter, store, last.copy())
-        r.tokens.append(first)
+        r.emit(first)
         self.tokens_out += 1
         if (len(r.tokens) >= r.max_new or first == r.eos_id
                 or _hits_stop(r)):  # done already
@@ -621,7 +636,7 @@ class DecodeServer(_ServerBase):
             for j in range(K):
                 self._pos[s] += 1
                 tok = int(toks[s, j])
-                r.tokens.append(tok)
+                r.emit(tok)
                 self._last_tok[s] = tok
                 self.tokens_out += 1
                 if (len(r.tokens) >= r.max_new or tok == r.eos_id
@@ -654,7 +669,7 @@ class DecodeServer(_ServerBase):
             r = self._req[s]
             self._pos[s] += 1
             tok = _select_token(logits[s, 0], r)
-            r.tokens.append(tok)
+            r.emit(tok)
             self._last_tok[s] = tok
             self.tokens_out += 1
             if (len(r.tokens) >= r.max_new or tok == r.eos_id
@@ -713,7 +728,7 @@ class DecodeServer(_ServerBase):
             else:
                 self._pos[s] += 1
                 tok = _select_token(logits[s, 0], r)
-            r.tokens.append(tok)
+            r.emit(tok)
             self._last_tok[s] = tok
             self.tokens_out += 1
             if (len(r.tokens) >= r.max_new or tok == r.eos_id
@@ -807,7 +822,8 @@ class Seq2SeqServer(_ServerBase):
                temperature: float = 0.0,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
-               seed: int = 0) -> Future:
+               seed: int = 0,
+               on_token=None) -> Future:
         """src: [plen] source (int64 tokens or f32 waveform per family;
         right-padded with zeros to src_len at admission). Resolves to
         generated target token ids. Sampling knobs as DecodeServer.submit."""
@@ -815,7 +831,8 @@ class Seq2SeqServer(_ServerBase):
         assert 1 <= src.size <= self.src_len
         assert 1 <= max_new_tokens <= self.max_len
         r = _Request(src, max_new_tokens, eos_id, temperature=temperature,
-                     top_k=top_k, top_p=top_p, seed=seed)
+                     top_k=top_k, top_p=top_p, seed=seed,
+                     on_token=on_token)
         self._q.put(r)
         return r.future
 
@@ -853,7 +870,7 @@ class Seq2SeqServer(_ServerBase):
             r = self._req[s]
             self._pos[s] += 1
             tok = _select_token(logits[s, 0], r)
-            r.tokens.append(tok)
+            r.emit(tok)
             self._last_tok[s] = tok
             self.tokens_out += 1
             if (len(r.tokens) >= r.max_new or tok == r.eos_id

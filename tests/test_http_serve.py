@@ -142,3 +142,56 @@ def test_http_generate_sampling_params():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_http_generate_streaming():
+    """{"stream": true} returns chunked NDJSON: one {"token": t} line per
+    token, then {"done": true} with the full list — equal to the
+    non-streamed greedy result."""
+    from onnx_rusty_inference_engine_tpu.http_serve import serve_generate_http
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=12)
+    httpd = serve_generate_http(srv, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        base = {"prompt_ids": [3, 1, 4, 1], "max_new_tokens": 4}
+        _, plain = _post(port, "/v1/generate", base)
+        body = json.dumps({**base, "stream": True}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            lines = [json.loads(ln) for ln in r.read().splitlines() if ln]
+    finally:
+        httpd.shutdown()
+        srv.stop()
+    toks = [ln["token"] for ln in lines if "token" in ln]
+    done = [ln for ln in lines if ln.get("done")]
+    assert toks == plain["generated_ids"]
+    assert done and done[0]["generated_ids"] == plain["generated_ids"]
+
+
+def test_http_metrics_endpoints():
+    """/metrics serves Prometheus text exposition on both front ends."""
+    from onnx_rusty_inference_engine_tpu.http_serve import serve_generate_http
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=12)
+    httpd = serve_generate_http(srv, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        _post(port, "/v1/generate",
+              {"prompt_ids": [1, 2, 3], "max_new_tokens": 2})
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=60) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+    finally:
+        httpd.shutdown()
+        srv.stop()
+    assert "oriet_requests 1" in text
+    assert "oriet_tokens_out" in text
+    assert "# TYPE oriet_requests gauge" in text
