@@ -394,6 +394,10 @@ def prune_dead(g: Graph) -> None:
 # Import
 # --------------------------------------------------------------------------
 def import_model(model: ModelProto) -> Graph:
+    if isinstance(model, Graph):
+        # pass-through so drivers accept pre-imported (possibly
+        # transformed) graphs from custom family builders
+        return model
     gp = model.graph
     constants: Dict[str, np.ndarray] = dict(gp.initializers)
     inputs: List[InputSpec] = []

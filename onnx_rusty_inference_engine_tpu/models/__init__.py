@@ -22,12 +22,28 @@ from .detection import build_detection  # noqa: F401
 from .zoo import get_model_path, MODELS  # noqa: F401
 
 
+_CUSTOM_DECODERS: dict = {}
+
+
+def register_decoder_family(name: str, build_prefill, build_decode,
+                            int8_kv_ok: bool = False) -> None:
+    """Plug an external decoder family into every driver (Generator,
+    DecodeServer, speculative decoding). Builders must follow the
+    decoder_family contract below; `custom_decoder.onnx_decoder_family`
+    creates them from ONNX files (with optional tensor renaming)."""
+    if name in ("gpt2", "llama", "moe"):
+        raise ValueError(f"cannot override built-in family {name!r}")
+    _CUSTOM_DECODERS[name] = (build_prefill, build_decode, bool(int8_kv_ok))
+
+
 def decoder_family(name: str):
     """(build_prefill, build_decode, supports_int8_kv) for a decoder family.
 
     Both families share the driver contract: prefill(input_ids [B,T]) ->
     logits + presents; decode(input_ids [B,1], pos [B], past_*) -> logits +
     presents with per-slot positions (continuous-batching-ready)."""
+    if name in _CUSTOM_DECODERS:
+        return _CUSTOM_DECODERS[name]
     if name == "gpt2":
         from .gpt2 import build_gpt2, build_gpt2_decode
 
@@ -40,7 +56,8 @@ def decoder_family(name: str):
         from .moe import build_moe, build_moe_decode
 
         return build_moe, build_moe_decode, True
-    raise KeyError(f"unknown decoder family {name!r}; have gpt2, llama, moe")
+    raise KeyError(f"unknown decoder family {name!r}; have gpt2, llama, "
+                   f"moe{''.join(', ' + k for k in _CUSTOM_DECODERS)}")
 
 
 import dataclasses as _dc
