@@ -62,6 +62,7 @@ def export_engine(engine: Engine, example_inputs: Dict[str, np.ndarray],
     meta = {
         "format": _FORMAT,
         "platforms": list(exp.platforms),
+        "nr_devices": int(getattr(exp, "nr_devices", 1)),
         "inputs": {k: {"shape": list(np.shape(v)),
                        "dtype": str(np.asarray(v).dtype)}
                    for k, v in inputs.items()},
@@ -90,7 +91,12 @@ def export_graph(graph: Graph, example_inputs: Dict[str, np.ndarray],
 
 
 class ExportedModel:
-    """A loaded AOT artifact: callable like an Engine, importer-free."""
+    """A loaded AOT artifact: callable like an Engine, importer-free.
+
+    Artifacts exported from a sharded Engine record their device count
+    (`nr_devices`); calling one places params/inputs on that many local
+    devices first (the baked-in shardings then apply inside the program).
+    """
 
     def __init__(self, exported, params: Dict[str, jax.Array], meta: dict):
         self._exported = exported
@@ -99,13 +105,33 @@ class ExportedModel:
         self.input_specs = meta["inputs"]
         self.outputs: List[str] = meta["outputs"]
         self.platforms = meta["platforms"]
+        self.nr_devices = int(meta.get("nr_devices", 1))
+        self._sharding = None
+
+    def _placed(self, tree):
+        if self.nr_devices <= 1:
+            return tree
+        if self._sharding is None:
+            devs = jax.devices()
+            if len(devs) < self.nr_devices:
+                raise ValueError(
+                    f"artifact was exported for {self.nr_devices} devices; "
+                    f"only {len(devs)} available")
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
+
+            mesh = Mesh(np.asarray(devs[: self.nr_devices]), ("_aot",))
+            self._sharding = NamedSharding(mesh, P())
+        return {k: jax.device_put(v, self._sharding)
+                for k, v in tree.items()}
 
     def __call__(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         feed = {k: jnp.asarray(v) for k, v in inputs.items()}
         missing = set(self.input_specs) - set(feed)
         if missing:
             raise ValueError(f"missing inputs: {sorted(missing)}")
-        return self._exported.call(self.params, feed)
+        return self._exported.call(self._placed(self.params),
+                                   self._placed(feed))
 
     def run(self, inputs) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v) for k, v in self(inputs).items()}

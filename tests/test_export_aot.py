@@ -136,3 +136,33 @@ def test_meta_describes_interface(tmp_path):
     assert m.input_specs[name]["dtype"] == "float32"
     assert m.outputs == list(g.outputs)
     assert isinstance(m, ExportedModel)
+
+
+def test_sharded_engine_exports_and_reloads():
+    """An Engine compiled over a mesh exports with its shardings baked in
+    (meta records nr_devices); the loaded artifact re-places args across
+    that many local devices and reproduces the sharded run."""
+    from onnx_rusty_inference_engine_tpu.parallel import (
+        cnn_param_sharding,
+        data_input_sharding,
+        make_mesh,
+    )
+
+    g = import_onnx(MNIST)
+    mesh = make_mesh({"data": 4, "model": 2})
+    eng = Engine(g, mesh=mesh, param_sharding_fn=cnn_param_sharding(mesh),
+                 input_sharding_fn=data_input_sharding(mesh))
+    x = np.random.default_rng(0).standard_normal(
+        (8, 1, 28, 28)).astype(np.float32)
+    feed = {g.input_names[0]: x}
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "s.oriet.npz")
+        with mesh:
+            want = {k: np.asarray(v) for k, v in eng(feed).items()}
+            export_engine(eng, feed, path)
+        m = load_exported(path)
+        assert m.nr_devices == 8
+        got = m.run(feed)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-5)
