@@ -168,6 +168,9 @@ def _make_generate_handler(server):
                                 ("adapter", int)):
                     if req.get(k) is not None:
                         kw[k] = cast(req[k])
+                if req.get("logit_bias") is not None:
+                    kw["logit_bias"] = {int(t): float(b) for t, b
+                                        in req["logit_bias"].items()}
                 timeout = float(req.get("timeout", 300))
                 eos_kw = None if eos is None else int(eos)
                 if req.get("stream"):

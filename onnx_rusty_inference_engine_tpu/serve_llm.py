@@ -49,6 +49,7 @@ class _Request:
     __slots__ = ("prompt", "max_new", "eos_id", "stop_sequences",
                  "future", "tokens", "adapter",
                  "temperature", "top_k", "top_p", "rng", "on_token",
+                 "logit_bias",
                  "t_enqueue")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
@@ -59,7 +60,8 @@ class _Request:
                  top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
                  seed: int = 0,
-                 on_token=None):
+                 on_token=None,
+                 logit_bias: Optional[Dict[int, float]] = None):
         self.prompt = prompt
         self.max_new = max_new
         self.eos_id = eos_id
@@ -72,6 +74,14 @@ class _Request:
         # order) and independent across concurrent slots
         self.rng = np.random.default_rng(seed)
         self.on_token = on_token
+        # additive per-token bias (OpenAI-style logit_bias): applied to
+        # every selection step, greedy included; -inf-like values ban
+        self.logit_bias = None
+        if logit_bias:
+            idx = np.fromiter((int(k) for k in logit_bias), np.int64)
+            val = np.fromiter((float(v) for v in logit_bias.values()),
+                              np.float64)
+            self.logit_bias = (idx, val)
         self.future: Future = Future()
         self.tokens: List[int] = []
         self.t_enqueue = time.perf_counter()
@@ -93,6 +103,10 @@ def _select_token(logits: np.ndarray, r: _Request) -> int:
     else categorical over temperature-scaled logits with optional top-k /
     nucleus filtering — the same filtering semantics as
     generate.Generator._select, per slot instead of per batch."""
+    if r.logit_bias is not None:
+        idx, val = r.logit_bias
+        logits = logits.astype(np.float64).copy()
+        logits[idx] += val
     if r.temperature == 0.0:
         return int(logits.argmax())
     l = logits.astype(np.float64) / r.temperature
@@ -398,7 +412,8 @@ class DecodeServer(_ServerBase):
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
                seed: int = 0,
-               on_token=None) -> Future:
+               on_token=None,
+               logit_bias: Optional[Dict[int, float]] = None) -> Future:
         """prompt_ids: [plen] int64; plen <= prompt_len (bucketed-prefill
         mode) or <= max_len - max_new_tokens (chunked_prefill mode).
         Resolves to the list of generated token ids (greedy); generation
@@ -423,7 +438,7 @@ class DecodeServer(_ServerBase):
         r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
                      adapter=adapter, temperature=temperature,
                      top_k=top_k, top_p=top_p, seed=seed,
-                     on_token=on_token)
+                     on_token=on_token, logit_bias=logit_bias)
         self._q.put(r)
         return r.future
 
@@ -823,7 +838,8 @@ class Seq2SeqServer(_ServerBase):
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
                seed: int = 0,
-               on_token=None) -> Future:
+               on_token=None,
+               logit_bias: Optional[Dict[int, float]] = None) -> Future:
         """src: [plen] source (int64 tokens or f32 waveform per family;
         right-padded with zeros to src_len at admission). Resolves to
         generated target token ids. Sampling knobs as DecodeServer.submit."""
@@ -832,7 +848,7 @@ class Seq2SeqServer(_ServerBase):
         assert 1 <= max_new_tokens <= self.max_len
         r = _Request(src, max_new_tokens, eos_id, temperature=temperature,
                      top_k=top_k, top_p=top_p, seed=seed,
-                     on_token=on_token)
+                     on_token=on_token, logit_bias=logit_bias)
         self._q.put(r)
         return r.future
 

@@ -126,3 +126,33 @@ def test_seq2seq_server_sampling():
         srv.stop()
     assert tk1 == greedy
     assert s1 == s2
+
+
+def test_logit_bias_bans_and_forces_tokens():
+    """OpenAI-style logit_bias: a huge negative bias bans a token (the
+    greedy winner shifts to runner-up); a huge positive bias forces one."""
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    try:
+        p = _prompt()
+        greedy = srv.submit(p, 4).result(timeout=300)
+        banned = srv.submit(p, 4, logit_bias={greedy[0]: -1e9}
+                            ).result(timeout=300)
+        forced = srv.submit(p, 3, logit_bias={7: 1e9}).result(timeout=300)
+    finally:
+        srv.stop()
+    assert banned[0] != greedy[0]
+    assert forced == [7, 7, 7]
+
+
+def test_logit_bias_with_sampling_deterministic():
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    try:
+        p = _prompt()
+        a = srv.submit(p, 5, temperature=1.0, seed=3,
+                       logit_bias={0: -1e9}).result(timeout=300)
+        b = srv.submit(p, 5, temperature=1.0, seed=3,
+                       logit_bias={0: -1e9}).result(timeout=300)
+    finally:
+        srv.stop()
+    assert a == b
+    assert 0 not in a
