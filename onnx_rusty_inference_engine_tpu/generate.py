@@ -796,3 +796,133 @@ class SpeculativeGenerator:
     def acceptance_rate(self) -> float:
         return (self.accepted_total / self.proposed_total
                 if self.proposed_total else 0.0)
+
+
+class BeamGenerator:
+    """Beam search over a decoder family (gpt2/llama/moe or a registered
+    custom family).
+
+    TPU-native realization: beams ARE batch rows. The prefill graph runs
+    at batch B; its presents tile K× into a batch-B*K fixed-size decode
+    cache, and every step is ONE compiled decode call over all B*K beams
+    (per-slot `pos [B*K]`, the serving contract). Beam reordering is a
+    batch-dim `jnp.take` on the cache — a tiny first-axis gather, NOT the
+    catastrophic inner-dim gather class (CLAUDE.md); it stays on device.
+    Host keeps only scores [B, K] and token history.
+
+    eos_id: finished beams are frozen — their only continuation is eos at
+    zero incremental logprob — so they compete on their final score while
+    live beams keep expanding (standard beam bookkeeping).
+
+    Scores are summed token logprobs (length_penalty: divide by
+    (len)**alpha at the final selection, GNMT-style, alpha=0 = off).
+    """
+
+    def __init__(self, cfg, *, batch: int = 1, beam: int = 4,
+                 prompt_len: int = 8, max_len: int = 32, seed: int = 0,
+                 family: str = "gpt2", int4_weights: bool = False):
+        from .models import decoder_family
+
+        assert beam >= 1
+        self.cfg, self.B, self.K = cfg, batch, beam
+        self.prompt_len, self.max_len = prompt_len, max_len
+        build_prefill, build_decode, _ = decoder_family(family)
+        pkw = ({"past_len": 0, "with_presents": True} if family == "gpt2"
+               else {"with_presents": True})
+        pg = import_model(build_prefill(cfg, batch=batch,
+                                        seq_len=prompt_len, seed=seed,
+                                        **pkw))
+        dg = import_model(build_decode(cfg, batch=batch * beam,
+                                       max_len=max_len, seed=seed))
+        if int4_weights:
+            from .quant import quantize_weights_int4
+
+            pg = quantize_weights_int4(pg)
+            dg = quantize_weights_int4(dg)
+        self.prefill = Engine(pg)
+        self.decode = Engine(dg)
+        self._past_names = [s.name for s in dg.inputs
+                            if s.name.startswith("past_")]
+
+    def generate(self, input_ids: np.ndarray, n_new: int,
+                 eos_id: Optional[int] = None,
+                 length_penalty: float = 0.0,
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (tokens [B, n_new], scores [B]) of each row's best beam."""
+        B, K, P = self.B, self.K, self.prompt_len
+        assert input_ids.shape == (B, P)
+        assert P + n_new <= self.max_len
+        V = self.cfg.vocab_size
+
+        out = self.prefill({"input_ids": input_ids.astype(np.int64)})
+        logp = jax.nn.log_softmax(out["logits"][:, -1, :])  # [B, V]
+        logp = np.asarray(logp)
+        top = np.argsort(logp, axis=-1)[:, ::-1][:, :K]     # [B, K]
+        scores = np.take_along_axis(logp, top, axis=-1)     # [B, K]
+        tokens = top[:, :, None]                            # [B, K, 1]
+        finished = np.zeros((B, K), bool)
+        if eos_id is not None:
+            finished |= top == eos_id
+
+        # tile presents K x along batch: beam rows are b*K + k
+        cache: Dict[str, jax.Array] = {}
+        L = self.cfg.n_layer
+        for i in range(L):
+            for kind in ("key", "value"):
+                kv = out[f"present_{kind}_{i}"]             # [B, H, P, hd]
+                pad = self.max_len - kv.shape[2]
+                kv = jnp.pad(kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                cache[f"past_{kind}_{i}"] = jnp.repeat(kv, K, axis=0)
+
+        last = tokens[:, :, -1].reshape(B * K)
+        for t in range(1, n_new):
+            if finished.all():
+                break
+            feed = {"input_ids": last[:, None].astype(np.int64),
+                    "pos": np.full((B * K,), P + t - 1, np.int64)}
+            feed.update(cache)
+            step = self.decode(feed)
+            lp = np.asarray(jax.nn.log_softmax(step["logits"][:, -1, :]))
+            lp = lp.reshape(B, K, V)
+            if eos_id is not None:
+                # frozen beams: single eos continuation at 0 extra cost
+                frozen = np.full((V,), -np.inf)
+                frozen[eos_id] = 0.0
+                lp = np.where(finished[:, :, None], frozen, lp)
+            total = scores[:, :, None] + lp                 # [B, K, V]
+            flat = total.reshape(B, K * V)
+            sel = np.argsort(flat, axis=-1)[:, ::-1][:, :K]  # [B, K]
+            scores = np.take_along_axis(flat, sel, axis=-1)
+            src_beam = sel // V                             # [B, K]
+            tok = sel % V
+
+            tokens = np.concatenate(
+                [np.take_along_axis(tokens, src_beam[:, :, None],
+                                    axis=1),
+                 tok[:, :, None]], axis=2)
+            finished = np.take_along_axis(finished, src_beam, axis=1)
+            if eos_id is not None:
+                finished = finished | (tok == eos_id)
+
+            # reorder the device cache by global beam row (batch-dim take)
+            rows = (np.arange(B)[:, None] * K + src_beam).reshape(-1)
+            rows_d = jnp.asarray(rows)
+            for name in self._past_names:
+                present = step[name.replace("past_", "present_", 1)]
+                cache[name] = jnp.take(present, rows_d, axis=0)
+            last = tok.reshape(B * K)
+
+        if length_penalty:
+            lens = tokens.shape[2] - (0 if eos_id is None
+                                      else (tokens == eos_id).sum(2))
+            final = scores / np.maximum(lens, 1) ** length_penalty
+        else:
+            final = scores
+        best = final.argmax(axis=1)                         # [B]
+        out_toks = tokens[np.arange(B), best]               # [B, <=n_new]
+        if out_toks.shape[1] < n_new:
+            pad_tok = eos_id if eos_id is not None else 0
+            out_toks = np.concatenate(
+                [out_toks, np.full((B, n_new - out_toks.shape[1]),
+                                   pad_tok, out_toks.dtype)], axis=1)
+        return out_toks, scores[np.arange(B), best]
