@@ -798,6 +798,58 @@ class SpeculativeGenerator:
                 if self.proposed_total else 0.0)
 
 
+def _beam_loop(step_logp, reorder, tokens, scores, finished, *,
+               B: int, K: int, V: int, n_new: int,
+               eos_id: Optional[int], length_penalty: float,
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Shared beam bookkeeping for steps 1..n_new-1 (step 0 seeded the
+    K beams). step_logp(last [B*K], t) -> log-probs [B*K, V] (and must
+    stage its presents); reorder(rows [B*K]) commits the device cache
+    for the chosen beams. Returns (best tokens [B, n_new], scores [B])."""
+    last = tokens[:, :, -1].reshape(B * K)
+    for t in range(1, n_new):
+        if finished.all():
+            break
+        lp = step_logp(last, t).reshape(B, K, V)
+        if eos_id is not None:
+            # frozen beams: single eos continuation at 0 extra cost
+            frozen = np.full((V,), -np.inf)
+            frozen[eos_id] = 0.0
+            lp = np.where(finished[:, :, None], frozen, lp)
+        total = scores[:, :, None] + lp                 # [B, K, V]
+        flat = total.reshape(B, K * V)
+        sel = np.argsort(flat, axis=-1)[:, ::-1][:, :K]  # [B, K]
+        scores = np.take_along_axis(flat, sel, axis=-1)
+        src_beam = sel // V                             # [B, K]
+        tok = sel % V
+
+        tokens = np.concatenate(
+            [np.take_along_axis(tokens, src_beam[:, :, None], axis=1),
+             tok[:, :, None]], axis=2)
+        finished = np.take_along_axis(finished, src_beam, axis=1)
+        if eos_id is not None:
+            finished = finished | (tok == eos_id)
+
+        # reorder the device cache by global beam row (batch-dim take)
+        reorder((np.arange(B)[:, None] * K + src_beam).reshape(-1))
+        last = tok.reshape(B * K)
+
+    if length_penalty:
+        lens = tokens.shape[2] - (0 if eos_id is None
+                                  else (tokens == eos_id).sum(2))
+        final = scores / np.maximum(lens, 1) ** length_penalty
+    else:
+        final = scores
+    best = final.argmax(axis=1)                         # [B]
+    out_toks = tokens[np.arange(B), best]               # [B, <=n_new]
+    if out_toks.shape[1] < n_new:
+        pad_tok = eos_id if eos_id is not None else 0
+        out_toks = np.concatenate(
+            [out_toks, np.full((B, n_new - out_toks.shape[1]),
+                               pad_tok, out_toks.dtype)], axis=1)
+    return out_toks, scores[np.arange(B), best]
+
+
 class BeamGenerator:
     """Beam search over a decoder family (gpt2/llama/moe or a registered
     custom family).
@@ -874,55 +926,124 @@ class BeamGenerator:
                 kv = jnp.pad(kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
                 cache[f"past_{kind}_{i}"] = jnp.repeat(kv, K, axis=0)
 
-        last = tokens[:, :, -1].reshape(B * K)
-        for t in range(1, n_new):
-            if finished.all():
-                break
+        staged: Dict[str, jax.Array] = {}
+
+        def step_logp(last, t):
             feed = {"input_ids": last[:, None].astype(np.int64),
                     "pos": np.full((B * K,), P + t - 1, np.int64)}
             feed.update(cache)
-            step = self.decode(feed)
-            lp = np.asarray(jax.nn.log_softmax(step["logits"][:, -1, :]))
-            lp = lp.reshape(B, K, V)
-            if eos_id is not None:
-                # frozen beams: single eos continuation at 0 extra cost
-                frozen = np.full((V,), -np.inf)
-                frozen[eos_id] = 0.0
-                lp = np.where(finished[:, :, None], frozen, lp)
-            total = scores[:, :, None] + lp                 # [B, K, V]
-            flat = total.reshape(B, K * V)
-            sel = np.argsort(flat, axis=-1)[:, ::-1][:, :K]  # [B, K]
-            scores = np.take_along_axis(flat, sel, axis=-1)
-            src_beam = sel // V                             # [B, K]
-            tok = sel % V
+            staged.update(self.decode(feed))
+            return np.asarray(
+                jax.nn.log_softmax(staged["logits"][:, -1, :]))
 
-            tokens = np.concatenate(
-                [np.take_along_axis(tokens, src_beam[:, :, None],
-                                    axis=1),
-                 tok[:, :, None]], axis=2)
-            finished = np.take_along_axis(finished, src_beam, axis=1)
-            if eos_id is not None:
-                finished = finished | (tok == eos_id)
-
-            # reorder the device cache by global beam row (batch-dim take)
-            rows = (np.arange(B)[:, None] * K + src_beam).reshape(-1)
+        def reorder(rows):
             rows_d = jnp.asarray(rows)
             for name in self._past_names:
-                present = step[name.replace("past_", "present_", 1)]
+                present = staged[name.replace("past_", "present_", 1)]
                 cache[name] = jnp.take(present, rows_d, axis=0)
-            last = tok.reshape(B * K)
 
-        if length_penalty:
-            lens = tokens.shape[2] - (0 if eos_id is None
-                                      else (tokens == eos_id).sum(2))
-            final = scores / np.maximum(lens, 1) ** length_penalty
-        else:
-            final = scores
-        best = final.argmax(axis=1)                         # [B]
-        out_toks = tokens[np.arange(B), best]               # [B, <=n_new]
-        if out_toks.shape[1] < n_new:
-            pad_tok = eos_id if eos_id is not None else 0
-            out_toks = np.concatenate(
-                [out_toks, np.full((B, n_new - out_toks.shape[1]),
-                                   pad_tok, out_toks.dtype)], axis=1)
-        return out_toks, scores[np.arange(B), best]
+        return _beam_loop(step_logp, reorder, tokens, scores, finished,
+                          B=B, K=K, V=V, n_new=n_new, eos_id=eos_id,
+                          length_penalty=length_penalty)
+
+
+class Seq2SeqBeamGenerator:
+    """Beam search for the encoder-decoder families (seq2seq_family:
+    "t5" tokens->tokens, "asr" waveform->tokens) — the standard
+    translation/transcription decoding mode.
+
+    Encode once at batch B; the decode graph runs at batch B*K with the
+    per-request cross-attention K/V tiled K x along the batch (static
+    after encoding, so tiling happens once). Step 0 feeds start_token on
+    every row (all beams identical — the presents need no tiling); the
+    shared `_beam_loop` then expands/reorders exactly like the decoder-
+    only BeamGenerator. fp32 KV (the int8 shadow-calibration path stays
+    a greedy/sampling feature)."""
+
+    def __init__(self, cfg, *, batch: int = 1, beam: int = 4,
+                 src_len: int = 16, max_len: int = 32, seed: int = 0,
+                 family: str = "t5"):
+        from .models import seq2seq_family
+
+        assert beam >= 1
+        self.fam = seq2seq_family(family)
+        self.cfg, self.B, self.K = cfg, batch, beam
+        self.src_len = src_len
+        self.enc_len = self.fam.enc_len(cfg, src_len)
+        self.max_len = max_len
+        self.encoder = Engine(import_model(self.fam.build_encoder(
+            cfg, batch=batch, src_len=src_len, seed=seed)))
+        dg = import_model(self.fam.build_decode(
+            cfg, batch=batch * beam, max_len=max_len, src_len=self.enc_len,
+            seed=seed))
+        self.decode = Engine(dg)
+        self._past_names = [s.name for s in dg.inputs
+                            if s.name.startswith("past_")]
+
+    def generate(self, src_ids: np.ndarray, n_new: int,
+                 start_token: int = 0,
+                 eos_id: Optional[int] = None,
+                 length_penalty: float = 0.0,
+                 src_lengths: Optional[np.ndarray] = None,
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (tokens [B, n_new], scores [B]) of each row's best beam."""
+        B, K = self.B, self.K
+        assert src_ids.shape == (B, self.src_len)
+        assert n_new <= self.max_len
+        V = self.cfg.vocab_size
+        L = self.fam.n_layers(self.cfg)
+        H, hd = self.cfg.n_head, self.cfg.head_dim
+
+        if src_lengths is None:
+            src_lengths = np.full((B,), self.src_len, np.int64)
+        enc_feed = {self.fam.enc_input:
+                    src_ids.astype(self.fam.prompt_dtype)}
+        mask_feed = {}
+        if self.fam.src_mask:
+            enc_feed["src_len"] = src_lengths.astype(np.int64)
+            from .ops.registry import index_dtype
+
+            mask_feed["src_len"] = jnp.repeat(
+                jnp.asarray(src_lengths, index_dtype()), K, axis=0)
+        enc = self.encoder(enc_feed)
+        cross = {k: jnp.repeat(v, K, axis=0)
+                 for k, v in enc.items() if k.startswith("cross_")}
+        cross.update(mask_feed)
+
+        cache: Dict[str, jax.Array] = {
+            f"past_{kind}_{i}": jnp.zeros((B * K, H, self.max_len, hd),
+                                          jnp.float32)
+            for i in range(L) for kind in ("key", "value")}
+        staged: Dict[str, jax.Array] = {}
+
+        def run(last, t):
+            feed = {"input_ids": last[:, None].astype(np.int64),
+                    "pos": np.full((B * K,), t, np.int64)}
+            feed.update(cross)
+            feed.update(cache)
+            staged.update(self.decode(feed))
+            return np.asarray(
+                jax.nn.log_softmax(staged["logits"][:, -1, :]))
+
+        # step 0: every beam row feeds start_token — rows are identical,
+        # so the presents commit as-is (no tiling needed)
+        lp0 = run(np.full((B * K,), start_token, np.int64), 0)
+        for name in self._past_names:
+            cache[name] = staged[name.replace("past_", "present_", 1)]
+        lp0 = lp0.reshape(B, K, V)[:, 0]                # [B, V]
+        top = np.argsort(lp0, axis=-1)[:, ::-1][:, :K]  # [B, K]
+        scores = np.take_along_axis(lp0, top, axis=-1)
+        tokens = top[:, :, None]
+        finished = np.zeros((B, K), bool)
+        if eos_id is not None:
+            finished |= top == eos_id
+
+        def reorder(rows):
+            rows_d = jnp.asarray(rows)
+            for name in self._past_names:
+                present = staged[name.replace("past_", "present_", 1)]
+                cache[name] = jnp.take(present, rows_d, axis=0)
+
+        return _beam_loop(run, reorder, tokens, scores, finished,
+                          B=B, K=K, V=V, n_new=n_new, eos_id=eos_id,
+                          length_penalty=length_penalty)

@@ -90,3 +90,83 @@ def test_beam_eos_freezes():
     if eos in row:
         i = row.index(eos)
         assert all(t == eos for t in row[i:])
+
+
+# -------------------------------------------------------------------------
+# seq2seq beam (t5): cross-KV tiled K x, same shared loop
+# -------------------------------------------------------------------------
+def test_seq2seq_beam_one_is_greedy():
+    from onnx_rusty_inference_engine_tpu.generate import (
+        Seq2SeqBeamGenerator,
+        Seq2SeqGenerator,
+    )
+    from onnx_rusty_inference_engine_tpu.models.t5 import TINY as T5
+
+    src = rng.integers(0, T5.vocab_size, (2, 8)).astype(np.int64)
+    want, _ = Seq2SeqGenerator(T5, batch=2, src_len=8,
+                               max_len=16).generate(src, 6)
+    got, _ = Seq2SeqBeamGenerator(T5, batch=2, beam=1, src_len=8,
+                                  max_len=16).generate(src, 6)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_seq2seq_beam_matches_sequential_replay():
+    """beam=K verified against a cache-free-of-TILING reference: each
+    candidate prefix replayed step-by-step on a BATCH-1-PER-BEAM decode
+    (no K x cross tiling, no cache reorder in the candidate path)."""
+    import jax as _jax
+
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.generate import (
+        Seq2SeqBeamGenerator,
+    )
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+    from onnx_rusty_inference_engine_tpu.models import seq2seq_family
+    from onnx_rusty_inference_engine_tpu.models.t5 import TINY as T5
+
+    K, n_new, S, ML = 3, 4, 8, 16
+    fam = seq2seq_family("t5")
+    src = rng.integers(0, T5.vocab_size, (1, S)).astype(np.int64)
+
+    enc = Engine(import_model(fam.build_encoder(T5, batch=1, src_len=S)))(
+        {"src_ids": src, "src_len": np.array([S], np.int64)})
+    cross = {k: v for k, v in enc.items() if k.startswith("cross_")}
+    dec = Engine(import_model(fam.build_decode(T5, batch=1, max_len=ML,
+                                               src_len=S)))
+    L = fam.n_layers(T5)
+
+    def replay_logp(prefix):
+        """log-probs after feeding start,prefix... sequentially, batch 1."""
+        cache = {f"past_{k}_{i}": np.zeros((1, T5.n_head, ML,
+                                            T5.head_dim), np.float32)
+                 for i in range(L) for k in ("key", "value")}
+        seq = [0] + list(prefix)
+        for t, tok in enumerate(seq):
+            feed = {"input_ids": np.array([[tok]], np.int64),
+                    "pos": np.array([t], np.int64),
+                    "src_len": np.array([S], np.int64)}
+            feed.update(cross)
+            feed.update(cache)
+            out = dec(feed)
+            for i in range(L):
+                for k in ("key", "value"):
+                    cache[f"past_{k}_{i}"] = out[f"present_{k}_{i}"]
+        return np.asarray(_jax.nn.log_softmax(out["logits"][0, -1]))
+
+    lp = replay_logp([])
+    top = np.argsort(lp)[::-1][:K]
+    beams = [([int(t)], float(lp[t])) for t in top]
+    for _ in range(1, n_new):
+        cands = []
+        for seq, sc in beams:
+            lp = replay_logp(seq)
+            for t in np.argsort(lp)[::-1][:K]:
+                cands.append((seq + [int(t)], sc + float(lp[t])))
+        cands.sort(key=lambda x: -x[1])
+        beams = cands[:K]
+    want_toks, want_score = beams[0]
+
+    bg = Seq2SeqBeamGenerator(T5, batch=1, beam=K, src_len=S, max_len=ML)
+    got, scores = bg.generate(src, n_new)
+    assert list(got[0]) == want_toks
+    np.testing.assert_allclose(scores[0], want_score, atol=1e-4)
