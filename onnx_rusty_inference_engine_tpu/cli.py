@@ -262,6 +262,17 @@ def cmd_generate(args) -> int:
                           n_kv_head=max(1, args.heads // 2))
     ids = np.asarray([int(t) for t in args.prompt_ids.split(",")],
                      dtype=np.int64)[None]
+    if args.beam > 1:
+        from .generate import BeamGenerator
+
+        bg = BeamGenerator(cfg, batch=1, beam=args.beam,
+                           prompt_len=ids.shape[1], max_len=args.max_len,
+                           family=args.family, int4_weights=args.int4)
+        toks, scores = bg.generate(ids, args.new)
+        print(json.dumps({"family": args.family, "prompt": ids[0].tolist(),
+                          "generated": toks[0].tolist(), "beam": args.beam,
+                          "score": round(float(scores[0]), 4)}))
+        return 0
     if args.draft_layers:
         # lossless speculative decoding: a smaller same-vocab draft
         # proposes, the target verifies each chunk in one call
@@ -526,6 +537,8 @@ def main(argv: Optional[list] = None) -> int:
                          "(lax.scan over time, on-device sampling)")
     pg.add_argument("--spec-k", dest="spec_k", type=int, default=4,
                     help="speculation chunk size (draft proposes k-1)")
+    pg.add_argument("--beam", type=int, default=1, metavar="K",
+                    help="beam search with K beams (decoder families)")
     pg.add_argument("--adapters", type=int, default=0, metavar="N",
                     help="attach a seeded N-adapter LoRA bank (lora.py)")
     pg.add_argument("--adapter", type=int, default=0,
