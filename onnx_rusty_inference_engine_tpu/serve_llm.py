@@ -49,7 +49,7 @@ class _Request:
     __slots__ = ("prompt", "max_new", "eos_id", "stop_sequences",
                  "future", "tokens", "adapter",
                  "temperature", "top_k", "top_p", "rng", "on_token",
-                 "logit_bias",
+                 "logit_bias", "cancelled",
                  "t_enqueue")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
@@ -74,6 +74,7 @@ class _Request:
         # order) and independent across concurrent slots
         self.rng = np.random.default_rng(seed)
         self.on_token = on_token
+        self.cancelled = False
         # additive per-token bias (OpenAI-style logit_bias): applied to
         # every selection step, greedy included; -inf-like values ban
         self.logit_bias = None
@@ -149,7 +150,9 @@ class _ServerBase:
         self.B = slots
         self._req: List[Optional[_Request]] = [None] * slots
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._by_future: Dict[Future, _Request] = {}
         self._running = True
+        self._draining = False
         self.steps = 0
         self.tokens_out = 0
         self.requests_done = 0
@@ -166,10 +169,27 @@ class _ServerBase:
         return self.submit(prompt, max_new_tokens, eos_id=eos_id,
                            **kw).result(timeout)
 
-    def stop(self) -> None:
+    def stop(self, drain: bool = False) -> None:
+        """Shut the dispatcher down. drain=True finishes every admitted
+        AND queued request first; drain=False (default) stops after the
+        current step and FAILS outstanding futures with RuntimeError —
+        callers never hang on a stopped server."""
+        if drain:
+            self._draining = True
         self._running = False
         self._q.put(None)
-        self._thread.join(timeout=30)
+        self._thread.join(timeout=300 if drain else 30)
+
+    def cancel(self, future: Future) -> bool:
+        """Request-level cancellation: the slot is freed at the next step
+        boundary and the future fails with CancelledError. Queued (not
+        yet admitted) requests cancel the same way. True if the future
+        belongs to a live request of this server."""
+        r = self._by_future.get(future)
+        if r is None:
+            return False
+        r.cancelled = True
+        return True
 
     def stats(self) -> Dict[str, float]:
         """Serving counters (the LLM analog of serve.ServerStats)."""
@@ -186,14 +206,27 @@ class _ServerBase:
         }
 
     # -- slot lifecycle ---------------------------------------------------
+    def _enqueue(self, r: _Request) -> Future:
+        self._by_future[r.future] = r
+        self._q.put(r)
+        return r.future
+
     def _clear_slot(self, slot: int) -> None:
         self._req[slot] = None
         self._pos[slot] = self.max_len - 1      # park
 
     def _finish(self, slot_or_none, r: _Request) -> None:
         r.future.set_result(r.tokens)
+        self._by_future.pop(r.future, None)
         self.requests_done += 1
         self._latencies.append(time.perf_counter() - r.t_enqueue)
+        if slot_or_none is not None:
+            self._clear_slot(slot_or_none)
+
+    def _fail(self, slot_or_none, r: _Request, exc: Exception) -> None:
+        if not r.future.done():
+            r.future.set_exception(exc)
+        self._by_future.pop(r.future, None)
         if slot_or_none is not None:
             self._clear_slot(slot_or_none)
 
@@ -202,30 +235,52 @@ class _ServerBase:
 
     # -- dispatcher -------------------------------------------------------
     def _loop(self) -> None:
-        while self._running:
+        from concurrent.futures import CancelledError
+
+        while True:
+            if not self._running:
+                # drain mode keeps stepping until all work completes;
+                # otherwise exit now (leftovers failed below)
+                if not self._draining or (not self._active()
+                                          and self._q.empty()):
+                    break
             # fill free slots from the queue (non-blocking when busy)
             free = [i for i, r in enumerate(self._req) if r is None]
-            block = not self._active()
+            block = not self._active() and self._running
             for slot in free:
                 try:
                     r = self._q.get(timeout=0.05 if block else 0)
                 except queue.Empty:
                     break
                 if r is None:
-                    return
+                    continue  # stop sentinel; loop head decides exit
+                if r.cancelled:
+                    self._fail(None, r, CancelledError())
+                    continue
                 try:
                     self._admit(slot, r)
                 except Exception as e:  # request-level failure isolation
-                    r.future.set_exception(e)
+                    self._fail(None, r, e)
                 block = False
+            # cancellation sweep: freed at the step boundary
+            for s in self._active():
+                if self._req[s].cancelled:
+                    self._fail(s, self._req[s], CancelledError())
             if self._active():
                 try:
                     self._step()
                 except Exception as e:
                     for s in self._active():
-                        self._req[s].future.set_exception(e)
-                        self._req[s] = None
-                        self._pos[s] = self.max_len - 1
+                        self._fail(s, self._req[s], e)
+        # stopped without drain: no caller may hang on a dead server
+        for s in self._active():
+            self._fail(s, self._req[s],
+                       RuntimeError("server stopped with request in flight"))
+        while not self._q.empty():
+            r = self._q.get()
+            if r is not None:
+                self._fail(None, r, RuntimeError("server stopped before "
+                                                 "request was admitted"))
 
 
 class DecodeServer(_ServerBase):
@@ -439,8 +494,7 @@ class DecodeServer(_ServerBase):
                      adapter=adapter, temperature=temperature,
                      top_k=top_k, top_p=top_p, seed=seed,
                      on_token=on_token, logit_bias=logit_bias)
-        self._q.put(r)
-        return r.future
+        return self._enqueue(r)
 
     def stats(self) -> Dict[str, float]:
         s = super().stats()
@@ -849,8 +903,7 @@ class Seq2SeqServer(_ServerBase):
         r = _Request(src, max_new_tokens, eos_id, temperature=temperature,
                      top_k=top_k, top_p=top_p, seed=seed,
                      on_token=on_token, logit_bias=logit_bias)
-        self._q.put(r)
-        return r.future
+        return self._enqueue(r)
 
     # -- dispatcher -------------------------------------------------------
     def _admit(self, slot: int, r: _Request) -> None:

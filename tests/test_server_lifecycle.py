@@ -1,0 +1,67 @@
+"""Server lifecycle: request cancellation, drain shutdown, and the
+no-hanging-futures guarantee on stop()."""
+
+from concurrent.futures import CancelledError
+
+import numpy as np
+import pytest
+
+from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+rng = np.random.default_rng(41)
+
+
+def _prompt(n=4):
+    return rng.integers(0, TINY.vocab_size, (n,)).astype(np.int64)
+
+
+def test_cancel_in_flight_request():
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=128)
+    try:
+        fut = srv.submit(_prompt(), 100)          # long generation
+        assert srv.cancel(fut)
+        with pytest.raises(CancelledError):
+            fut.result(timeout=300)
+        # the slot is reusable afterwards
+        out = srv.submit(_prompt(), 3).result(timeout=300)
+        assert len(out) == 3
+    finally:
+        srv.stop()
+    assert not srv.cancel(fut)  # already finalized: not a live request
+
+
+def test_cancel_queued_request():
+    """More requests than slots: cancelling one still in the queue fails
+    it without it ever occupying a slot."""
+    srv = DecodeServer(TINY, slots=1, prompt_len=4, max_len=64)
+    try:
+        f1 = srv.submit(_prompt(), 40)
+        f2 = srv.submit(_prompt(), 5)             # queued behind f1
+        assert srv.cancel(f2)
+        with pytest.raises(CancelledError):
+            f2.result(timeout=300)
+        assert f1.result(timeout=300)             # f1 unaffected
+    finally:
+        srv.stop()
+
+
+def test_stop_fails_outstanding_futures():
+    """stop() without drain must not leave callers hanging."""
+    srv = DecodeServer(TINY, slots=1, prompt_len=4, max_len=128)
+    f1 = srv.submit(_prompt(), 120)
+    f2 = srv.submit(_prompt(), 5)                 # queued
+    srv.stop()
+    with pytest.raises(RuntimeError, match="server stopped"):
+        f1.result(timeout=30)
+    with pytest.raises(RuntimeError, match="server stopped"):
+        f2.result(timeout=30)
+
+
+def test_stop_drain_finishes_everything():
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=32)
+    futs = [srv.submit(_prompt(), 6) for _ in range(5)]  # > slots: queued
+    srv.stop(drain=True)
+    for f in futs:
+        assert len(f.result(timeout=5)) == 6      # already resolved
+    assert srv.stats()["requests"] == 5
