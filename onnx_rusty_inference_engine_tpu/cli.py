@@ -522,7 +522,9 @@ def main(argv: Optional[list] = None) -> int:
     pg.add_argument("--vocab", type=int, default=256)
     pg.add_argument("--max-len", dest="max_len", type=int, default=64)
     pg.add_argument("--kv-dtype", dest="kv_dtype", default="float32",
-                    choices=["float32", "int8"])
+                    choices=["float32", "int8", "int4"],
+                    help="KV cache dtype: int8 = in-graph QDQ; int4 = "
+                         "nibble-packed [B,H,L,hd/2] cache (gpt2)")
     pg.add_argument("--int4", action="store_true",
                     help="INT4 weight-only quantization")
     pg.add_argument("--family", default="gpt2",

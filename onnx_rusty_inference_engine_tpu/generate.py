@@ -52,14 +52,22 @@ class Generator:
         self.batch = batch
         self.prompt_len = prompt_len
         self.max_len = max_len
-        self.kv_dtype = np.dtype(kv_dtype)
+        # int4: nibble-packed [B,H,L,hd/2] int8 cache (gpt2 builder) —
+        # half the KV HBM traffic of int8 on the bandwidth-bound decode
+        self._int4_kv = kv_dtype == "int4"
+        self.kv_dtype = np.dtype(np.int8 if self._int4_kv else kv_dtype)
+        self._kv_q = self._int4_kv or self.kv_dtype == np.int8
+        self._kv_qmax = 7.0 if self._int4_kv else 127.0
 
         from .models import decoder_family
 
         build_prefill, build_decode, int8_kv_ok = decoder_family(family)
-        if self.kv_dtype == np.int8 and not int8_kv_ok:
+        if self._int4_kv and family != "gpt2":
             raise NotImplementedError(
-                f"{family}: in-graph INT8 KV cache not implemented")
+                f"{family}: int4 KV cache is gpt2-only for now")
+        if self._kv_q and not int8_kv_ok:
+            raise NotImplementedError(
+                f"{family}: in-graph quantized KV cache not implemented")
         dkw = {"kv_dtype": kv_dtype} if int8_kv_ok else {}
         # scan-over-layers decode graph: ONE lax.scan over stacked weights
         # instead of n_layer inlined blocks — collapses the per-step HLO op
@@ -143,6 +151,13 @@ class Generator:
     # -- cache quantization (INT8 KV; the decode GRAPH carries the QDQ,
     # so the cache never round-trips HBM in fp32) -----------------------
     def _store(self, kv: jax.Array, scale_name: str) -> jax.Array:
+        if self._int4_kv:
+            # quantize to [-8, 7] and nibble-pack pairs along hd:
+            # p = (q0+8) + 16*q1 — the gpt2 builder's packed layout
+            s = self._kv_scales[scale_name].reshape(1, -1, 1, 1)
+            q = jnp.clip(jnp.round(kv / s), -8, 7)
+            return ((q[..., 0::2] + 8) + 16 * q[..., 1::2]
+                    ).astype(jnp.int8)
         if self.kv_dtype == np.int8:
             s = self._kv_scales[scale_name].reshape(1, -1, 1, 1)
             return jnp.clip(jnp.round(kv / s), -127, 127).astype(jnp.int8)
@@ -285,7 +300,7 @@ class Generator:
                     kv = np.asarray(out[f"present_{kind}_{i}"])
                     amax = np.maximum(np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
                     self._kv_scales[f"kv_scale_{kind}_{i}"] = (
-                        amax / 127.0).astype(np.float32)
+                        amax / self._kv_qmax).astype(np.float32)
             if self._stacked:  # stacked graph takes kv_scale_key [L, H]
                 self._kv_scales = {
                     f"kv_scale_{kind}": np.stack(

@@ -1,0 +1,130 @@
+"""INT4 nibble-packed KV cache (gpt2 family): [B,H,L,hd/2] int8 cache,
+p = (q0+8) + 16*q1 with q in [-8,7]; quantize/pack/update/unpack all
+in-graph (models/gpt2.py), halving KV HBM traffic vs int8 on the
+bandwidth-bound decode read."""
+
+import numpy as np
+
+from onnx_rusty_inference_engine_tpu.engine import Engine
+from onnx_rusty_inference_engine_tpu.generate import Generator
+from onnx_rusty_inference_engine_tpu.graph import import_model
+from onnx_rusty_inference_engine_tpu.models.gpt2 import (
+    TINY,
+    build_gpt2_decode,
+)
+
+rng = np.random.default_rng(47)
+H, HD, L = TINY.n_head, TINY.head_dim, TINY.n_layer
+
+
+def _scales(v=0.05):
+    return {f"kv_scale_{k}_{i}": np.full((H,), v, np.float32)
+            for i in range(L) for k in ("key", "value")}
+
+
+def _pack(q):
+    return ((q[..., 0::2] + 8) + 16 * q[..., 1::2]).astype(np.int8)
+
+
+def _unpack(p):
+    q1 = np.floor((p.astype(np.float64) + 128) / 16) - 8
+    q0 = p - 16 * q1 - 8
+    out = np.empty(p.shape[:-1] + (p.shape[-1] * 2,))
+    out[..., 0::2] = q0
+    out[..., 1::2] = q1
+    return out
+
+
+def test_step_matches_fp32_on_grid_cache():
+    """With the past cache on the int4 grid (exactly representable), the
+    only divergence from fp32 is the NEW token's k/v quantization — and
+    the emitted present must equal numpy quantization of the fp32
+    present bit-for-bit (pack/unpack machinery exact)."""
+    B, ML, s = 2, 16, 0.05
+    g4 = import_model(build_gpt2_decode(TINY, batch=B, max_len=ML,
+                                        kv_dtype="int4"))
+    gf = import_model(build_gpt2_decode(TINY, batch=B, max_len=ML))
+    feed4 = {"input_ids": rng.integers(0, TINY.vocab_size,
+                                       (B, 1)).astype(np.int64),
+             "pos": np.array([3, 5], np.int64), **_scales(s)}
+    feedf = {k: v for k, v in feed4.items()
+             if not k.startswith("kv_scale")}
+    for i in range(L):
+        for k in ("key", "value"):
+            q = rng.integers(-8, 8, (B, H, ML, HD)).astype(np.float32)
+            feedf[f"past_{k}_{i}"] = q * s
+            feed4[f"past_{k}_{i}"] = _pack(q)
+    o4, of = Engine(g4)(feed4), Engine(gf)(feedf)
+    np.testing.assert_allclose(np.asarray(o4["logits"]),
+                               np.asarray(of["logits"]), atol=0.05)
+    for i in range(L):
+        for k in ("key", "value"):
+            p4 = np.asarray(o4[f"present_{k}_{i}"])
+            assert p4.dtype == np.int8 and p4.shape == (B, H, ML, HD // 2)
+            want = np.clip(np.round(
+                np.asarray(of[f"present_{k}_{i}"]) / s), -8, 7)
+            diff = np.abs(_unpack(p4) - want)
+            # f32 (graph) vs f64 (numpy) round-to-nearest ties may land
+            # one step apart; anything larger means broken pack/unpack
+            assert diff.max() <= 1
+            assert (diff > 0).mean() < 0.01
+
+
+def test_chunk_equals_sequential_steps():
+    """chunk=k int4 decode == k sequential int4 steps EXACTLY (identical
+    quantization per token, packed-domain scatter)."""
+    B, ML, k = 2, 16, 4
+    g1 = import_model(build_gpt2_decode(TINY, batch=B, max_len=ML,
+                                        kv_dtype="int4"))
+    gk = import_model(build_gpt2_decode(TINY, batch=B, max_len=ML,
+                                        kv_dtype="int4", chunk=k))
+    e1, ek = Engine(g1), Engine(gk)
+    sc = _scales()
+    ids = rng.integers(0, TINY.vocab_size, (B, k)).astype(np.int64)
+    pos0 = np.array([2, 5], np.int64)
+    cache = {f"past_{kk}_{i}": rng.integers(
+        -128, 128, (B, H, ML, HD // 2)).astype(np.int8)
+        for i in range(L) for kk in ("key", "value")}
+
+    ck = dict(cache)
+    ok = ek({"input_ids": ids, "pos": pos0, **ck, **sc})
+    c1 = dict(cache)
+    for j in range(k):
+        o1 = e1({"input_ids": ids[:, j:j + 1], "pos": pos0 + j,
+                 **c1, **sc})
+        for i in range(L):
+            for kk in ("key", "value"):
+                c1[f"past_{kk}_{i}"] = o1[f"present_{kk}_{i}"]
+    np.testing.assert_allclose(np.asarray(ok["logits"][:, -1]),
+                               np.asarray(o1["logits"][:, -1]),
+                               atol=2e-5, rtol=1e-5)
+    for i in range(L):
+        for kk in ("key", "value"):
+            np.testing.assert_array_equal(
+                np.asarray(ok[f"present_{kk}_{i}"]),
+                np.asarray(c1[f"past_{kk}_{i}"]))
+
+
+def test_generator_int4_kv():
+    """End-to-end generation with the packed cache: deterministic, and
+    the FIRST token (pure prefill, no KV quantization involved) matches
+    fp32 exactly."""
+    kw = dict(batch=2, prompt_len=4, max_len=16)
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    tf, _ = Generator(TINY, **kw).generate(ids, 6)
+    g = Generator(TINY, kv_dtype="int4", **kw)
+    t1, _ = g.generate(ids, 6)
+    t2, _ = g.generate(ids, 6)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(t1[:, 0], tf[:, 0])
+    assert t1.shape == (2, 6)
+
+
+def test_generator_int4_device_loop_parity():
+    """device_loop folds the packed cache into the scanned carry; tokens
+    must equal the int4 host loop exactly."""
+    kw = dict(batch=2, prompt_len=4, max_len=20, kv_dtype="int4")
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    want, _ = Generator(TINY, **kw).generate(ids, 8)
+    got, _ = Generator(TINY, device_loop=4, **kw).generate(ids, 8)
+    np.testing.assert_array_equal(got, want)
