@@ -560,7 +560,7 @@ def main(argv: Optional[list] = None) -> int:
     psl.add_argument("--vocab", type=int, default=256)
     psl.add_argument("--max-len", dest="max_len", type=int, default=128)
     psl.add_argument("--kv-dtype", dest="kv_dtype", default="float32",
-                     choices=["float32", "int8"])
+                     choices=["float32", "int8", "int4"])
     psl.add_argument("--int4", action="store_true")
     psl.add_argument("--family", default="gpt2",
                      choices=["gpt2", "llama", "moe"])

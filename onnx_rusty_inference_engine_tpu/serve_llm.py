@@ -322,7 +322,18 @@ class DecodeServer(_ServerBase):
         self.B = slots
         self.prompt_len = prompt_len
         self.max_len = max_len
-        self.kv_dtype = np.dtype(kv_dtype)
+        # int4: nibble-packed [B,H,L,hd/2] int8 cache (gpt2 builder);
+        # flows through every int8 code path — only the quantize/pack
+        # math and the amax/7 scales differ
+        self._int4_kv = kv_dtype == "int4"
+        self.kv_dtype = np.dtype(np.int8 if self._int4_kv else kv_dtype)
+        self._kv_qmax = 7.0 if self._int4_kv else 127.0
+        if self._int4_kv and family != "gpt2":
+            raise NotImplementedError("int4 KV serving is gpt2-only")
+        if self._int4_kv and chunked_prefill:
+            raise NotImplementedError(
+                "int4 KV with chunked_prefill (shadow calibration) is "
+                "not implemented; use bucketed prefill")
         # prompts pad to the smallest compiled bucket >= their length:
         # one XLA program per bucket (compiled lazily on first use), so
         # short prompts don't pay full-length prefill FLOPs.
@@ -508,6 +519,10 @@ class DecodeServer(_ServerBase):
         if self.kv_dtype != np.int8:
             return kv.astype(np.float32)
         s = self._kv_scales[name].reshape(1, -1, 1, 1)
+        if self._int4_kv:
+            q = np.clip(np.round(kv / s), -8, 7)
+            return ((q[..., 0::2] + 8) + 16 * q[..., 1::2]
+                    ).astype(np.int8)
         return np.clip(np.round(kv / s), -127, 127).astype(np.int8)
 
     def _clear_slot(self, slot: int) -> None:
@@ -623,7 +638,7 @@ class DecodeServer(_ServerBase):
                         amax = np.maximum(
                             np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
                         self._kv_scales[f"kv_scale_{kind}_{i}"] = (
-                            amax / 127.0).astype(np.float32)
+                            amax / self._kv_qmax).astype(np.float32)
 
             store: Dict[str, np.ndarray] = {}
             for i in range(self.cfg.n_layer):

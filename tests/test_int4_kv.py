@@ -128,3 +128,35 @@ def test_generator_int4_device_loop_parity():
     want, _ = Generator(TINY, **kw).generate(ids, 8)
     got, _ = Generator(TINY, device_loop=4, **kw).generate(ids, 8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_server_int4_kv():
+    """Continuous batching over the packed cache: resolves, deterministic
+    across slot reuse, and greedy tokens mostly match fp32 (int4 is
+    lossier than int8 — machinery exactness is covered by the chunk and
+    present tests above)."""
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    prompt = rng.integers(0, TINY.vocab_size, (5,)).astype(np.int64)
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                       kv_dtype="int4")
+    try:
+        got = srv.generate(prompt, 6, timeout=300)
+        again = srv.generate(prompt, 6, timeout=300)  # reused slot
+    finally:
+        srv.stop()
+    assert got == again
+    gen = Generator(TINY, batch=1, prompt_len=5, max_len=24)
+    want = list(gen.generate(prompt[None], 6)[0][0])
+    agree = np.mean([g == w for g, w in zip(got, want)])
+    assert agree >= 0.5, (got, want)
+
+
+def test_decode_server_int4_rejects_chunked():
+    import pytest
+
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    with pytest.raises(NotImplementedError, match="chunked"):
+        DecodeServer(TINY, slots=2, max_len=24, kv_dtype="int4",
+                     chunked_prefill=True)
