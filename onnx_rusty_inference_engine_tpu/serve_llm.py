@@ -869,6 +869,7 @@ class Seq2SeqServer(_ServerBase):
         mesh=None,
         param_sharding_fn=None,
         family: str = "t5",
+        encoder_cache: int = 0,
     ):
         from .models import seq2seq_family
 
@@ -898,7 +899,20 @@ class Seq2SeqServer(_ServerBase):
         self._pos = np.full((slots,), max_len - 1, np.int64)
         self._last_tok = np.full((slots,), start_token, np.int64)
         self._src_lens = np.zeros((slots,), np.int64)
+        # encoder-output cache: repeated sources (the same audio clip /
+        # source sentence) skip the encoder entirely — their cross-K/V
+        # replay from an LRU into the slot (exact; cross state is a pure
+        # function of the source)
+        self.encoder_cache = int(encoder_cache)
+        self._enc_cache: "OrderedDict[bytes, dict]" = OrderedDict()
+        self.encoder_cache_hits = 0
         self._start_dispatch(slots)
+
+    def stats(self) -> Dict[str, float]:
+        s = super().stats()
+        if self.encoder_cache:
+            s["encoder_cache_hits"] = self.encoder_cache_hits
+        return s
 
     # -- client API -------------------------------------------------------
     def submit(self, src: np.ndarray, max_new_tokens: int,
@@ -922,17 +936,29 @@ class Seq2SeqServer(_ServerBase):
 
     # -- dispatcher -------------------------------------------------------
     def _admit(self, slot: int, r: _Request) -> None:
-        src = np.zeros((1, self.src_len), self.fam.prompt_dtype)
-        src[0, : r.prompt.size] = r.prompt
-        feed = {self.fam.enc_input: src}
-        if self.fam.src_mask:
-            feed["src_len"] = np.array([r.prompt.size], np.int64)
-        enc = self.encoder(feed)
-        for i in range(self.n_layers):
-            for kind in ("key", "value"):
-                name = f"cross_{kind}_{i}"
-                self._cache[name] = self._cache[name].at[slot].set(
-                    enc[name][0])
+        key = r.prompt.tobytes()
+        hit = self._enc_cache.get(key) if self.encoder_cache else None
+        if hit is not None:
+            self._enc_cache.move_to_end(key)
+            self.encoder_cache_hits += 1
+            cross = hit
+        else:
+            src = np.zeros((1, self.src_len), self.fam.prompt_dtype)
+            src[0, : r.prompt.size] = r.prompt
+            feed = {self.fam.enc_input: src}
+            if self.fam.src_mask:
+                feed["src_len"] = np.array([r.prompt.size], np.int64)
+            enc = self.encoder(feed)
+            cross = {f"cross_{kind}_{i}":
+                     np.asarray(enc[f"cross_{kind}_{i}"][0])
+                     for i in range(self.n_layers)
+                     for kind in ("key", "value")}
+            if self.encoder_cache:
+                self._enc_cache[key] = cross
+                while len(self._enc_cache) > self.encoder_cache:
+                    self._enc_cache.popitem(last=False)
+        for name, v in cross.items():
+            self._cache[name] = self._cache[name].at[slot].set(v)
         self._req[slot] = r
         self._pos[slot] = 0
         self._last_tok[slot] = self.start_token

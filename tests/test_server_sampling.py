@@ -156,3 +156,24 @@ def test_logit_bias_with_sampling_deterministic():
         srv.stop()
     assert a == b
     assert 0 not in a
+
+
+def test_seq2seq_encoder_cache():
+    """Repeated sources skip the encoder: cross-K/V replay from the LRU,
+    served tokens identical to the cold admission."""
+    from onnx_rusty_inference_engine_tpu.models.t5 import TINY as T5_TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import Seq2SeqServer
+
+    srv = Seq2SeqServer(T5_TINY, slots=2, src_len=8, max_len=16,
+                        encoder_cache=4)
+    try:
+        src = np.asarray([3, 5, 7])
+        cold = srv.submit(src, 4).result(timeout=300)
+        warm = srv.submit(src, 4).result(timeout=300)
+        other = srv.submit(np.asarray([9, 2]), 4).result(timeout=300)
+    finally:
+        srv.stop()
+    assert warm == cold
+    assert len(other) == 4
+    st = srv.stats()
+    assert st["encoder_cache_hits"] == 1
