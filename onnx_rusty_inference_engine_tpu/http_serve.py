@@ -39,6 +39,15 @@ def _prometheus(stats: dict, prefix: str = "oriet") -> bytes:
     return ("\n".join(lines) + "\n").encode()
 
 
+def _send_metrics(handler, stats: dict) -> None:
+    body = _prometheus(stats)
+    handler.send_response(200)
+    handler.send_header("Content-Type", "text/plain; version=0.0.4")
+    handler.send_header("Content-Length", str(len(body)))
+    handler.end_headers()
+    handler.wfile.write(body)
+
+
 def _make_handler(server: InferenceServer, input_name: str):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
@@ -58,13 +67,7 @@ def _make_handler(server: InferenceServer, input_name: str):
             elif self.path == "/v1/stats":
                 self._send(200, server.stats.summary())
             elif self.path == "/metrics":
-                body = _prometheus(server.stats.summary())
-                self.send_response(200)
-                self.send_header("Content-Type",
-                                 "text/plain; version=0.0.4")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                _send_metrics(self, server.stats.summary())
             else:
                 self._send(404, {"error": "not found"})
 
@@ -133,13 +136,7 @@ def _make_generate_handler(server):
             elif self.path == "/v1/stats":
                 self._send(200, server.stats())
             elif self.path == "/metrics":
-                body = _prometheus(server.stats())
-                self.send_response(200)
-                self.send_header("Content-Type",
-                                 "text/plain; version=0.0.4")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                _send_metrics(self, server.stats())
             else:
                 self._send(404, {"error": "not found"})
 
@@ -187,7 +184,13 @@ def _make_generate_handler(server):
             generated token as the slot produces it, then a closing
             {"done": true, "generated_ids": [...]} line. Tokens surface
             mid-generation — the slot keeps decoding in the shared batch
-            while this handler thread drains the queue."""
+            while this handler thread drains the queue.
+
+            Once the 200 + chunked headers are on the wire, failures may
+            NOT start a second response (that would corrupt HTTP/1.1
+            framing): they become a final {"error": ...} line and the
+            stream terminates cleanly; a per-token timeout also cancels
+            the server-side request so the slot is reclaimed."""
             import queue as _queue
 
             tq: "_queue.Queue" = _queue.Queue()
@@ -205,13 +208,29 @@ def _make_generate_handler(server):
                 b = json.dumps(payload).encode() + b"\n"
                 self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
 
-            while True:
-                tok = tq.get(timeout=timeout)
-                if tok is None:
-                    break
-                chunk({"token": int(tok)})
-            chunk({"done": True, "generated_ids": fut.result(0)})
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                while True:
+                    try:
+                        tok = tq.get(timeout=timeout)
+                    except _queue.Empty:
+                        server.cancel(fut)
+                        chunk({"error": "timeout waiting for next token"})
+                        break
+                    if tok is None:
+                        err = fut.exception(timeout=0)
+                        if err is not None:
+                            chunk({"error":
+                                   f"{type(err).__name__}: {err}"})
+                        else:
+                            chunk({"done": True,
+                                   "generated_ids": fut.result(0)})
+                        break
+                    chunk({"token": int(tok)})
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:
+                # client hung up mid-stream: close quietly — a second
+                # response must never start on this connection
+                self.close_connection = True
 
     return Handler
 

@@ -286,7 +286,6 @@ def align_blocks(plan: StagePlan) -> AlignedBlocks:
     extra outputs positionally."""
     blocks = plan.blocks
     b0 = blocks[0]
-    graph_inputs = {i.name for g in blocks for i in g.inputs}
     sig0 = [(n.op_type, n.domain, len(n.inputs)) for n in b0.nodes]
     for g in blocks[1:]:
         sig = [(n.op_type, n.domain, len(n.inputs)) for n in g.nodes]
@@ -470,6 +469,7 @@ class PipelinedDecoder:
         shared_names = list(al.shared_inputs)
         layer_in_names = list(al.layer_inputs)
         prefix_outs = [b_in] + plan.shared
+        self_lps = lps
         M = self.microbatches
 
         def forward(params, inputs, stacked_ins):
@@ -528,7 +528,11 @@ class PipelinedDecoder:
                         out = block_fn(xs_l["params"], feed)
                         return out[blk_out], {k: out[k] for k in extra_names}
 
-                    h_out, extras = lax.scan(body, h_in, xs)
+                    # explicit length: with one layer per stage and all
+                    # consts identical across layers, xs can be EMPTY
+                    # (everything shared) and scan cannot infer it
+                    h_out, extras = lax.scan(body, h_in, xs,
+                                             length=self_lps)
                     nxt = lax.ppermute(h_out, axis,
                                        [(i, i + 1) for i in range(S - 1)])
                     return nxt, (h_out, extras)

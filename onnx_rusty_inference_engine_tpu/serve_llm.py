@@ -112,7 +112,10 @@ def _select_token(logits: np.ndarray, r: _Request) -> int:
         return int(logits.argmax())
     l = logits.astype(np.float64) / r.temperature
     if r.top_k is not None:
-        kth = np.sort(l)[-int(r.top_k)]
+        # clamp to [1, V]: an oversized top_k means "no filtering", and a
+        # crash here would take down every slot sharing the step
+        k = max(1, min(int(r.top_k), l.size))
+        kth = np.sort(l)[-k]
         l = np.where(l >= kth, l, -np.inf)
     if r.top_p is not None:
         sl = np.sort(l)[::-1]
@@ -179,6 +182,13 @@ class _ServerBase:
         self._running = False
         self._q.put(None)
         self._thread.join(timeout=300 if drain else 30)
+        # a submit that passed the _running check concurrently with stop
+        # may land after the dispatcher's final drain — fail it here
+        while not self._q.empty():
+            r = self._q.get()
+            if r is not None:
+                self._fail(None, r, RuntimeError(
+                    "server stopped before request was admitted"))
 
     def cancel(self, future: Future) -> bool:
         """Request-level cancellation: the slot is freed at the next step
@@ -207,6 +217,8 @@ class _ServerBase:
 
     # -- slot lifecycle ---------------------------------------------------
     def _enqueue(self, r: _Request) -> Future:
+        if not self._running:
+            raise RuntimeError("server stopped")
         self._by_future[r.future] = r
         self._q.put(r)
         return r.future
@@ -497,10 +509,11 @@ class DecodeServer(_ServerBase):
         assert prompt_ids.size + max_new_tokens <= self.max_len
         if adapter and not self._lora:
             raise ValueError("adapter requested but server has no lora_bank")
-        if temperature and self.multi_step:
+        if (temperature or logit_bias) and self.multi_step:
             raise ValueError(
-                "per-request sampling needs per-step logits; multi_step "
-                "folds K argmax steps into one dispatch (greedy only)")
+                "per-request sampling/logit_bias needs per-step logits; "
+                "multi_step folds K on-device argmax steps into one "
+                "dispatch (plain greedy only)")
         r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
                      adapter=adapter, temperature=temperature,
                      top_k=top_k, top_p=top_p, seed=seed,

@@ -65,3 +65,32 @@ def test_stop_drain_finishes_everything():
     for f in futs:
         assert len(f.result(timeout=5)) == 6      # already resolved
     assert srv.stats()["requests"] == 5
+
+
+def test_submit_after_stop_raises():
+    srv = DecodeServer(TINY, slots=1, prompt_len=4, max_len=16)
+    srv.stop()
+    with pytest.raises(RuntimeError, match="server stopped"):
+        srv.submit(_prompt(), 2)
+
+
+def test_oversized_top_k_is_clamped():
+    """top_k > vocab must not crash the shared step (it means 'no
+    filtering'), and must not take down other slots."""
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=16)
+    try:
+        out = srv.submit(_prompt(), 3, temperature=1.0, top_k=10 ** 6,
+                         seed=1).result(timeout=300)
+    finally:
+        srv.stop()
+    assert len(out) == 3
+
+
+def test_multi_step_rejects_logit_bias():
+    srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=16,
+                       multi_step=2)
+    try:
+        with pytest.raises(ValueError, match="greedy only"):
+            srv.submit(_prompt(), 2, logit_bias={1: -1e9})
+    finally:
+        srv.stop()
