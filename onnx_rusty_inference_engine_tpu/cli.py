@@ -344,11 +344,24 @@ def cmd_serve_llm(args) -> int:
         cfg = LlamaConfig(vocab_size=args.vocab, max_positions=args.max_len,
                           dim=args.d, n_layer=args.layers, n_head=args.heads,
                           n_kv_head=max(1, args.heads // 2))
-    srv = DecodeServer(cfg, slots=args.slots, prompt_len=args.prompt_len,
-                       max_len=args.max_len, kv_dtype=args.kv_dtype,
-                       int4_weights=args.int4, family=args.family,
-                       multi_step=args.multi_step,
-                       prompt_cache=args.prompt_cache)
+    if args.draft_layers:
+        # lossless speculative serving: served tokens == target greedy
+        import dataclasses
+
+        from .serve_llm import SpeculativeServer
+
+        dcfg = dataclasses.replace(cfg, n_layer=args.draft_layers)
+        srv = SpeculativeServer(cfg, dcfg, slots=args.slots,
+                                prompt_len=args.prompt_len,
+                                max_len=args.max_len, k=args.spec_k,
+                                family=args.family, draft_seed=1)
+    else:
+        srv = DecodeServer(cfg, slots=args.slots,
+                           prompt_len=args.prompt_len,
+                           max_len=args.max_len, kv_dtype=args.kv_dtype,
+                           int4_weights=args.int4, family=args.family,
+                           multi_step=args.multi_step,
+                           prompt_cache=args.prompt_cache)
     print(f"serving on :{args.port} (POST /v1/generate)", file=sys.stderr)
     serve_generate_http(srv, port=args.port)
     return 0
@@ -566,6 +579,12 @@ def main(argv: Optional[list] = None) -> int:
                      choices=["gpt2", "llama", "moe"])
     psl.add_argument("--multi-step", dest="multi_step", type=int, default=0,
                      metavar="K", help="K greedy decode steps per dispatch")
+    psl.add_argument("--draft-layers", dest="draft_layers", type=int,
+                     default=0, metavar="N",
+                     help="serve with lossless speculative decoding: an "
+                          "N-layer same-vocab draft proposes, the target "
+                          "verifies each chunk (SpeculativeServer)")
+    psl.add_argument("--spec-k", dest="spec_k", type=int, default=4)
     psl.add_argument("--prompt-cache", dest="prompt_cache", type=int,
                      default=0, metavar="N",
                      help="cache up to N prompts' KV (LRU): exact-match "

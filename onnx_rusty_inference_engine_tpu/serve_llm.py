@@ -42,7 +42,7 @@ from .engine import Engine
 from .graph import import_model
 from .models.gpt2 import GPT2Config, build_gpt2, build_gpt2_decode
 
-__all__ = ["DecodeServer", "Seq2SeqServer"]
+__all__ = ["DecodeServer", "Seq2SeqServer", "SpeculativeServer"]
 
 
 class _Request:
@@ -999,3 +999,187 @@ class Seq2SeqServer(_ServerBase):
             if (len(r.tokens) >= r.max_new or tok == r.eos_id
                     or _hits_stop(r)):
                 self._finish(s, r)
+
+
+class SpeculativeServer(_ServerBase):
+    """Continuous-batching speculative decoding: every server step runs
+    ONE speculation round over the whole slot pool — the draft proposes
+    k-1 tokens per slot (k-1 batched draft dispatches), the target
+    verifies all k in ONE chunk call, and each slot accepts its own
+    greedy-matched prefix + 1 corrected token (per-slot `pos [B]` makes
+    variable acceptance free). Greedy verification is LOSSLESS: served
+    tokens equal the target's own greedy decode exactly, whatever the
+    draft proposes — the draft only changes how many dispatches a token
+    costs (tests assert served == isolated).
+
+    Slots park at pos = max_len - k so draft steps (pos .. pos+k-2) and
+    the verify chunk never index past the cache/position tables; parked
+    rows are stale-but-masked exactly like DecodeServer's.
+
+    Greedy-only: per-request sampling/logit_bias would break the
+    lossless-verification contract (submit rejects them)."""
+
+    def __init__(
+        self,
+        target_cfg,
+        draft_cfg=None,
+        *,
+        slots: int = 4,
+        prompt_len: int = 8,
+        max_len: int = 64,
+        k: int = 4,
+        target_seed: int = 0,
+        draft_seed: int = 1,
+        family: str = "gpt2",
+        mesh=None,
+        param_sharding_fn=None,
+    ):
+        from .models import decoder_family
+
+        build_prefill, build_decode, _ = decoder_family(family)
+        self.cfg = target_cfg
+        self.dcfg = draft_cfg if draft_cfg is not None else target_cfg
+        assert self.dcfg.vocab_size == target_cfg.vocab_size
+        self.k = int(k)
+        assert self.k >= 2
+        self.prompt_len = prompt_len
+        self.max_len = max_len
+        self.kv_dtype = np.dtype(np.float32)
+
+        pkw = ({"past_len": 0, "with_presents": True} if family == "gpt2"
+               else {"with_presents": True})
+        ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
+        self.t_prefill = Engine(import_model(build_prefill(
+            target_cfg, batch=1, seq_len=prompt_len, seed=target_seed,
+            **pkw)), **ekw)
+        self.d_prefill = Engine(import_model(build_prefill(
+            self.dcfg, batch=1, seq_len=prompt_len, seed=draft_seed,
+            **pkw)), **ekw)
+        self.t_verify = Engine(import_model(build_decode(
+            target_cfg, batch=slots, max_len=max_len, seed=target_seed,
+            chunk=self.k)), **ekw)
+        self.d_decode = Engine(import_model(build_decode(
+            self.dcfg, batch=slots, max_len=max_len, seed=draft_seed)),
+            **ekw)
+
+        def _zeros(cfg):
+            Hc = getattr(cfg, "n_kv_head", None) or cfg.n_head
+            return {f"past_{kind}_{i}": jnp.zeros(
+                (slots, Hc, max_len, cfg.head_dim), jnp.float32)
+                for i in range(cfg.n_layer) for kind in ("key", "value")}
+
+        self._t_cache = _zeros(target_cfg)
+        self._d_cache = _zeros(self.dcfg)
+        self._pos = np.full((slots,), max_len - self.k, np.int64)
+        self._last_tok = np.zeros((slots,), np.int64)
+        self.accepted_total = 0
+        self.proposed_total = 0
+        self._start_dispatch(slots)
+
+    def stats(self) -> Dict[str, float]:
+        s = super().stats()
+        s["acceptance_rate"] = (self.accepted_total / self.proposed_total
+                                if self.proposed_total else 0.0)
+        return s
+
+    def _clear_slot(self, slot: int) -> None:
+        self._req[slot] = None
+        self._pos[slot] = self.max_len - self.k    # park (see docstring)
+
+    # -- client API ------------------------------------------------------
+    def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
+               eos_id: Optional[int] = None,
+               stop_sequences: Optional[List[List[int]]] = None,
+               on_token=None, **kw) -> Future:
+        if any(kw.get(p) for p in ("temperature", "top_k", "top_p",
+                                   "logit_bias", "adapter")):
+            raise ValueError("SpeculativeServer is greedy-only (lossless "
+                             "verification); use DecodeServer for "
+                             "sampling/adapters")
+        prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
+        assert 1 <= prompt_ids.size <= self.prompt_len
+        assert prompt_ids.size + max_new_tokens + self.k <= self.max_len
+        r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
+                     on_token=on_token)
+        return self._enqueue(r)
+
+    # -- dispatcher ------------------------------------------------------
+    def _admit(self, slot: int, r: _Request) -> None:
+        plen = r.prompt.size
+        padded = np.zeros((1, self.prompt_len), np.int64)
+        padded[0, :plen] = r.prompt
+        t_out = self.t_prefill({"input_ids": padded})
+        d_out = self.d_prefill({"input_ids": padded})
+        for cache, out, cfg in ((self._t_cache, t_out, self.cfg),
+                                (self._d_cache, d_out, self.dcfg)):
+            for i in range(cfg.n_layer):
+                for kind in ("key", "value"):
+                    kv = out[f"present_{kind}_{i}"][0]   # [H, P, hd]
+                    name = f"past_{kind}_{i}"
+                    cache[name] = cache[name].at[
+                        slot, :, : self.prompt_len].set(kv)
+        first = int(np.asarray(t_out["logits"])[0, plen - 1].argmax())
+        r.emit(first)
+        self.tokens_out += 1
+        if (len(r.tokens) >= r.max_new or first == r.eos_id
+                or _hits_stop(r)):
+            self._finish(None, r)
+            return
+        self._req[slot] = r
+        self._pos[slot] = plen
+        self._last_tok[slot] = first
+
+    def _step(self) -> None:
+        k = self.k
+        pos = self._pos.copy()
+        drafts = [self._last_tok.copy()]
+        d_tok = self._last_tok.copy()
+        for j in range(k - 1):
+            feed = {"input_ids": jnp.asarray(d_tok[:, None]),
+                    "pos": jnp.asarray(pos + j), **self._d_cache}
+            step = self.d_decode(feed)
+            for i in range(self.dcfg.n_layer):
+                for kind in ("key", "value"):
+                    self._d_cache[f"past_{kind}_{i}"] = step[
+                        f"present_{kind}_{i}"]
+            d_tok = np.asarray(step["logits"])[:, -1, :].argmax(-1
+                                                               ).astype(np.int64)
+            drafts.append(d_tok)
+        # write the LAST draft token's KV row too: a full-acceptance
+        # round jumps pos past it, and an unwritten row would be attended
+        # by every later draft step (same fix as SpeculativeGenerator)
+        feed = {"input_ids": jnp.asarray(d_tok[:, None]),
+                "pos": jnp.asarray(pos + k - 1), **self._d_cache}
+        step = self.d_decode(feed)
+        for i in range(self.dcfg.n_layer):
+            for kind in ("key", "value"):
+                self._d_cache[f"past_{kind}_{i}"] = step[
+                    f"present_{kind}_{i}"]
+        chunk = np.stack(drafts, axis=1)                     # [B, k]
+
+        vout = self.t_verify({"input_ids": jnp.asarray(chunk),
+                              "pos": jnp.asarray(pos), **self._t_cache})
+        for i in range(self.cfg.n_layer):
+            for kind in ("key", "value"):
+                self._t_cache[f"past_{kind}_{i}"] = vout[
+                    f"present_{kind}_{i}"]
+        tpred = np.asarray(vout["logits"]).argmax(-1)        # [B, k]
+        self.steps += 1
+        self._occupancy_sum += len(self._active())
+
+        for s in self._active():
+            r = self._req[s]
+            m = 0
+            while m < k - 1 and chunk[s, m + 1] == tpred[s, m]:
+                m += 1
+            self.accepted_total += m
+            self.proposed_total += k - 1
+            self._pos[s] += m + 1
+            self._last_tok[s] = tpred[s, m]
+            for t in tpred[s, : m + 1]:
+                r.emit(int(t))
+                self.tokens_out += 1
+                if (len(r.tokens) >= r.max_new or t == r.eos_id
+                        or _hits_stop(r)):
+                    self._finish(s, r)
+                    break

@@ -1,0 +1,96 @@
+"""Speculative decoding in the continuous-batching server
+(serve_llm.SpeculativeServer): one speculation round per server step over
+the whole slot pool; greedy verification is LOSSLESS, so served tokens
+must EXACTLY match the target model's isolated greedy generation."""
+
+import numpy as np
+import pytest
+
+from onnx_rusty_inference_engine_tpu.generate import Generator
+from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+from onnx_rusty_inference_engine_tpu.serve_llm import SpeculativeServer
+
+import dataclasses
+
+rng = np.random.default_rng(61)
+DRAFT = dataclasses.replace(TINY, n_layer=1)
+
+
+def _reference(prompt, n_new, max_len):
+    gen = Generator(TINY, batch=1, prompt_len=prompt.size, max_len=max_len)
+    return [int(t) for t in gen.generate(prompt[None], n_new)[0][0]]
+
+
+def test_spec_server_matches_isolated_generation():
+    """Staggered requests over fewer slots: every sequence equals the
+    target's own greedy decode token-for-token (losslessness survives
+    continuous batching and slot reuse)."""
+    srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=8,
+                            max_len=48, k=4, draft_seed=1)
+    try:
+        reqs = []
+        for i in range(5):
+            plen = int(rng.integers(2, 9))
+            n_new = int(rng.integers(3, 9))
+            p = rng.integers(0, TINY.vocab_size, (plen,)).astype(np.int64)
+            reqs.append((p, n_new, srv.submit(p, n_new)))
+        for p, n_new, fut in reqs:
+            got = fut.result(timeout=300)
+            want = _reference(p, n_new, 48)
+            assert got == want, (p, got, want)
+        st = srv.stats()
+    finally:
+        srv.stop()
+    assert 0.0 <= st["acceptance_rate"] <= 1.0
+    assert st["requests"] == 5
+
+
+def test_spec_server_draft_is_target_accepts_everything():
+    """With draft == target (same seed), every proposal verifies: the
+    acceptance rate is 1.0 and dispatch count collapses."""
+    srv = SpeculativeServer(TINY, TINY, slots=2, prompt_len=6,
+                            max_len=48, k=4, draft_seed=0)
+    try:
+        p = rng.integers(0, TINY.vocab_size, (5,)).astype(np.int64)
+        got = srv.submit(p, 9).result(timeout=300)
+        st = srv.stats()
+    finally:
+        srv.stop()
+    assert got == _reference(p, 9, 48)
+    assert st["acceptance_rate"] == 1.0
+
+
+def test_spec_server_eos_and_stop():
+    srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=6,
+                            max_len=48, k=3)
+    try:
+        p = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+        ref = _reference(p, 8, 48)
+        eos = ref[2]
+        got = srv.submit(p, 8, eos_id=eos).result(timeout=300)
+    finally:
+        srv.stop()
+    want = ref[: ref.index(eos) + 1] if eos in ref else ref
+    assert got == want
+
+
+def test_spec_server_rejects_sampling():
+    srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=6,
+                            max_len=48)
+    try:
+        with pytest.raises(ValueError, match="greedy-only"):
+            srv.submit(np.array([1, 2, 3]), 4, temperature=1.0)
+    finally:
+        srv.stop()
+
+
+def test_spec_server_streams_tokens():
+    srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=6,
+                            max_len=48, k=3)
+    try:
+        p = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+        seen = []
+        got = srv.submit(p, 6, on_token=seen.append).result(timeout=300)
+    finally:
+        srv.stop()
+    assert seen == got == _reference(p, 6, 48)
