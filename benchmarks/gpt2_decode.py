@@ -136,6 +136,20 @@ def main() -> None:
     t_48 = bench(g4kv8, "int4_weights_int8_kv", feed_q)
     t_f48 = bench(quantize_weights_int4(g_fused_kv8),
                   "int4_weights_int8_kv_fusedattn", feed_q)
+    # int4 KV: nibble-packed [B,H,L,hd/2] cache — half the int8 cache's
+    # HBM read volume on the bandwidth-bound decode step
+    g_kv4 = import_model(build_gpt2_decode(cfg, batch=B, max_len=L,
+                                           kv_dtype="int4"))
+    feed_q4 = {"input_ids": feed_f["input_ids"], "pos": feed_f["pos"]}
+    for kind in ("key", "value"):
+        packed = rng.integers(-128, 128,
+                              (B, H, L, hd // 2)).astype(np.int8)
+        for i in range(NL):
+            feed_q4[f"past_{kind}_{i}"] = jnp.asarray(packed)
+            feed_q4[f"kv_scale_{kind}_{i}"] = jnp.full((H,), 1 / 16,
+                                                       jnp.float32)
+    t_k4 = bench(quantize_weights_int4(g_kv4), "int4_weights_int4_kv",
+                 feed_q4)
     # scan-over-layers forms: same math, ONE lax.scan body instead of
     # n_layer inlined blocks -> far fewer HLO ops per step (dispatch-gap fix)
     t_sf = bench(g_scan, "scan_fp32", make_feed(False, stacked=True),
@@ -147,6 +161,8 @@ def main() -> None:
                       "value": round(t_f / t_4, 3)}))
     print(json.dumps({"metric": "gpt2_decode_int4_int8kv_speedup",
                       "value": round(t_f / t_48, 3)}))
+    print(json.dumps({"metric": "gpt2_decode_int4_int4kv_speedup",
+                      "value": round(t_f / t_k4, 3)}))
     print(json.dumps({"metric": "gpt2_decode_fusedattn_speedup",
                       "value": round(t_f / t_f48, 3)}))
     print(json.dumps({"metric": "gpt2_decode_scan_speedup_vs_fp32",
