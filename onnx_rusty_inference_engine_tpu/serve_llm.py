@@ -1016,8 +1016,13 @@ class SpeculativeServer(_ServerBase):
     the verify chunk never index past the cache/position tables; parked
     rows are stale-but-masked exactly like DecodeServer's.
 
-    Greedy-only: per-request sampling/logit_bias would break the
-    lossless-verification contract (submit rejects them)."""
+    Per-request temperature > 0 switches that slot to speculative
+    REJECTION sampling (Leviathan et al.): draft token x ~ q accepted
+    with prob min(1, p(x)/q(x)); on rejection the emitted token draws
+    from normalize(max(p−q, 0)) — the slot's output DISTRIBUTION equals
+    plain target sampling at that temperature, reproducible per request
+    seed. top_k/top_p/logit_bias stay rejected (they would break the
+    verification identity)."""
 
     def __init__(
         self,
@@ -1090,18 +1095,30 @@ class SpeculativeServer(_ServerBase):
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
                eos_id: Optional[int] = None,
                stop_sequences: Optional[List[List[int]]] = None,
-               on_token=None, **kw) -> Future:
-        if any(kw.get(p) for p in ("temperature", "top_k", "top_p",
+               on_token=None,
+               temperature: float = 0.0,
+               seed: int = 0, **kw) -> Future:
+        if any(kw.get(p) for p in ("top_k", "top_p",
                                    "logit_bias", "adapter")):
-            raise ValueError("SpeculativeServer is greedy-only (lossless "
-                             "verification); use DecodeServer for "
-                             "sampling/adapters")
+            raise ValueError(
+                "SpeculativeServer verifies exactly (greedy) or by "
+                "rejection sampling (temperature); top_k/top_p/"
+                "logit_bias/adapter would break that identity — use "
+                "DecodeServer for them")
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         assert 1 <= prompt_ids.size <= self.prompt_len
         assert prompt_ids.size + max_new_tokens + self.k <= self.max_len
         r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
-                     on_token=on_token)
+                     on_token=on_token, temperature=temperature,
+                     seed=seed)
         return self._enqueue(r)
+
+    @staticmethod
+    def _soft(row: np.ndarray, temperature: float) -> np.ndarray:
+        z = row.astype(np.float64) / temperature
+        z -= z.max()
+        e = np.exp(z)
+        return e / e.sum()
 
     # -- dispatcher ------------------------------------------------------
     def _admit(self, slot: int, r: _Request) -> None:
@@ -1118,7 +1135,7 @@ class SpeculativeServer(_ServerBase):
                     name = f"past_{kind}_{i}"
                     cache[name] = cache[name].at[
                         slot, :, : self.prompt_len].set(kv)
-        first = int(np.asarray(t_out["logits"])[0, plen - 1].argmax())
+        first = _select_token(np.asarray(t_out["logits"])[0, plen - 1], r)
         r.emit(first)
         self.tokens_out += 1
         if (len(r.tokens) >= r.max_new or first == r.eos_id
@@ -1132,8 +1149,14 @@ class SpeculativeServer(_ServerBase):
     def _step(self) -> None:
         k = self.k
         pos = self._pos.copy()
+        # sampled slots draft by sampling from q (their own temperature,
+        # their own PRNG); greedy slots draft by argmax — per-slot, from
+        # the same batched draft dispatch
+        sampled = {s: self._req[s] for s in self._active()
+                   if self._req[s].temperature > 0.0}
         drafts = [self._last_tok.copy()]
         d_tok = self._last_tok.copy()
+        q_dists: List[Dict[int, np.ndarray]] = []  # per j: slot -> q [V]
         for j in range(k - 1):
             feed = {"input_ids": jnp.asarray(d_tok[:, None]),
                     "pos": jnp.asarray(pos + j), **self._d_cache}
@@ -1142,8 +1165,14 @@ class SpeculativeServer(_ServerBase):
                 for kind in ("key", "value"):
                     self._d_cache[f"past_{kind}_{i}"] = step[
                         f"present_{kind}_{i}"]
-            d_tok = np.asarray(step["logits"])[:, -1, :].argmax(-1
-                                                               ).astype(np.int64)
+            dl = np.asarray(step["logits"])[:, -1, :]
+            d_tok = dl.argmax(-1).astype(np.int64)
+            qj: Dict[int, np.ndarray] = {}
+            for s, r in sampled.items():
+                q = self._soft(dl[s], r.temperature)
+                qj[s] = q
+                d_tok[s] = r.rng.choice(q.size, p=q)
+            q_dists.append(qj)
             drafts.append(d_tok)
         # write the LAST draft token's KV row too: a full-acceptance
         # round jumps pos past it, and an unwritten row would be attended
@@ -1163,20 +1192,50 @@ class SpeculativeServer(_ServerBase):
             for kind in ("key", "value"):
                 self._t_cache[f"past_{kind}_{i}"] = vout[
                     f"present_{kind}_{i}"]
-        tpred = np.asarray(vout["logits"]).argmax(-1)        # [B, k]
+        t_logits = np.asarray(vout["logits"])                # [B, k, V]
+        tpred = t_logits.argmax(-1)                          # [B, k]
         self.steps += 1
         self._occupancy_sum += len(self._active())
 
         for s in self._active():
             r = self._req[s]
-            m = 0
-            while m < k - 1 and chunk[s, m + 1] == tpred[s, m]:
-                m += 1
+            if r.temperature > 0.0:
+                # rejection sampling (Leviathan): accept x ~ q with prob
+                # min(1, p(x)/q(x)); on rejection draw from max(p-q, 0)
+                p_dists = [self._soft(t_logits[s, j], r.temperature)
+                           for j in range(k)]
+                out_toks = []
+                m = 0
+                for j in range(k - 1):
+                    x = int(chunk[s, j + 1])
+                    qx = q_dists[j][s][x]
+                    px = p_dists[j][x]
+                    if r.rng.random() < min(1.0, px / max(qx, 1e-30)):
+                        out_toks.append(x)
+                        m += 1
+                        continue
+                    res = np.maximum(p_dists[j] - q_dists[j][s], 0.0)
+                    tot = res.sum()
+                    if tot <= 0:  # q covers p exactly; resample p
+                        res, tot = p_dists[j], 1.0
+                    out_toks.append(int(r.rng.choice(res.size,
+                                                     p=res / tot)))
+                    break
+                else:
+                    # every draft accepted: bonus token from p_{k-1}
+                    out_toks.append(int(r.rng.choice(
+                        p_dists[k - 1].size, p=p_dists[k - 1])))
+                accepted = out_toks
+            else:
+                m = 0
+                while m < k - 1 and chunk[s, m + 1] == tpred[s, m]:
+                    m += 1
+                accepted = [int(t) for t in tpred[s, : m + 1]]
             self.accepted_total += m
             self.proposed_total += k - 1
-            self._pos[s] += m + 1
-            self._last_tok[s] = tpred[s, m]
-            for t in tpred[s, : m + 1]:
+            self._pos[s] += len(accepted)
+            self._last_tok[s] = accepted[-1]
+            for t in accepted:
                 r.emit(int(t))
                 self.tokens_out += 1
                 if (len(r.tokens) >= r.max_new or t == r.eos_id

@@ -74,12 +74,16 @@ def test_spec_server_eos_and_stop():
     assert got == want
 
 
-def test_spec_server_rejects_sampling():
+def test_spec_server_rejects_filtering():
+    """temperature is supported (rejection sampling); top_k/top_p/
+    logit_bias/adapter are not — they break the verification identity."""
     srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=6,
                             max_len=48)
     try:
-        with pytest.raises(ValueError, match="greedy-only"):
-            srv.submit(np.array([1, 2, 3]), 4, temperature=1.0)
+        for bad in ({"top_p": 0.9}, {"logit_bias": {1: -1e9}},
+                    {"adapter": 1}):
+            with pytest.raises(ValueError, match="DecodeServer"):
+                srv.submit(np.array([1, 2, 3]), 4, **bad)
     finally:
         srv.stop()
 
@@ -94,3 +98,46 @@ def test_spec_server_streams_tokens():
     finally:
         srv.stop()
     assert seen == got == _reference(p, 6, 48)
+
+
+def test_spec_server_sampled_rejection():
+    """temperature > 0 per slot: speculative rejection sampling —
+    deterministic per seed, co-batched greedy slots unaffected, and
+    draft == target accepts every proposal (q == p => prob 1)."""
+    srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=6,
+                            max_len=48, k=3)
+    try:
+        pg = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+        ps = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+        fg = srv.submit(pg, 6)
+        fs = srv.submit(ps, 6, temperature=1.0, seed=9)
+        greedy, s1 = fg.result(timeout=300), fs.result(timeout=300)
+        s2 = srv.submit(ps, 6, temperature=1.0, seed=9).result(timeout=300)
+    finally:
+        srv.stop()
+    assert greedy == _reference(pg, 6, 48)   # greedy slot stays lossless
+    assert len(s1) == 6 and all(0 <= t < TINY.vocab_size for t in s1)
+    # NOTE: s1 vs s2 ran in different co-batch states; per-slot math is
+    # independent of co-slots, so the stream must reproduce
+    assert s1 == s2
+
+    srv2 = SpeculativeServer(TINY, TINY, slots=2, prompt_len=6,
+                             max_len=48, k=3, draft_seed=0)
+    try:
+        out = srv2.submit(ps, 8, temperature=0.7, seed=3).result(
+            timeout=300)
+        st = srv2.stats()
+    finally:
+        srv2.stop()
+    assert len(out) == 8
+    assert st["acceptance_rate"] == 1.0      # q == p: always accepted
+
+
+def test_spec_server_still_rejects_topk():
+    srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=6,
+                            max_len=48)
+    try:
+        with pytest.raises(ValueError, match="DecodeServer"):
+            srv.submit(np.array([1, 2, 3]), 4, top_k=5)
+    finally:
+        srv.stop()
