@@ -211,6 +211,18 @@ def cmd_generate(args) -> int:
                        d_ff=4 * args.d)
         src = np.asarray([int(t) for t in args.prompt_ids.split(",")],
                          dtype=np.int64)[None]
+        if args.beam > 1:
+            from .generate import Seq2SeqBeamGenerator
+
+            bg = Seq2SeqBeamGenerator(cfg, batch=1, beam=args.beam,
+                                      src_len=src.shape[1],
+                                      max_len=args.max_len)
+            toks, scores = bg.generate(src, args.new)
+            print(json.dumps({"family": "t5", "src": src[0].tolist(),
+                              "generated": toks[0].tolist(),
+                              "beam": args.beam,
+                              "score": round(float(scores[0]), 4)}))
+            return 0
         gen = Seq2SeqGenerator(cfg, batch=1, src_len=src.shape[1],
                                max_len=args.max_len,
                                kv_dtype=args.kv_dtype,
