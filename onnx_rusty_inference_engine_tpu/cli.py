@@ -202,6 +202,11 @@ def cmd_quantize(args) -> int:
 def cmd_generate(args) -> int:
     from .generate import Generator
 
+    if args.kv_dtype == "int4" and args.family != "gpt2":
+        print("error: --kv-dtype int4 is gpt2-only (nibble-packed cache "
+              "in the gpt2 decode builder)", file=sys.stderr)
+        return 2
+
     if args.family == "t5":
         from .generate import Seq2SeqGenerator
         from .models.t5 import T5Config
@@ -357,7 +362,19 @@ def cmd_serve_llm(args) -> int:
                           dim=args.d, n_layer=args.layers, n_head=args.heads,
                           n_kv_head=max(1, args.heads // 2))
     if args.draft_layers:
-        # lossless speculative serving: served tokens == target greedy
+        # lossless speculative serving: served tokens == target greedy.
+        # SpeculativeServer runs fp32 weights/KV with no prompt cache —
+        # reject flags it would silently ignore
+        bad = [flag for flag, on in (
+            ("--kv-dtype", args.kv_dtype != "float32"),
+            ("--int4", args.int4),
+            ("--multi-step", args.multi_step),
+            ("--prompt-cache", args.prompt_cache)) if on]
+        if bad:
+            print(f"error: {', '.join(bad)} not supported with "
+                  "--draft-layers (SpeculativeServer is fp32, no prompt "
+                  "cache)", file=sys.stderr)
+            return 2
         import dataclasses
 
         from .serve_llm import SpeculativeServer

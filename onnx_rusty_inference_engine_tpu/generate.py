@@ -152,12 +152,10 @@ class Generator:
     # so the cache never round-trips HBM in fp32) -----------------------
     def _store(self, kv: jax.Array, scale_name: str) -> jax.Array:
         if self._int4_kv:
-            # quantize to [-8, 7] and nibble-pack pairs along hd:
-            # p = (q0+8) + 16*q1 — the gpt2 builder's packed layout
+            from .quant import pack_int4_kv
+
             s = self._kv_scales[scale_name].reshape(1, -1, 1, 1)
-            q = jnp.clip(jnp.round(kv / s), -8, 7)
-            return ((q[..., 0::2] + 8) + 16 * q[..., 1::2]
-                    ).astype(jnp.int8)
+            return pack_int4_kv(kv, s, xp=jnp)
         if self.kv_dtype == np.int8:
             s = self._kv_scales[scale_name].reshape(1, -1, 1, 1)
             return jnp.clip(jnp.round(kv / s), -127, 127).astype(jnp.int8)

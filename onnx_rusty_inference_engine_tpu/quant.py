@@ -777,3 +777,17 @@ def quantize_weights_int4(
     )
     prune_dead(g4)
     return g4
+
+
+def pack_int4_kv(kv, scale, xp=np):
+    """Quantize + nibble-pack a KV tensor for the int4 cache layout the
+    gpt2 decode graph expects (models/gpt2.py _q4_pack): per-head scale
+    [..., H, 1, 1]-broadcastable, q = clip(round(kv/s), -8, 7) packed as
+    p = (q0+8) + 16*q1 over hd pairs -> int8 [..., hd/2].
+
+    The SINGLE source of truth for the packed layout — generate.Generator
+    and serve_llm.DecodeServer both call this (host numpy or jnp via xp);
+    the graph-side unpack inverts it. Change them together."""
+    q = xp.clip(xp.round(kv / scale), -8, 7)
+    return ((q[..., 0::2] + 8) + 16 * q[..., 1::2]).astype(
+        xp.int8 if xp is np else "int8")

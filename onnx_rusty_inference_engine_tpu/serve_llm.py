@@ -154,6 +154,7 @@ class _ServerBase:
         self._req: List[Optional[_Request]] = [None] * slots
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._by_future: Dict[Future, _Request] = {}
+        self._submit_lock = threading.Lock()
         self._running = True
         self._draining = False
         self.steps = 0
@@ -179,16 +180,25 @@ class _ServerBase:
         callers never hang on a stopped server."""
         if drain:
             self._draining = True
-        self._running = False
+        with self._submit_lock:
+            # _enqueue holds this lock across its running-check + put, so
+            # after this flip no new request can slip past both drains
+            self._running = False
         self._q.put(None)
         self._thread.join(timeout=300 if drain else 30)
-        # a submit that passed the _running check concurrently with stop
-        # may land after the dispatcher's final drain — fail it here
-        while not self._q.empty():
-            r = self._q.get()
+        self._drain_queue("server stopped before request was admitted")
+
+    def _drain_queue(self, msg: str) -> None:
+        # non-blocking: a still-alive dispatcher (e.g. blocked in a long
+        # first compile) may be draining concurrently — get() would
+        # deadlock on the race where it wins the last item
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                return
             if r is not None:
-                self._fail(None, r, RuntimeError(
-                    "server stopped before request was admitted"))
+                self._fail(None, r, RuntimeError(msg))
 
     def cancel(self, future: Future) -> bool:
         """Request-level cancellation: the slot is freed at the next step
@@ -217,10 +227,13 @@ class _ServerBase:
 
     # -- slot lifecycle ---------------------------------------------------
     def _enqueue(self, r: _Request) -> Future:
-        if not self._running:
-            raise RuntimeError("server stopped")
-        self._by_future[r.future] = r
-        self._q.put(r)
+        # lock pairs with stop()'s _running flip: either we raise, or our
+        # put is in the queue before the flip and a drain will see it
+        with self._submit_lock:
+            if not self._running:
+                raise RuntimeError("server stopped")
+            self._by_future[r.future] = r
+            self._q.put(r)
         return r.future
 
     def _clear_slot(self, slot: int) -> None:
@@ -288,11 +301,7 @@ class _ServerBase:
         for s in self._active():
             self._fail(s, self._req[s],
                        RuntimeError("server stopped with request in flight"))
-        while not self._q.empty():
-            r = self._q.get()
-            if r is not None:
-                self._fail(None, r, RuntimeError("server stopped before "
-                                                 "request was admitted"))
+        self._drain_queue("server stopped before request was admitted")
 
 
 class DecodeServer(_ServerBase):
@@ -533,9 +542,9 @@ class DecodeServer(_ServerBase):
             return kv.astype(np.float32)
         s = self._kv_scales[name].reshape(1, -1, 1, 1)
         if self._int4_kv:
-            q = np.clip(np.round(kv / s), -8, 7)
-            return ((q[..., 0::2] + 8) + 16 * q[..., 1::2]
-                    ).astype(np.int8)
+            from .quant import pack_int4_kv
+
+            return pack_int4_kv(kv, s)
         return np.clip(np.round(kv / s), -127, 127).astype(np.int8)
 
     def _clear_slot(self, slot: int) -> None:
@@ -962,12 +971,14 @@ class Seq2SeqServer(_ServerBase):
             if self.fam.src_mask:
                 feed["src_len"] = np.array([r.prompt.size], np.int64)
             enc = self.encoder(feed)
-            cross = {f"cross_{kind}_{i}":
-                     np.asarray(enc[f"cross_{kind}_{i}"][0])
+            # keep the arrays on device for the slot write; materialize
+            # to host only when an LRU entry is actually stored
+            cross = {f"cross_{kind}_{i}": enc[f"cross_{kind}_{i}"][0]
                      for i in range(self.n_layers)
                      for kind in ("key", "value")}
             if self.encoder_cache:
-                self._enc_cache[key] = cross
+                self._enc_cache[key] = {n: np.asarray(v)
+                                        for n, v in cross.items()}
                 while len(self._enc_cache) > self.encoder_cache:
                     self._enc_cache.popitem(last=False)
         for name, v in cross.items():
