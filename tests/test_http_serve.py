@@ -195,3 +195,37 @@ def test_http_metrics_endpoints():
     assert "oriet_requests 1" in text
     assert "oriet_tokens_out" in text
     assert "# TYPE oriet_requests gauge" in text
+
+
+def test_http_speculative_server():
+    """The generation front end serves SpeculativeServer too (shared
+    _ServerBase); unsupported knobs surface as clean 400s."""
+    import dataclasses
+
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+    from onnx_rusty_inference_engine_tpu.http_serve import serve_generate_http
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import SpeculativeServer
+
+    srv = SpeculativeServer(TINY, dataclasses.replace(TINY, n_layer=1),
+                            slots=2, prompt_len=6, max_len=32, k=3)
+    httpd = serve_generate_http(srv, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        prompt = [3, 1, 4, 1]
+        status, out = _post(port, "/v1/generate",
+                            {"prompt_ids": prompt, "max_new_tokens": 4})
+        assert status == 200
+        gen = Generator(TINY, batch=1, prompt_len=4, max_len=32)
+        want = [int(t) for t in
+                gen.generate(np.asarray([prompt], np.int64), 4)[0][0]]
+        assert out["generated_ids"] == want       # lossless over HTTP
+        status, err = _post(port, "/v1/generate",
+                            {"prompt_ids": prompt, "max_new_tokens": 4,
+                             "top_k": 5})
+        assert status == 400 and "DecodeServer" in err["error"]
+        status, stats = _get(port, "/v1/stats")
+        assert "acceptance_rate" in stats
+    finally:
+        httpd.shutdown()
+        srv.stop()
