@@ -88,7 +88,46 @@ def _cases():
                     ).astype(np.float32)}, "logits"),
         ("moe", lambda: build_moe(MOE_TINY, batch=1, seq_len=8),
          {"input_ids": ids % MOE_TINY.vocab_size}, "logits"),
+        ("gpt2_int4kv_step", _build_int4_step,
+         _int4_feed(GPT_TINY), "logits"),
+        ("gpt2_lora", _build_lora,
+         {"input_ids": ids % GPT_TINY.vocab_size,
+          "lora_idx": np.array([1], np.int64)}, "logits"),
     ]
+
+
+def _build_int4_step():
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import (
+        TINY, build_gpt2_decode)
+
+    return build_gpt2_decode(TINY, batch=1, max_len=16, kv_dtype="int4")
+
+
+def _int4_feed(cfg):
+    r = np.random.default_rng(7)
+    feed = {"input_ids": r.integers(0, cfg.vocab_size,
+                                    (1, 1)).astype(np.int64),
+            "pos": np.array([5], np.int64)}
+    for i in range(cfg.n_layer):
+        for kind in ("key", "value"):
+            feed[f"past_{kind}_{i}"] = r.integers(
+                -128, 128,
+                (1, cfg.n_head, 16, cfg.head_dim // 2)).astype(np.int8)
+            feed[f"kv_scale_{kind}_{i}"] = np.full(
+                (cfg.n_head,), 0.05, np.float32)
+    return feed
+
+
+def _build_lora():
+    from onnx_rusty_inference_engine_tpu.lora import (
+        attach_lora, make_adapter_stack)
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY, build_gpt2
+
+    g = import_model(build_gpt2(TINY, batch=1, seq_len=8,
+                                with_presents=False))
+    bank = make_adapter_stack(g, n_adapters=2, rank=4,
+                              targets=("attn", "mlp"), seed=5)
+    return attach_lora(g, bank, alpha=8.0)  # Graph passes through import
 
 
 def _compute(build, feed, out_name) -> np.ndarray:
