@@ -1033,7 +1033,15 @@ class SpeculativeServer(_ServerBase):
     from normalize(max(p−q, 0)) — the slot's output DISTRIBUTION equals
     plain target sampling at that temperature, reproducible per request
     seed. top_k/top_p/logit_bias stay rejected (they would break the
-    verification identity)."""
+    verification identity).
+
+    ngram=N replaces the draft MODEL with prompt-lookup proposals: each
+    slot's continuation of its last N-gram's previous occurrence in its
+    own context (host-side string matching — no draft engines at all,
+    zero extra dispatches per round). Greedy verification still makes
+    the output exactly the target's greedy decode; acceptance just
+    tracks how repetitive the text is. Greedy-only (no q distribution
+    exists to rejection-sample against)."""
 
     def __init__(
         self,
@@ -1046,6 +1054,7 @@ class SpeculativeServer(_ServerBase):
         k: int = 4,
         target_seed: int = 0,
         draft_seed: int = 1,
+        ngram: Optional[int] = None,
         family: str = "gpt2",
         mesh=None,
         param_sharding_fn=None,
@@ -1061,6 +1070,7 @@ class SpeculativeServer(_ServerBase):
         self.prompt_len = prompt_len
         self.max_len = max_len
         self.kv_dtype = np.dtype(np.float32)
+        self.ngram = int(ngram) if ngram else 0
 
         pkw = ({"past_len": 0, "with_presents": True} if family == "gpt2"
                else {"with_presents": True})
@@ -1068,15 +1078,18 @@ class SpeculativeServer(_ServerBase):
         self.t_prefill = Engine(import_model(build_prefill(
             target_cfg, batch=1, seq_len=prompt_len, seed=target_seed,
             **pkw)), **ekw)
-        self.d_prefill = Engine(import_model(build_prefill(
-            self.dcfg, batch=1, seq_len=prompt_len, seed=draft_seed,
-            **pkw)), **ekw)
         self.t_verify = Engine(import_model(build_decode(
             target_cfg, batch=slots, max_len=max_len, seed=target_seed,
             chunk=self.k)), **ekw)
-        self.d_decode = Engine(import_model(build_decode(
-            self.dcfg, batch=slots, max_len=max_len, seed=draft_seed)),
-            **ekw)
+        if self.ngram:
+            self.d_prefill = self.d_decode = None
+        else:
+            self.d_prefill = Engine(import_model(build_prefill(
+                self.dcfg, batch=1, seq_len=prompt_len, seed=draft_seed,
+                **pkw)), **ekw)
+            self.d_decode = Engine(import_model(build_decode(
+                self.dcfg, batch=slots, max_len=max_len,
+                seed=draft_seed)), **ekw)
 
         def _zeros(cfg):
             Hc = getattr(cfg, "n_kv_head", None) or cfg.n_head
@@ -1085,7 +1098,7 @@ class SpeculativeServer(_ServerBase):
                 for i in range(cfg.n_layer) for kind in ("key", "value")}
 
         self._t_cache = _zeros(target_cfg)
-        self._d_cache = _zeros(self.dcfg)
+        self._d_cache = {} if self.ngram else _zeros(self.dcfg)
         self._pos = np.full((slots,), max_len - self.k, np.int64)
         self._last_tok = np.zeros((slots,), np.int64)
         self.accepted_total = 0
@@ -1116,6 +1129,11 @@ class SpeculativeServer(_ServerBase):
                 "rejection sampling (temperature); top_k/top_p/"
                 "logit_bias/adapter would break that identity — use "
                 "DecodeServer for them")
+        if temperature and self.ngram:
+            raise ValueError(
+                "ngram (prompt-lookup) proposals have no q distribution "
+                "to rejection-sample against — greedy only; use a draft "
+                "model for sampled speculation")
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         assert 1 <= prompt_ids.size <= self.prompt_len
         assert prompt_ids.size + max_new_tokens + self.k <= self.max_len
@@ -1137,9 +1155,11 @@ class SpeculativeServer(_ServerBase):
         padded = np.zeros((1, self.prompt_len), np.int64)
         padded[0, :plen] = r.prompt
         t_out = self.t_prefill({"input_ids": padded})
-        d_out = self.d_prefill({"input_ids": padded})
-        for cache, out, cfg in ((self._t_cache, t_out, self.cfg),
-                                (self._d_cache, d_out, self.dcfg)):
+        pairs = [(self._t_cache, t_out, self.cfg)]
+        if not self.ngram:
+            pairs.append((self._d_cache, self.d_prefill(
+                {"input_ids": padded}), self.dcfg))
+        for cache, out, cfg in pairs:
             for i in range(cfg.n_layer):
                 for kind in ("key", "value"):
                     kv = out[f"present_{kind}_{i}"][0]   # [H, P, hd]
@@ -1157,7 +1177,58 @@ class SpeculativeServer(_ServerBase):
         self._pos[slot] = plen
         self._last_tok[slot] = first
 
+    def _lookup_proposal(self, r: _Request) -> List[int]:
+        """Prompt-lookup: continue the most recent earlier occurrence of
+        the context's final N-gram; pad/fallback with the last token
+        (a bad proposal only costs acceptance, never correctness)."""
+        ctx = list(r.prompt) + r.tokens
+        n, k = self.ngram, self.k
+        g = ctx[-n:]
+        cont: List[int] = []
+        for i in range(len(ctx) - n - 1, -1, -1):
+            if ctx[i:i + n] == g:
+                cont = [int(t) for t in ctx[i + n: i + n + k - 1]]
+                break
+        return (cont + [int(ctx[-1])] * (k - 1))[: k - 1]
+
+    def _step_ngram(self) -> None:
+        """One prompt-lookup speculation round: ZERO draft dispatches —
+        proposals come from each slot's own context — then the same
+        single target chunk-verify and greedy acceptance."""
+        k = self.k
+        chunk = np.repeat(self._last_tok[:, None], k, axis=1)  # [B, k]
+        for s in self._active():
+            chunk[s, 1:] = self._lookup_proposal(self._req[s])
+        vout = self.t_verify({"input_ids": jnp.asarray(chunk),
+                              "pos": jnp.asarray(self._pos),
+                              **self._t_cache})
+        for i in range(self.cfg.n_layer):
+            for kind in ("key", "value"):
+                self._t_cache[f"past_{kind}_{i}"] = vout[
+                    f"present_{kind}_{i}"]
+        tpred = np.asarray(vout["logits"]).argmax(-1)          # [B, k]
+        self.steps += 1
+        self._occupancy_sum += len(self._active())
+        for s in self._active():
+            r = self._req[s]
+            m = 0
+            while m < k - 1 and chunk[s, m + 1] == tpred[s, m]:
+                m += 1
+            self.accepted_total += m
+            self.proposed_total += k - 1
+            self._pos[s] += m + 1
+            self._last_tok[s] = tpred[s, m]
+            for t in tpred[s, : m + 1]:
+                r.emit(int(t))
+                self.tokens_out += 1
+                if (len(r.tokens) >= r.max_new or t == r.eos_id
+                        or _hits_stop(r)):
+                    self._finish(s, r)
+                    break
+
     def _step(self) -> None:
+        if self.ngram:
+            return self._step_ngram()
         k = self.k
         pos = self._pos.copy()
         # sampled slots draft by sampling from q (their own temperature,

@@ -141,3 +141,37 @@ def test_spec_server_still_rejects_topk():
             srv.submit(np.array([1, 2, 3]), 4, top_k=5)
     finally:
         srv.stop()
+
+
+def test_ngram_prompt_lookup_matches_isolated():
+    """Draft-FREE speculation (ngram=2 prompt lookup): zero draft
+    dispatches per round, still exactly the target's greedy decode —
+    including slot reuse and a repetitive prompt that actually hits."""
+    srv = SpeculativeServer(TINY, slots=2, prompt_len=8, max_len=48,
+                            k=4, ngram=2)
+    assert srv.d_decode is None              # really no draft engines
+    try:
+        reqs = []
+        rep = np.array([7, 3, 7, 3, 7, 3], np.int64)  # repetitive
+        reqs.append((rep, 6, srv.submit(rep, 6)))
+        for _ in range(3):
+            p = rng.integers(0, TINY.vocab_size, (5,)).astype(np.int64)
+            reqs.append((p, 5, srv.submit(p, 5)))
+        for p, n_new, fut in reqs:
+            got = fut.result(timeout=300)
+            assert got == _reference(p, n_new, 48), (p, got)
+        st = srv.stats()
+    finally:
+        srv.stop()
+    assert st["requests"] == 4
+    assert 0.0 <= st["acceptance_rate"] <= 1.0
+
+
+def test_ngram_rejects_temperature():
+    srv = SpeculativeServer(TINY, slots=2, prompt_len=6, max_len=48,
+                            ngram=2)
+    try:
+        with pytest.raises(ValueError, match="greedy only"):
+            srv.submit(np.array([1, 2, 3]), 4, temperature=1.0)
+    finally:
+        srv.stop()
