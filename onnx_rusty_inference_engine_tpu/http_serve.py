@@ -161,8 +161,10 @@ def _make_generate_handler(server):
                     kw["stop_sequences"] = req["stop_sequences"]
                 # per-request sampling + LoRA adapter (DecodeServer)
                 for k, cast in (("temperature", float), ("top_k", int),
-                                ("top_p", float), ("seed", int),
-                                ("adapter", int)):
+                                ("top_p", float), ("min_p", float),
+                                ("seed", int), ("adapter", int),
+                                ("frequency_penalty", float),
+                                ("presence_penalty", float)):
                     if req.get(k) is not None:
                         kw[k] = cast(req[k])
                 if req.get("logit_bias") is not None:

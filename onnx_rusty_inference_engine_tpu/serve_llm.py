@@ -48,8 +48,9 @@ __all__ = ["DecodeServer", "Seq2SeqServer", "SpeculativeServer"]
 class _Request:
     __slots__ = ("prompt", "max_new", "eos_id", "stop_sequences",
                  "future", "tokens", "adapter",
-                 "temperature", "top_k", "top_p", "rng", "on_token",
-                 "logit_bias", "cancelled",
+                 "temperature", "top_k", "top_p", "min_p", "rng",
+                 "on_token", "logit_bias", "cancelled",
+                 "frequency_penalty", "presence_penalty",
                  "t_enqueue")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
@@ -59,9 +60,12 @@ class _Request:
                  temperature: float = 0.0,
                  top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
+                 min_p: Optional[float] = None,
                  seed: int = 0,
                  on_token=None,
-                 logit_bias: Optional[Dict[int, float]] = None):
+                 logit_bias: Optional[Dict[int, float]] = None,
+                 frequency_penalty: float = 0.0,
+                 presence_penalty: float = 0.0):
         self.prompt = prompt
         self.max_new = max_new
         self.eos_id = eos_id
@@ -70,6 +74,9 @@ class _Request:
         self.temperature = float(temperature)
         self.top_k = top_k
         self.top_p = top_p
+        self.min_p = min_p
+        self.frequency_penalty = float(frequency_penalty)
+        self.presence_penalty = float(presence_penalty)
         # per-request PRNG: sampling is deterministic in (seed, prompt
         # order) and independent across concurrent slots
         self.rng = np.random.default_rng(seed)
@@ -102,8 +109,17 @@ class _Request:
 def _select_token(logits: np.ndarray, r: _Request) -> int:
     """Host-side per-request token selection: greedy at temperature 0,
     else categorical over temperature-scaled logits with optional top-k /
-    nucleus filtering — the same filtering semantics as
-    generate.Generator._select, per slot instead of per batch."""
+    nucleus / min-p filtering — the same filtering semantics as
+    generate.Generator._select, per slot instead of per batch.
+    frequency/presence penalties (OpenAI semantics) subtract from the
+    logits of already-generated tokens before anything else, greedy
+    included."""
+    if (r.frequency_penalty or r.presence_penalty) and r.tokens:
+        logits = logits.astype(np.float64).copy()
+        seen, counts = np.unique(np.asarray(r.tokens, np.int64),
+                                 return_counts=True)
+        logits[seen] -= (r.frequency_penalty * counts
+                         + r.presence_penalty)
     if r.logit_bias is not None:
         idx, val = r.logit_bias
         logits = logits.astype(np.float64).copy()
@@ -125,6 +141,11 @@ def _select_token(logits: np.ndarray, r: _Request) -> int:
         keep = cum - probs < r.top_p
         thresh = sl[keep].min() if keep.any() else sl[0]
         l = np.where(l >= thresh, l, -np.inf)
+    if r.min_p is not None:
+        # keep tokens whose probability >= min_p * p_max (the min-p
+        # sampler): scale-invariant tail cutoff
+        pm = np.exp(l - l[np.isfinite(l)].max())
+        l = np.where(pm >= r.min_p, l, -np.inf)
     p = np.exp(l - l.max())
     p /= p.sum()
     return int(r.rng.choice(l.size, p=p))
@@ -498,9 +519,12 @@ class DecodeServer(_ServerBase):
                temperature: float = 0.0,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
+               min_p: Optional[float] = None,
                seed: int = 0,
                on_token=None,
-               logit_bias: Optional[Dict[int, float]] = None) -> Future:
+               logit_bias: Optional[Dict[int, float]] = None,
+               frequency_penalty: float = 0.0,
+               presence_penalty: float = 0.0) -> Future:
         """prompt_ids: [plen] int64; plen <= prompt_len (bucketed-prefill
         mode) or <= max_len - max_new_tokens (chunked_prefill mode).
         Resolves to the list of generated token ids (greedy); generation
@@ -518,15 +542,18 @@ class DecodeServer(_ServerBase):
         assert prompt_ids.size + max_new_tokens <= self.max_len
         if adapter and not self._lora:
             raise ValueError("adapter requested but server has no lora_bank")
-        if (temperature or logit_bias) and self.multi_step:
+        if (temperature or logit_bias or frequency_penalty
+                or presence_penalty) and self.multi_step:
             raise ValueError(
-                "per-request sampling/logit_bias needs per-step logits; "
-                "multi_step folds K on-device argmax steps into one "
-                "dispatch (plain greedy only)")
+                "per-request sampling/logit_bias/penalties need per-step "
+                "logits; multi_step folds K on-device argmax steps into "
+                "one dispatch (plain greedy only)")
         r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
                      adapter=adapter, temperature=temperature,
-                     top_k=top_k, top_p=top_p, seed=seed,
-                     on_token=on_token, logit_bias=logit_bias)
+                     top_k=top_k, top_p=top_p, min_p=min_p, seed=seed,
+                     on_token=on_token, logit_bias=logit_bias,
+                     frequency_penalty=frequency_penalty,
+                     presence_penalty=presence_penalty)
         return self._enqueue(r)
 
     def stats(self) -> Dict[str, float]:

@@ -177,3 +177,45 @@ def test_seq2seq_encoder_cache():
     assert len(other) == 4
     st = srv.stats()
     assert st["encoder_cache_hits"] == 1
+
+
+def test_frequency_penalty_prevents_repetition():
+    """A huge frequency penalty makes every generated token distinct
+    (each emission bans itself) — applied at temperature 0 too."""
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    try:
+        p = _prompt()
+        plain = srv.submit(p, 6).result(timeout=300)
+        pen = srv.submit(p, 6, frequency_penalty=1e9).result(timeout=300)
+    finally:
+        srv.stop()
+    assert len(set(pen)) == len(pen)          # all distinct
+    assert pen[0] == plain[0]                 # first token unaffected
+
+
+def test_min_p_one_is_greedy():
+    """min_p=1.0 keeps only tokens tied with the max prob: greedy."""
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    try:
+        p = _prompt()
+        greedy = srv.submit(p, 5).result(timeout=300)
+        mp = srv.submit(p, 5, temperature=1.3, min_p=1.0,
+                        seed=4).result(timeout=300)
+        s1 = srv.submit(p, 5, temperature=1.0, min_p=0.05,
+                        seed=6).result(timeout=300)
+        s2 = srv.submit(p, 5, temperature=1.0, min_p=0.05,
+                        seed=6).result(timeout=300)
+    finally:
+        srv.stop()
+    assert mp == greedy
+    assert s1 == s2                           # seed-deterministic
+
+
+def test_multi_step_rejects_penalties():
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                       multi_step=2)
+    try:
+        with pytest.raises(ValueError, match="greedy only"):
+            srv.submit(_prompt(), 4, presence_penalty=0.5)
+    finally:
+        srv.stop()
