@@ -969,9 +969,12 @@ class Seq2SeqServer(_ServerBase):
                temperature: float = 0.0,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
+               min_p: Optional[float] = None,
                seed: int = 0,
                on_token=None,
-               logit_bias: Optional[Dict[int, float]] = None) -> Future:
+               logit_bias: Optional[Dict[int, float]] = None,
+               frequency_penalty: float = 0.0,
+               presence_penalty: float = 0.0) -> Future:
         """src: [plen] source (int64 tokens or f32 waveform per family;
         right-padded with zeros to src_len at admission). Resolves to
         generated target token ids. Sampling knobs as DecodeServer.submit."""
@@ -979,8 +982,10 @@ class Seq2SeqServer(_ServerBase):
         assert 1 <= src.size <= self.src_len
         assert 1 <= max_new_tokens <= self.max_len
         r = _Request(src, max_new_tokens, eos_id, temperature=temperature,
-                     top_k=top_k, top_p=top_p, seed=seed,
-                     on_token=on_token, logit_bias=logit_bias)
+                     top_k=top_k, top_p=top_p, min_p=min_p, seed=seed,
+                     on_token=on_token, logit_bias=logit_bias,
+                     frequency_penalty=frequency_penalty,
+                     presence_penalty=presence_penalty)
         return self._enqueue(r)
 
     # -- dispatcher -------------------------------------------------------
