@@ -177,7 +177,12 @@ def _make_generate_handler(server):
                 toks = server.generate(prompt, n_new, timeout=timeout,
                                        eos_id=eos_kw, **kw)
                 self._send(200, {"prompt_ids": prompt.tolist(),
-                                 "generated_ids": toks})
+                                 "generated_ids": toks,
+                                 "usage": {
+                                     "prompt_tokens": int(prompt.size),
+                                     "completion_tokens": len(toks),
+                                     "total_tokens": int(prompt.size)
+                                     + len(toks)}})
             except Exception as e:  # request-level failure isolation
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
