@@ -165,10 +165,12 @@ class Generator:
     @staticmethod
     def _select(logits: jax.Array, key, temperature: float,
                 top_k: Optional[int], top_p: Optional[float],
-                seen=None, repetition_penalty: float = 1.0) -> jax.Array:
+                seen=None, repetition_penalty: float = 1.0,
+                min_p: Optional[float] = None) -> jax.Array:
         """logits [B, V] -> token ids [B]. temperature == 0 is greedy;
-        otherwise categorical sampling with optional top-k / nucleus
-        filtering — all on device (sort/cumsum/where, no host sync).
+        otherwise categorical sampling with optional top-k / nucleus /
+        min-p filtering — all on device (sort/cumsum/where, no host
+        sync). min_p keeps tokens with prob >= min_p * p_max.
 
         repetition_penalty > 1 applies the CTRL scheme to tokens already
         in the sequence (`seen` [B, V] bool): positive logits divided by
@@ -193,18 +195,25 @@ class Generator:
             thresh = jnp.min(jnp.where(keep, sl, jnp.inf), axis=-1,
                              keepdims=True)
             l = jnp.where(l >= thresh, l, -jnp.inf)
+        if min_p is not None:
+            # scale-invariant tail cutoff: keep p >= min_p * p_max
+            pm = jnp.exp(l - jnp.max(jnp.where(jnp.isfinite(l), l,
+                                               -jnp.inf),
+                                     axis=-1, keepdims=True))
+            l = jnp.where(pm >= min_p, l, -jnp.inf)
         return jax.random.categorical(key, l, axis=-1)
 
     # -- device-resident multi-step decode -------------------------------
     def _multi_step_fn(self, temperature, top_k, top_p, eos_id,
-                       repetition_penalty):
+                       repetition_penalty, min_p=None):
         """Compile (once per sampling config) a function running
         `device_loop` decode steps inside one XLA program: lax.scan over
         TIME, on-device token selection (same _select math as the host
         loop), in-carry KV cache. Unlike the failed scan-over-LAYERS
         (PERF.md), every iteration re-reads the SAME weights — no stacked-
         weight dynamic-slice — so the negative result does not transfer."""
-        key_cfg = (temperature, top_k, top_p, eos_id, repetition_penalty)
+        key_cfg = (temperature, top_k, top_p, eos_id,
+                   repetition_penalty, min_p)
         if key_cfg in self._multi_cache:
             return self._multi_cache[key_cfg]
         K = self.device_loop
@@ -233,7 +242,8 @@ class Generator:
                 if use_pen:
                     seen = seen.at[jnp.arange(tok.shape[0]), tok].set(True)
                 nxt = select(logits, sub, temperature, top_k, top_p,
-                             seen if use_pen else None, repetition_penalty)
+                             seen if use_pen else None,
+                             repetition_penalty, min_p)
                 nxt = nxt.astype(tok.dtype)
                 if eos_id is not None:
                     nxt = jnp.where(done, eos_id, nxt)
@@ -259,6 +269,7 @@ class Generator:
                  sample_seed: int = 0,
                  eos_id: Optional[int] = None,
                  repetition_penalty: float = 1.0,
+                 min_p: Optional[float] = None,
                  ) -> Tuple[np.ndarray, Optional[list]]:
         """Decode n_new tokens. Greedy by default; temperature > 0 samples
         (optionally top-k / top-p filtered). input_ids: [B, prompt_len].
@@ -284,7 +295,8 @@ class Generator:
         logits = out["logits"]
         key, sub = jax.random.split(key)
         next_tok = self._select(logits[:, -1, :], sub, temperature,
-                                top_k, top_p, seen, repetition_penalty)
+                                top_k, top_p, seen, repetition_penalty,
+                                min_p)
         done = np.zeros((B,), bool)
         if eos_id is not None:
             done |= np.asarray(next_tok) == eos_id
@@ -349,8 +361,9 @@ class Generator:
         if self.device_loop > 0 and not return_logits:
             # K steps per dispatch; the final partial block is truncated
             # on the host (the over-decoded cache rows are never returned)
-            multi = self._multi_step_fn(temperature, top_k, top_p, eos_id,
-                                        repetition_penalty)
+            multi = self._multi_step_fn(temperature, top_k, top_p,
+                                        eos_id, repetition_penalty,
+                                        min_p)
             scales = ({k: jnp.asarray(v)
                        for k, v in self._kv_scales.items()}
                       if self.kv_dtype == np.int8 else {})
@@ -403,8 +416,9 @@ class Generator:
             if use_pen:
                 seen = seen.at[jnp.arange(B), jnp.asarray(next_tok)].set(
                     True)
-            next_tok = self._select(step_logits[:, -1, :], sub, temperature,
-                                    top_k, top_p, seen, repetition_penalty)
+            next_tok = self._select(step_logits[:, -1, :], sub,
+                                    temperature, top_k, top_p, seen,
+                                    repetition_penalty, min_p)
             if eos_id is not None:
                 nt = np.array(next_tok)
                 nt[done] = eos_id     # frozen rows keep emitting eos

@@ -98,3 +98,26 @@ def test_return_logits_falls_back_to_host_loop():
     toks, logits = dev.generate(ids, 5, return_logits=True)
     assert len(logits) == 5
     assert toks.shape == (2, 5)
+
+
+def test_min_p_generator_parity_and_greedy_limit():
+    """min_p on the on-device sampler: min_p=1.0 collapses to greedy;
+    device_loop parity holds with min_p active."""
+    import numpy as np
+
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    kw = dict(batch=2, prompt_len=4, max_len=16)
+    greedy, _ = Generator(TINY, **kw).generate(ids, 6)
+    mp, _ = Generator(TINY, **kw).generate(ids, 6, temperature=1.5,
+                                           min_p=1.0, sample_seed=2)
+    np.testing.assert_array_equal(mp, greedy)
+
+    want, _ = Generator(TINY, **kw).generate(ids, 8, temperature=1.0,
+                                             min_p=0.1, sample_seed=5)
+    got, _ = Generator(TINY, device_loop=4, **kw).generate(
+        ids, 8, temperature=1.0, min_p=0.1, sample_seed=5)
+    np.testing.assert_array_equal(got, want)
