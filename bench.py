@@ -6,16 +6,66 @@ The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports
 the north-star ratio: INT8 throughput / fp32 throughput on the same chip
 (target >= 2.0). Measurement is device-resident and chained on-device
 (utils/timing.py) so tunnel dispatch and H2D don't pollute the number.
+
+Supervisor/worker split (round-3 lesson: a transient tunnel outage must not
+cost a round its measurement):
+
+- ``python bench.py``            supervisor: runs the worker in a child
+  process under a watchdog, retries with backoff on failure/hang, and keeps
+  staged results so a late crash still yields the best number measured.
+- ``python bench.py --worker``   the actual measurement (one attempt).
+
+Watchdog stages (worker reports progress on stderr as ``@stage <name>``):
+  backend_up  jax.devices() returned        (BENCH_INIT_TIMEOUT, def 420 s)
+  fp32_done   fp32 throughput measured      staged to $BENCH_STAGE_FILE
+  whole attempt                             (BENCH_TIMEOUT, def 1800 s)
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+import time
 
-import numpy as np
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+INIT_TIMEOUT = float(os.environ.get("BENCH_INIT_TIMEOUT", "420"))
+ATTEMPT_TIMEOUT = float(os.environ.get("BENCH_TIMEOUT", "1800"))
+BACKOFF = tuple(
+    float(s) for s in os.environ.get("BENCH_BACKOFF", "20,60").split(","))
 
 
-def main() -> None:
+def worker() -> None:
+    stage_path = os.environ.get("BENCH_STAGE_FILE")
+
+    def stage(name: str, payload=None) -> None:
+        print(f"@stage {name}", file=sys.stderr, flush=True)
+        if stage_path and payload is not None:
+            with open(stage_path, "a") as f:
+                f.write(json.dumps(payload) + "\n")
+
+    selftest = os.environ.get("BENCH_SELFTEST")
+    if selftest:  # exercised by tests/test_bench_supervisor.py, no TPU needed
+        if selftest == "hang":
+            time.sleep(3600)
+        stage("backend_up")
+        stage("fp32_done", {"metric": "selftest_fp32", "value": 1.0,
+                            "unit": "x", "vs_baseline": 1.0})
+        if selftest == "crash_after_stage":
+            sys.exit(3)
+        print(json.dumps({"metric": "selftest_int8", "value": 2.0,
+                          "unit": "x", "vs_baseline": 2.0}), flush=True)
+        return
+
+    import numpy as np
+    import jax
+
+    jax.devices()  # force backend bring-up so the init watchdog is honest
+    stage("backend_up")
+
     from onnx_rusty_inference_engine_tpu.engine import Engine
     from onnx_rusty_inference_engine_tpu.graph import import_model
     from onnx_rusty_inference_engine_tpu.models import build_squeezenet
@@ -32,31 +82,136 @@ def main() -> None:
     feed = {"data_0": x}
 
     fp32_ips = engine_throughput(Engine(graph), feed)
+    stage("fp32_done", {
+        "metric": f"squeezenet1.0_fp32_images_per_sec_per_chip_b{batch}",
+        "value": round(fp32_ips, 2),
+        "unit": "images/s/chip",
+        "vs_baseline": 1.0,
+    })
 
-    int8_ips = None
+    from onnx_rusty_inference_engine_tpu.quant import quantize_graph
+
+    qgraph = quantize_graph(graph, calibration_inputs=[{"data_0": x[:8]}])
+    int8_ips = engine_throughput(Engine(qgraph), feed)
+    result = {
+        "metric": f"squeezenet1.0_int8_images_per_sec_per_chip_b{batch}",
+        "value": round(int8_ips, 2),
+        "unit": "images/s/chip",
+        "vs_baseline": round(int8_ips / fp32_ips, 3),
+    }
+    stage("int8_done", result)
+    print(json.dumps(result), flush=True)
+
+
+def _run_attempt(stage_file: str) -> str | None:
+    """One supervised worker run. Returns the final JSON line or None."""
+    env = dict(os.environ, BENCH_STAGE_FILE=stage_file)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        start_new_session=True,  # so we can kill the exact process group
+    )
+    state = {"backend_up": False, "last_line": None}
+
+    def pump_err():
+        assert proc.stderr is not None
+        for line in proc.stderr:
+            line = line.rstrip()
+            if line == "@stage backend_up":
+                state["backend_up"] = True
+            print(f"[worker] {line}", file=sys.stderr, flush=True)
+
+    def pump_out():
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            line = line.strip()
+            if line:
+                state["last_line"] = line
+
+    terr = threading.Thread(target=pump_err, daemon=True)
+    tout = threading.Thread(target=pump_out, daemon=True)
+    terr.start()
+    tout.start()
+
+    start = time.monotonic()
+    while proc.poll() is None:
+        elapsed = time.monotonic() - start
+        if not state["backend_up"] and elapsed > INIT_TIMEOUT:
+            print(f"[bench] backend init exceeded {INIT_TIMEOUT:.0f}s; "
+                  "killing attempt", file=sys.stderr, flush=True)
+            _kill(proc)
+            return None
+        if elapsed > ATTEMPT_TIMEOUT:
+            print(f"[bench] attempt exceeded {ATTEMPT_TIMEOUT:.0f}s; "
+                  "killing attempt", file=sys.stderr, flush=True)
+            _kill(proc)
+            return None
+        time.sleep(2.0)
+    tout.join(timeout=10)
+    terr.join(timeout=10)
+    if proc.returncode == 0 and state["last_line"]:
+        return state["last_line"]
+    print(f"[bench] worker exited rc={proc.returncode}",
+          file=sys.stderr, flush=True)
+    return None
+
+
+def _kill(proc: subprocess.Popen) -> None:
+    # kill the exact process group we started (never by pattern)
     try:
-        from onnx_rusty_inference_engine_tpu.quant import quantize_graph
-
-        qgraph = quantize_graph(graph, calibration_inputs=[{"data_0": x[:8]}])
-        int8_ips = engine_throughput(Engine(qgraph), feed)
-    except Exception:
+        os.killpg(proc.pid, 15)
+        try:
+            proc.wait(timeout=15)
+            return
+        except subprocess.TimeoutExpired:
+            pass
+        os.killpg(proc.pid, 9)
+        proc.wait(timeout=15)
+    except (ProcessLookupError, PermissionError):
         pass
 
-    if int8_ips is not None:
-        print(json.dumps({
-            "metric": f"squeezenet1.0_int8_images_per_sec_per_chip_b{batch}",
-            "value": round(int8_ips, 2),
-            "unit": "images/s/chip",
-            "vs_baseline": round(int8_ips / fp32_ips, 3),
-        }))
-    else:
-        print(json.dumps({
-            "metric": f"squeezenet1.0_fp32_images_per_sec_per_chip_b{batch}",
-            "value": round(fp32_ips, 2),
-            "unit": "images/s/chip",
-            "vs_baseline": 1.0,
-        }))
+
+def supervise() -> int:
+    fd, stage_file = tempfile.mkstemp(prefix="bench_stage_", suffix=".jsonl")
+    os.close(fd)
+    try:
+        for attempt in range(1, ATTEMPTS + 1):
+            print(f"[bench] attempt {attempt}/{ATTEMPTS}",
+                  file=sys.stderr, flush=True)
+            line = _run_attempt(stage_file)
+            if line is not None:
+                print(line, flush=True)
+                return 0
+            if attempt < ATTEMPTS:
+                delay = BACKOFF[min(attempt - 1, len(BACKOFF) - 1)]
+                print(f"[bench] retrying in {delay:.0f}s",
+                      file=sys.stderr, flush=True)
+                time.sleep(delay)
+        # All attempts failed: salvage the best staged metric, if any.
+        best = None
+        try:
+            with open(stage_file) as f:
+                for raw in f:
+                    raw = raw.strip()
+                    if raw:
+                        best = raw  # later stages are strictly better
+        except OSError:
+            pass
+        if best is not None:
+            print("[bench] all attempts failed; emitting best staged metric",
+                  file=sys.stderr, flush=True)
+            print(best, flush=True)
+            return 0
+        return 1
+    finally:
+        try:
+            os.unlink(stage_file)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        sys.exit(supervise())
