@@ -55,6 +55,20 @@ def lower(graph: Graph):
         from .ops.registry import UnsupportedOpError  # noqa: F401
 
         ctx = LoweringContext(graph, env)
+        # batch polymorphism is live for THIS trace only when some input
+        # actually arrives at a different leading dim than declared (or
+        # the spec is symbolic); at the declared batch, baked shapes are
+        # authoritative and invalid Expands must error, not be rewritten
+        ctx.batch_polymorphic = False
+        for s in graph.inputs:
+            v = inputs.get(s.name)
+            if v is None or not s.shape:
+                continue
+            d0 = s.shape[0]
+            if isinstance(d0, str) or (
+                    getattr(v, "ndim", 0) >= 1 and v.shape[0] != d0):
+                ctx.batch_polymorphic = True
+                break
 
         def static_value(name):
             if name in graph.constants:

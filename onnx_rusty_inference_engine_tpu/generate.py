@@ -129,10 +129,20 @@ class Generator:
             if prefill_dtype != "float32":
                 raise NotImplementedError(
                     "pipelined prefill runs fp32 (no bf16 cast path)")
-            self.prefill = PipelinedDecoder(prefill_graph, mesh,
-                                            axis=pipeline_axis)
-            self.decode = PipelinedDecoder(decode_graph, mesh,
-                                           axis=pipeline_axis)
+            # the repo's decoder graphs carry batch at dim 0 on every
+            # input except the per-head kv_scale_* quantization scales —
+            # declare that so microbatching never relies on the dim == B
+            # shape coincidence (kv_scale [H] with n_head == batch)
+            def _batch_inputs(g):
+                return [s.name for s in g.inputs
+                        if not s.name.startswith("kv_scale_")]
+
+            self.prefill = PipelinedDecoder(
+                prefill_graph, mesh, axis=pipeline_axis,
+                batch_inputs=_batch_inputs(prefill_graph))
+            self.decode = PipelinedDecoder(
+                decode_graph, mesh, axis=pipeline_axis,
+                batch_inputs=_batch_inputs(decode_graph))
         else:
             ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
             # prefill is MXU-bound: bf16 measured 1.69x fp32 on chip

@@ -310,6 +310,11 @@ def _broadcast_expand(in_shape, shape_arr) -> Tuple[int, ...]:
     # ONNX Expand: dims of 1 in target take input's dim (numpy broadcast both ways)
     in_s = (1,) * (len(tgt) - len(in_shape)) + tuple(in_shape)
     tgt = [1] * (len(in_s) - len(tgt)) + tgt
+    for a, b in zip(in_s, tgt):
+        if a != b and 1 not in (a, b):
+            raise ValueError(
+                f"Expand: input shape {tuple(in_shape)} is not "
+                f"broadcastable to target {[int(d) for d in shape_arr]}")
     return tuple(max(a, b) for a, b in zip(in_s, tgt))
 
 

@@ -235,8 +235,12 @@ def _make_generate_handler(server):
                     chunk({"token": int(tok)})
                 self.wfile.write(b"0\r\n\r\n")
             except Exception:
-                # client hung up mid-stream: close quietly — a second
+                # client hung up mid-stream: cancel the server-side
+                # request so the slot is reclaimed at the next step
+                # boundary (otherwise it decodes to max_new_tokens into
+                # an orphaned queue), then close quietly — a second
                 # response must never start on this connection
+                server.cancel(fut)
                 self.close_connection = True
 
     return Handler

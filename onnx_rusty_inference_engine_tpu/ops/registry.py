@@ -85,6 +85,12 @@ class LoweringContext:
         self.env = env  # tensor name -> traced jax value
         self.static_env: Dict[str, np.ndarray] = {}
         self.opset = graph.opset
+        # True when this trace runs at a batch other than the graph's
+        # declared input batch (engine.lower sets it per trace): shape
+        # ops may then substitute the runtime batch for baked leading
+        # dims. When False, baked shapes are authoritative — a mismatch
+        # is an invalid model, not polymorphism (ADVICE r3: Expand).
+        self.batch_polymorphic = True
 
     def constant(self, name: str) -> Optional[np.ndarray]:
         """Static (trace-time) value of a tensor if known, else None."""
@@ -118,6 +124,7 @@ class LoweringContext:
         for vi, val in zip(gproto.inputs, inputs):
             env[vi.name] = val
         sub = LoweringContext(self.graph, env)
+        sub.batch_polymorphic = self.batch_polymorphic
         sub.static_env = dict(self.static_env)
         sub.static_env.update(
             {k: np.asarray(v) for k, v in gproto.initializers.items()})

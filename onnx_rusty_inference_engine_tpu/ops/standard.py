@@ -649,7 +649,10 @@ def expand(ctx: LoweringContext, node: Node, ins):
     # the batch size into Expand targets; when ranks match and the leading
     # dims disagree without either being broadcastable-1, follow the
     # runtime batch (e.g. pipeline microbatching slices the batch dim).
-    if (len(shape) == x.ndim and x.shape[0] != 1 and shape[0] != 1
+    # Gated on the trace actually being batch-polymorphic — at the
+    # declared batch a mismatch is an invalid Expand and must error.
+    if (ctx.batch_polymorphic
+            and len(shape) == x.ndim and x.shape[0] != 1 and shape[0] != 1
             and int(shape[0]) != x.shape[0]):
         shape = shape.copy()
         shape[0] = x.shape[0]

@@ -423,6 +423,12 @@ class PipelinedDecoder:
     mesh: jax Mesh containing `axis`; other axes are ignored (replicated).
     boundaries: residual tensor names; inferred for the repo's families.
     microbatches: GPipe M (default: the stage count). batch % M == 0.
+    batch_inputs: names of graph inputs whose dim 0 is the batch (the
+        microbatch-sliced set). Default: inputs with a symbolic dim 0 in
+        their InputSpec; if the graph declares no symbolic dims at all,
+        a shape heuristic (dim == B) is used — pass the list explicitly
+        for graphs where a non-batch dim can coincide with the batch
+        (e.g. kv_scale [H] when n_head == batch).
 
     Call styles
     -----------
@@ -436,7 +442,8 @@ class PipelinedDecoder:
 
     def __init__(self, graph, mesh: Mesh, *, axis: str = "pipe",
                  boundaries: Optional[Sequence[str]] = None,
-                 microbatches: Optional[int] = None):
+                 microbatches: Optional[int] = None,
+                 batch_inputs: Optional[Sequence[str]] = None):
         from ..engine import lower
 
         if axis not in mesh.axis_names:
@@ -462,6 +469,53 @@ class PipelinedDecoder:
         prefix_fn = lower(plan.prefix)
         block_fn = lower(al.canonical)
         suffix_fn = lower(plan.suffix)
+
+        # Batch-dim classification (which inputs get microbatch-sliced).
+        # Prefer declared semantics over the shape heuristic: an explicit
+        # `batch_inputs` list, or symbolic dim-0 in the InputSpecs.  The
+        # shape heuristic (dim == B) misfires when an unrelated dim
+        # coincides with the batch, e.g. kv_scale [H] with n_head == B.
+        specs = {s.name: s for s in graph.inputs}
+        if batch_inputs is None and any(
+                isinstance(d, str) for s in graph.inputs for d in s.shape):
+            batch_inputs = [s.name for s in graph.inputs
+                            if s.shape and isinstance(s.shape[0], str)]
+        static_mb: Optional[Tuple[Dict[str, bool], Dict[str, bool]]] = None
+        if batch_inputs is not None:
+            unknown = set(batch_inputs) - set(specs)
+            if unknown:
+                raise PipelineError(
+                    f"batch_inputs not graph inputs: {sorted(unknown)}")
+            is_batch = {n: n in set(batch_inputs) for n in specs}
+
+            # prefix-computed shared tensors: probe whether their leading
+            # dim co-varies with the batch (abstract eval at B and 2B)
+            def _sd(spec, mult):
+                shape = list(spec.concrete_shape(2))
+                if is_batch[spec.name] and shape:
+                    shape[0] *= mult
+                return jax.ShapeDtypeStruct(
+                    tuple(shape), jax.dtypes.canonicalize_dtype(spec.dtype))
+
+            params_sd = {
+                k: jax.ShapeDtypeStruct(
+                    np.shape(plan.prefix.constants[k]),
+                    jax.dtypes.canonicalize_dtype(
+                        np.asarray(plan.prefix.constants[k]).dtype))
+                for k in plan.prefix.weight_names}
+            base = jax.eval_shape(prefix_fn, params_sd,
+                                  {n: _sd(s, 1) for n, s in specs.items()})
+            dbl = jax.eval_shape(prefix_fn, params_sd,
+                                 {n: _sd(s, 2) for n, s in specs.items()})
+            prefix_batch = {k: base[k].shape != dbl[k].shape for k in base}
+            mb_shared_static = {
+                k: (prefix_batch[k] if k in prefix_batch else is_batch[k])
+                for k in al.shared_inputs}
+            # canonical layer-input names are block 0's graph input names
+            mb_ins_static = {canon: is_batch[canon]
+                             for canon in al.layer_inputs}
+            static_mb = (mb_ins_static, mb_shared_static)
+        self._static_mb = static_mb
         b_in, b_out = self._b_in, self._b_out
         blk_in = plan.boundaries[0]
         blk_out = al.canonical.outputs[0]
@@ -482,13 +536,19 @@ class PipelinedDecoder:
             h_micro = h.reshape((M, microB) + h.shape[1:])
             shared_vals = {k: (pre[k] if k in prefix_outs else inputs[k])
                            for k in shared_names}
-            # static (trace-time) classification: a leaf is microbatched
-            # when its batch dim equals B (per-layer inputs carry it at
-            # dim 1 after stacking, shared inputs at dim 0)
-            mb_ins = {k: v.ndim >= 2 and v.shape[1] == B
-                      for k, v in stacked_ins.items()}
-            mb_shared = {k: v.ndim >= 1 and v.shape[0] == B
-                         for k, v in shared_vals.items()}
+            # static (trace-time) classification of microbatched leaves:
+            # declared/probed batch semantics when available (static_mb),
+            # else the legacy shape heuristic for external graphs built
+            # without batch metadata (a per-layer input carries batch at
+            # dim 1 after stacking, a shared input at dim 0)
+            if static_mb is not None:
+                mb_ins = {k: static_mb[0][k] for k in stacked_ins}
+                mb_shared = {k: static_mb[1][k] for k in shared_vals}
+            else:
+                mb_ins = {k: v.ndim >= 2 and v.shape[1] == B
+                          for k, v in stacked_ins.items()}
+                mb_shared = {k: v.ndim >= 1 and v.shape[0] == B
+                             for k, v in shared_vals.items()}
 
             # device-side GPipe schedule: every device runs the same
             # program, lax.axis_index picks its stage role; ppermute

@@ -306,7 +306,10 @@ class _ServerBase:
                 try:
                     self._admit(slot, r)
                 except Exception as e:  # request-level failure isolation
-                    self._fail(None, r, e)
+                    # pass the slot: a partially-claimed admission must
+                    # not leave a dead request occupying it (clearing an
+                    # unclaimed slot is a harmless park)
+                    self._fail(slot, r, e)
                 block = False
             # cancellation sweep: freed at the step boundary
             for s in self._active():
@@ -640,8 +643,9 @@ class DecodeServer(_ServerBase):
             # no prefill engine: the prompt streams through the chunk
             # graph C tokens per step — from position 0, or from the end
             # of the longest cached prefix (shared system prompts skip
-            # their prefill FLOPs entirely)
-            self._req[slot] = r
+            # their prefill FLOPs entirely). The slot is claimed LAST:
+            # if the cache lookup/KV writes raise, _fail must not leave
+            # a dead request occupying the slot (ADVICE r3).
             self._adapter[slot] = r.adapter
             hit, n = self._pcache_prefix(r.prompt, r.adapter)
             if n > 0 and self._pcache_usable(hit):
@@ -655,6 +659,7 @@ class DecodeServer(_ServerBase):
             else:
                 self._pending[slot] = r.prompt.copy()
                 self._pos[slot] = 0
+            self._req[slot] = r
             return
         plen = r.prompt.size
         self._adapter[slot] = r.adapter

@@ -225,6 +225,43 @@ def test_expand():
     np.testing.assert_array_equal(out, np.broadcast_to(x, (2, 3, 4)))
 
 
+def test_expand_invalid_at_declared_batch_errors():
+    """ADVICE r3: at the graph's declared batch, a non-broadcastable Expand
+    is an invalid model and must error — not be silently rewritten to the
+    runtime batch."""
+    from util import make_model, node
+    from onnx_rusty_inference_engine_tpu import onnx_io
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+
+    x = f32(4, 3)
+    n = node("Expand", ["x", "shape"], ["out0"])
+    m = make_model([n], {"x": x}, ["out0"],
+                   {"shape": np.array([3, 3], np.int64)}, 13)
+    eng = Engine(import_model(onnx_io.parse_model(onnx_io.serialize_model(m))))
+    with pytest.raises(Exception):
+        eng.run({"x": x})
+
+
+def test_expand_batch_polymorphic_run_rewrites_leading_dim():
+    """Same baked target, but the run arrives at a DIFFERENT batch than
+    declared: the leading dim follows the runtime batch (the pipeline
+    microbatching convention)."""
+    from util import make_model, node
+    from onnx_rusty_inference_engine_tpu import onnx_io
+    from onnx_rusty_inference_engine_tpu.engine import Engine
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+
+    decl = f32(2, 3)
+    n = node("Expand", ["x", "shape"], ["out0"])
+    m = make_model([n], {"x": decl}, ["out0"],
+                   {"shape": np.array([2, 3], np.int64)}, 13)
+    eng = Engine(import_model(onnx_io.parse_model(onnx_io.serialize_model(m))))
+    x5 = f32(5, 3)
+    out = eng.run({"x": x5}).outputs["out0"]
+    np.testing.assert_array_equal(out, x5)
+
+
 def test_tile():
     x = f32(2, 3)
     (out,) = run_op("Tile", {"x": x}, {"repeats": np.array([2, 3], np.int64)})

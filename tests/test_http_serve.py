@@ -229,3 +229,49 @@ def test_http_speculative_server():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_http_stream_client_disconnect_cancels_request():
+    """ADVICE r3: a client hanging up mid-stream must cancel the
+    server-side request so the slot is reclaimed — not left decoding to
+    max_new_tokens into an orphaned queue."""
+    import socket
+    import time
+
+    from onnx_rusty_inference_engine_tpu.http_serve import serve_generate_http
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    srv = DecodeServer(TINY, slots=1, prompt_len=4, max_len=512)
+    httpd = serve_generate_http(srv, port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        body = json.dumps({"prompt_ids": [1, 2, 3], "max_new_tokens": 400,
+                           "stream": True}).encode()
+        s = socket.create_connection(("127.0.0.1", port), timeout=120)
+        s.sendall(b"POST /v1/generate HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Type: application/json\r\n"
+                  + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        # read until at least one token line arrived, then hang up hard
+        buf = b""
+        while b'"token"' not in buf:
+            chunk = s.recv(4096)
+            assert chunk, "stream closed before any token"
+            buf += chunk
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     __import__("struct").pack("ii", 1, 0))  # RST on close
+        s.close()
+        # the single slot must become free well before 400 tokens finish:
+        # a follow-up request on the same slot pool completes promptly
+        deadline = time.time() + 300
+        fut = srv.submit(np.array([4, 5, 6], np.int64), 3)
+        out = fut.result(timeout=max(1.0, deadline - time.time()))
+        assert len(out) == 3
+        # the orphan was CANCELLED, not run to completion: with one slot,
+        # an uncancelled orphan would have finished (requests == 2) before
+        # the follow-up could even start
+        assert srv.stats()["requests"] == 1
+        assert not srv._active() or srv._req[0] is None
+    finally:
+        httpd.shutdown()
+        srv.stop()

@@ -274,3 +274,41 @@ def test_moe_decode_pipeline():
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=2e-5, rtol=1e-5, err_msg=k)
+
+
+def test_batch_inputs_kills_shape_coincidence():
+    """ADVICE r3: a non-batch per-layer input whose dim equals B (kv_scale
+    [H] with n_head == batch) must not be microbatch-sliced. Declared
+    batch_inputs makes classification semantic, not coincidental."""
+    from onnx_rusty_inference_engine_tpu.models.gpt2 import build_gpt2_decode
+
+    cfg = GPT2Config(vocab_size=64, n_positions=32, n_embd=32, n_layer=2,
+                     n_head=2)
+    B, max_len = 2, 16  # n_head == batch == kv_scale dim: the collision
+    g = import_model(build_gpt2_decode(cfg, batch=B, max_len=max_len,
+                                       kv_dtype="int8"))
+    mesh = make_mesh({"pipe": 2})
+    bi = [s.name for s in g.inputs if not s.name.startswith("kv_scale_")]
+    pd = PipelinedDecoder(g, mesh, batch_inputs=bi, microbatches=2)
+
+    rng = np.random.default_rng(3)
+    feed = {"input_ids": rng.integers(0, 64, (B, 1)).astype(np.int64),
+            "pos": np.arange(B, dtype=np.int64) % 3}
+    for i in range(cfg.n_layer):
+        for kind in ("key", "value"):
+            feed[f"past_{kind}_{i}"] = rng.integers(
+                -90, 90, (B, cfg.n_head, max_len, 16)).astype(np.int8)
+            feed[f"kv_scale_{kind}_{i}"] = (
+                0.01 + 0.02 * rng.random(cfg.n_head)).astype(np.float32)
+    out = pd(dict(feed))
+    ref = Engine(g)(dict(feed))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=3e-4, rtol=1e-4, err_msg=k)
+
+
+def test_batch_inputs_unknown_name_raises():
+    g = _gpt2_graph()
+    mesh = make_mesh({"pipe": 4})
+    with pytest.raises(PipelineError, match="batch_inputs"):
+        PipelinedDecoder(g, mesh, batch_inputs=["input_ids", "nope"])

@@ -94,3 +94,28 @@ def test_multi_step_rejects_logit_bias():
             srv.submit(_prompt(), 2, logit_bias={1: -1e9})
     finally:
         srv.stop()
+
+
+def test_failed_chunked_admission_frees_slot():
+    """ADVICE r3: if chunked admission raises mid-way (after touching
+    per-slot state), the request must fail cleanly AND the slot must be
+    reusable — not left occupied by a dead request."""
+    srv = DecodeServer(TINY, slots=1, prompt_len=4, max_len=32,
+                       chunked_prefill=True, chunk=4)
+    try:
+        boom = RuntimeError("cache lookup exploded")
+        orig = srv._pcache_prefix
+
+        def bad(prompt, adapter):
+            raise boom
+
+        srv._pcache_prefix = bad
+        fut = srv.submit(_prompt(), 3)
+        with pytest.raises(RuntimeError, match="cache lookup exploded"):
+            fut.result(timeout=300)
+        srv._pcache_prefix = orig
+        # the single slot must be free again for the next request
+        out = srv.submit(_prompt(), 3).result(timeout=300)
+        assert len(out) == 3
+    finally:
+        srv.stop()
