@@ -607,7 +607,7 @@ def main(argv: Optional[list] = None) -> int:
     psl.add_argument("--family", default="gpt2",
                      choices=["gpt2", "llama", "moe"])
     psl.add_argument("--multi-step", dest="multi_step", type=int, default=0,
-                     metavar="K", help="K greedy decode steps per dispatch")
+                     metavar="K", help="K decode steps per dispatch (greedy or sampled)")
     psl.add_argument("--draft-layers", dest="draft_layers", type=int,
                      default=0, metavar="N",
                      help="serve with lossless speculative decoding: an "

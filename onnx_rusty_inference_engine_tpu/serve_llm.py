@@ -48,7 +48,7 @@ __all__ = ["DecodeServer", "Seq2SeqServer", "SpeculativeServer"]
 class _Request:
     __slots__ = ("prompt", "max_new", "eos_id", "stop_sequences",
                  "future", "tokens", "adapter",
-                 "temperature", "top_k", "top_p", "min_p", "rng",
+                 "temperature", "top_k", "top_p", "min_p", "rng", "seed",
                  "on_token", "logit_bias", "cancelled",
                  "frequency_penalty", "presence_penalty",
                  "t_enqueue")
@@ -79,6 +79,7 @@ class _Request:
         self.presence_penalty = float(presence_penalty)
         # per-request PRNG: sampling is deterministic in (seed, prompt
         # order) and independent across concurrent slots
+        self.seed = int(seed)
         self.rng = np.random.default_rng(seed)
         self.on_token = on_token
         self.cancelled = False
@@ -500,6 +501,24 @@ class DecodeServer(_ServerBase):
         self._last_tok = np.zeros((slots,), np.int64)
         self._pending: List[Optional[np.ndarray]] = [None] * slots
         self._adapter = np.zeros((slots,), np.int64)
+        # per-slot sampling state for the device-resident multi_step path:
+        # the scan body consumes these as [B] device arrays, so sampled /
+        # biased / penalized requests ride the same K-step dispatch as
+        # greedy ones. Neutral values make a slot exactly greedy.
+        V = cfg.vocab_size
+        self._temp = np.zeros((slots,), np.float32)
+        self._topk = np.full((slots,), V, np.int32)
+        self._topp = np.ones((slots,), np.float32)
+        self._minp = np.zeros((slots,), np.float32)
+        self._fpen = np.zeros((slots,), np.float32)
+        self._ppen = np.zeros((slots,), np.float32)
+        self._skeys = np.zeros((slots, 2), np.uint32)
+        # dense [B, V] device state, allocated lazily on the first
+        # admission that needs it (counts: generated-token histogram for
+        # frequency/presence penalties; bias: additive logit_bias rows)
+        self._counts: Optional[jax.Array] = None
+        self._bias: Optional[jax.Array] = None
+        self._multi_sampled_fn = None
         self._start_dispatch(slots)
 
     def _lora_feed(self, feed: dict) -> dict:
@@ -513,6 +532,40 @@ class DecodeServer(_ServerBase):
         if bucket not in self._prefill_engines:
             self._prefill_engines[bucket] = self._make_prefill(bucket)
         return bucket, self._prefill_engines[bucket]
+
+    @staticmethod
+    def _needs_device_sampling(r: _Request) -> bool:
+        return bool(r.temperature > 0.0 or r.logit_bias is not None
+                    or r.frequency_penalty or r.presence_penalty)
+
+    def _set_slot_sampling(self, slot: int, r: _Request) -> None:
+        """Write a claimed slot's sampling config into the per-slot device
+        arrays the multi_step scan consumes. Neutral values reduce a slot
+        to exact greedy, so one compiled program serves mixed traffic."""
+        V = self.cfg.vocab_size
+        self._temp[slot] = r.temperature
+        self._topk[slot] = max(1, min(int(r.top_k), V)) if r.top_k else V
+        self._topp[slot] = 1.0 if r.top_p is None else r.top_p
+        self._minp[slot] = 0.0 if r.min_p is None else r.min_p
+        self._fpen[slot] = r.frequency_penalty
+        self._ppen[slot] = r.presence_penalty
+        # threefry PRNGKey(seed) layout, computed host-side (no dispatch)
+        self._skeys[slot] = (np.uint32(r.seed >> 32),
+                             np.uint32(r.seed & 0xFFFFFFFF))
+        if (self.multi_step and self._counts is None
+                and self._needs_device_sampling(r)):
+            self._counts = jnp.zeros((self.B, V), jnp.int32)
+            self._bias = jnp.zeros((self.B, V), jnp.float32)
+        if self._counts is not None:
+            row = np.zeros((V,), np.int32)
+            for t in r.tokens:  # admission-emitted tokens count too
+                row[t] += 1
+            self._counts = self._counts.at[slot].set(jnp.asarray(row))
+            brow = np.zeros((V,), np.float32)
+            if r.logit_bias is not None:
+                idx, val = r.logit_bias
+                brow[idx] = val.astype(np.float32)
+            self._bias = self._bias.at[slot].set(jnp.asarray(brow))
 
     # -- client API ------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
@@ -537,20 +590,20 @@ class DecodeServer(_ServerBase):
         adapter: LoRA adapter index for this request (0 = base model);
         requires the server's lora_bank.
         temperature / top_k / top_p / seed: per-request sampling (0.0 =
-        greedy); sampling is host-side from the returned logits, seeded
-        per request, so concurrent slots draw independent streams."""
+        greedy). Single-step servers sample host-side from the returned
+        logits (numpy, seeded per request). multi_step servers sample ON
+        DEVICE inside the K-step scan: per-slot [B] parameter arrays and
+        a per-slot PRNG keyed on (seed, cache position), so a request's
+        stream is deterministic in (seed, prompt) and identical for any
+        K and any co-resident traffic — but drawn from jax's PRNG, so
+        sampled streams differ numerically from the single-step host
+        sampler (same filtering semantics, different random draws)."""
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         limit = self.max_len if self.chunked else self.prompt_len
         assert 1 <= prompt_ids.size <= limit
         assert prompt_ids.size + max_new_tokens <= self.max_len
         if adapter and not self._lora:
             raise ValueError("adapter requested but server has no lora_bank")
-        if (temperature or logit_bias or frequency_penalty
-                or presence_penalty) and self.multi_step:
-            raise ValueError(
-                "per-request sampling/logit_bias/penalties need per-step "
-                "logits; multi_step folds K on-device argmax steps into "
-                "one dispatch (plain greedy only)")
         r = _Request(prompt_ids, max_new_tokens, eos_id, stop_sequences,
                      adapter=adapter, temperature=temperature,
                      top_k=top_k, top_p=top_p, min_p=min_p, seed=seed,
@@ -659,6 +712,7 @@ class DecodeServer(_ServerBase):
             else:
                 self._pending[slot] = r.prompt.copy()
                 self._pos[slot] = 0
+            self._set_slot_sampling(slot, r)
             self._req[slot] = r
             return
         plen = r.prompt.size
@@ -714,6 +768,7 @@ class DecodeServer(_ServerBase):
                 or _hits_stop(r)):  # done already
             self._finish(None, r)
             return
+        self._set_slot_sampling(slot, r)
         self._req[slot] = r
         self._pos[slot] = plen
         self._last_tok[slot] = first
@@ -755,17 +810,120 @@ class DecodeServer(_ServerBase):
         self._multi_fn = jax.jit(multi)
         return self._multi_fn
 
-    def _step_multi(self) -> None:
-        """K decode steps in one dispatch; host-side bookkeeping after."""
+    def _get_multi_sampled_fn(self):
+        """multi_step variant with per-slot ON-DEVICE token selection:
+        sampling (temperature/top-k/top-p/min-p), additive logit bias,
+        and frequency/presence penalties all live inside the K-step scan
+        as [B] / [B, V] device arrays — sampled traffic keeps the
+        device-loop economics instead of falling back to one dispatch
+        per token. Greedy slots (neutral params) select exact argmax.
+
+        Per-slot randomness: key = fold_in(PRNGKey(request seed), pos) —
+        a function of (seed, cache position) only, so a request's stream
+        is identical for any K, any admission timing, and any
+        co-resident traffic (tests exploit this for K-invariance)."""
+        if self._multi_sampled_fn is not None:
+            return self._multi_sampled_fn
+        decode_fn = self.decode.jitted
+        int8 = self.kv_dtype == np.int8
+        present_of = {
+            name: name.replace("past_", "present_", 1)
+            for name in (spec.name for spec in self.decode.graph.inputs)
+            if name.startswith("past_")}
         K = self.multi_step
-        multi = self._get_multi_fn()
+        lora = self._lora
+        V = self.cfg.vocab_size
+        B = self.B
+
+        def select(logits, keys, pos, temp, tk, tp, mp):
+            """[B, V] logits -> [B] tokens; same filtering semantics as
+            the host _select_token, vectorized per slot."""
+            greedy = jnp.argmax(logits, axis=-1)
+            l = logits / jnp.where(temp > 0, temp, 1.0)[:, None]
+            sl = jnp.sort(l, axis=-1)                      # ascending
+            kth = jnp.take_along_axis(sl, (V - tk)[:, None].astype(jnp.int32),
+                                      axis=-1)
+            l = jnp.where(l >= kth, l, -jnp.inf)
+            sld = jnp.sort(l, axis=-1)[:, ::-1]            # descending
+            probs = jax.nn.softmax(sld, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = cum - probs < tp[:, None]
+            thresh = jnp.min(jnp.where(keep, sld, jnp.inf), axis=-1,
+                             keepdims=True)
+            l = jnp.where(l >= thresh, l, -jnp.inf)
+            pm = jnp.exp(l - jnp.max(l, axis=-1, keepdims=True))
+            l = jnp.where(pm >= mp[:, None], l, -jnp.inf)
+
+            def draw(kd, p, row):
+                return jax.random.categorical(jax.random.fold_in(kd, p), row)
+
+            samp = jax.vmap(draw)(keys, pos, l)
+            return jnp.where(temp > 0, samp, greedy)
+
+        def multi(params, tok, pos, cache, scales, idx, keys,
+                  temp, tk, tp, mp, fpen, ppen, counts, bias):
+            def body(carry, _):
+                tok, pos, cache, counts = carry
+                feed = {"input_ids": tok[:, None], "pos": pos}
+                feed.update(cache)
+                if int8:
+                    feed.update(scales)
+                if lora:
+                    feed["lora_idx"] = idx
+                out = decode_fn(params, feed)
+                logits = out["logits"][:, -1, :].astype(jnp.float32)
+                logits = logits + bias
+                cf = counts.astype(jnp.float32)
+                logits = logits - (fpen[:, None] * cf
+                                   + ppen[:, None] * (cf > 0))
+                nxt = select(logits, keys, pos, temp, tk, tp, mp
+                             ).astype(tok.dtype)
+                counts = counts.at[jnp.arange(B), nxt].add(1)
+                new_cache = {p: out[pr] for p, pr in present_of.items()}
+                return (nxt, pos + 1, new_cache, counts), nxt
+
+            carry, toks = jax.lax.scan(body, (tok, pos, cache, counts),
+                                       None, length=K)
+            _, pos, cache, counts = carry
+            return toks.T, cache, counts                   # toks [B, K]
+
+        self._multi_sampled_fn = jax.jit(multi)
+        return self._multi_sampled_fn
+
+    def _step_multi(self) -> None:
+        """K decode steps in one dispatch; host-side bookkeeping after.
+        Pure-greedy batches run the lean argmax program; batches with any
+        sampled/biased/penalized slot run the sampled program (greedy
+        slots in it still select exact argmax)."""
+        K = self.multi_step
         scales = ({k: jnp.asarray(v) for k, v in self._kv_scales.items()}
                   if self.kv_dtype == np.int8 else {})
-        toks, self._cache = multi(
-            self.decode.params,
-            jnp.asarray(self._last_tok.astype(np.int32)),
-            jnp.asarray(self._pos.astype(np.int32)),
-            self._cache, scales, jnp.asarray(self._adapter))
+        sampled = any(self._needs_device_sampling(self._req[s])
+                      for s in self._active())
+        if sampled:
+            if self._counts is None:  # replayed pcache admissions only
+                self._counts = jnp.zeros((self.B, self.cfg.vocab_size),
+                                         jnp.int32)
+                self._bias = jnp.zeros((self.B, self.cfg.vocab_size),
+                                       jnp.float32)
+            multi = self._get_multi_sampled_fn()
+            toks, self._cache, self._counts = multi(
+                self.decode.params,
+                jnp.asarray(self._last_tok.astype(np.int32)),
+                jnp.asarray(self._pos.astype(np.int32)),
+                self._cache, scales, jnp.asarray(self._adapter),
+                jnp.asarray(self._skeys),
+                jnp.asarray(self._temp), jnp.asarray(self._topk),
+                jnp.asarray(self._topp), jnp.asarray(self._minp),
+                jnp.asarray(self._fpen), jnp.asarray(self._ppen),
+                self._counts, self._bias)
+        else:
+            multi = self._get_multi_fn()
+            toks, self._cache = multi(
+                self.decode.params,
+                jnp.asarray(self._last_tok.astype(np.int32)),
+                jnp.asarray(self._pos.astype(np.int32)),
+                self._cache, scales, jnp.asarray(self._adapter))
         toks = np.asarray(toks)                          # [B, K]
         self.steps += 1
         self._occupancy_sum += len(self._active())

@@ -86,12 +86,17 @@ def test_oversized_top_k_is_clamped():
     assert len(out) == 3
 
 
-def test_multi_step_rejects_logit_bias():
+def test_multi_step_accepts_logit_bias():
+    """Round-4: logit_bias rides the device loop (dense [B, V] bias rows
+    in the scan); a banned token must never be emitted."""
     srv = DecodeServer(TINY, slots=2, prompt_len=4, max_len=16,
                        multi_step=2)
     try:
-        with pytest.raises(ValueError, match="greedy only"):
-            srv.submit(_prompt(), 2, logit_bias={1: -1e9})
+        base = srv.submit(_prompt(), 4).result(timeout=300)
+        banned = base[0]
+        out = srv.submit(_prompt(), 4,
+                         logit_bias={banned: -1e9}).result(timeout=300)
+        assert banned not in out
     finally:
         srv.stop()
 

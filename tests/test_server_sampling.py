@@ -96,14 +96,77 @@ def test_chunked_prefill_sampling():
     assert len(a) == 6
 
 
-def test_multi_step_rejects_sampling():
-    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
-                       multi_step=4)
+def test_multi_step_sampled_k_invariance():
+    """On-device sampling in multi_step keys each draw on (request seed,
+    cache position), so a request's stream is identical for ANY K — the
+    strong form of served == isolated for the device loop."""
+    p = _prompt()
+    streams = []
+    for K in (1, 2, 4):
+        srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=32,
+                           multi_step=K)
+        try:
+            streams.append(srv.submit(
+                p, 8, temperature=0.9, top_p=0.9, seed=11
+            ).result(timeout=300))
+        finally:
+            srv.stop()
+    assert streams[0] == streams[1] == streams[2]
+    assert len(streams[0]) == 8
+
+
+def test_multi_step_sampled_independent_of_cotenants():
+    """A sampled request's stream must not depend on what shares the
+    batch (per-slot keys, not a batch-wide key chain)."""
+    p = _prompt()
+    kw = dict(temperature=1.1, top_k=20, seed=5)
+    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=32,
+                       multi_step=2)
     try:
-        with pytest.raises(ValueError, match="greedy only"):
-            srv.submit(_prompt(), 4, temperature=1.0)
+        alone = srv.submit(p, 8, **kw).result(timeout=300)
+        busy_f = srv.submit(_prompt(), 8, temperature=2.0, seed=99)
+        again = srv.submit(p, 8, **kw).result(timeout=300)
+        busy_f.result(timeout=300)
     finally:
         srv.stop()
+    assert alone == again
+
+
+def test_multi_step_topk1_matches_host_greedy():
+    """top_k=1 collapses sampling to argmax in BOTH samplers, so the
+    device multi_step stream must equal the single-step host stream
+    exactly."""
+    p = _prompt()
+    srv1 = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    srvK = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                        multi_step=3)
+    try:
+        host = srv1.submit(p, 6, temperature=1.7, top_k=1,
+                           seed=3).result(timeout=300)
+        dev = srvK.submit(p, 6, temperature=1.7, top_k=1,
+                          seed=3).result(timeout=300)
+    finally:
+        srv1.stop()
+        srvK.stop()
+    assert dev == host
+
+
+def test_multi_step_logit_bias_matches_host():
+    """Greedy + logit_bias is deterministic: device multi_step must equal
+    the single-step host path token for token (bias forces a token)."""
+    p = _prompt()
+    forced = 7
+    bias = {forced: 1000.0}
+    srv1 = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    srvK = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                        multi_step=2)
+    try:
+        host = srv1.submit(p, 5, logit_bias=bias).result(timeout=300)
+        dev = srvK.submit(p, 5, logit_bias=bias).result(timeout=300)
+    finally:
+        srv1.stop()
+        srvK.stop()
+    assert dev == host == [forced] * 5
 
 
 def test_seq2seq_server_sampling():
@@ -211,11 +274,19 @@ def test_min_p_one_is_greedy():
     assert s1 == s2                           # seed-deterministic
 
 
-def test_multi_step_rejects_penalties():
-    srv = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
-                       multi_step=2)
+def test_multi_step_penalties_match_host():
+    """Greedy + frequency/presence penalties is deterministic: the
+    on-device counts-histogram penalty must reproduce the host stream
+    exactly (including the admission token in the counts)."""
+    p = _prompt()
+    kw = dict(frequency_penalty=1.5, presence_penalty=2.0)
+    srv1 = DecodeServer(TINY, slots=2, prompt_len=8, max_len=32)
+    srvK = DecodeServer(TINY, slots=2, prompt_len=8, max_len=32,
+                        multi_step=2)
     try:
-        with pytest.raises(ValueError, match="greedy only"):
-            srv.submit(_prompt(), 4, presence_penalty=0.5)
+        host = srv1.submit(p, 10, **kw).result(timeout=300)
+        dev = srvK.submit(p, 10, **kw).result(timeout=300)
     finally:
-        srv.stop()
+        srv1.stop()
+        srvK.stop()
+    assert dev == host
