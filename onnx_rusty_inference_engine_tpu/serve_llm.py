@@ -152,6 +152,36 @@ def _select_token(logits: np.ndarray, r: _Request) -> int:
     return int(r.rng.choice(l.size, p=p))
 
 
+def _device_select(logits, keys, pos, temp, tk, tp, mp):
+    """On-device per-slot token selection for the multi_step scan bodies:
+    [B, V] logits -> [B] tokens. Same filtering semantics as the host
+    _select_token, vectorized per slot; neutral params (temp 0, tk = V,
+    tp 1.0, mp 0.0) reduce a row to exact argmax. Randomness is keyed on
+    (per-slot key, cache position): deterministic in (seed, prompt),
+    invariant to K and to co-resident traffic."""
+    V = logits.shape[-1]
+    greedy = jnp.argmax(logits, axis=-1)
+    l = logits / jnp.where(temp > 0, temp, 1.0)[:, None]
+    sl = jnp.sort(l, axis=-1)                              # ascending
+    kth = jnp.take_along_axis(sl, (V - tk)[:, None].astype(jnp.int32),
+                              axis=-1)
+    l = jnp.where(l >= kth, l, -jnp.inf)
+    sld = jnp.sort(l, axis=-1)[:, ::-1]                    # descending
+    probs = jax.nn.softmax(sld, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < tp[:, None]
+    thresh = jnp.min(jnp.where(keep, sld, jnp.inf), axis=-1, keepdims=True)
+    l = jnp.where(l >= thresh, l, -jnp.inf)
+    pm = jnp.exp(l - jnp.max(l, axis=-1, keepdims=True))
+    l = jnp.where(pm >= mp[:, None], l, -jnp.inf)
+
+    def draw(kd, p, row):
+        return jax.random.categorical(jax.random.fold_in(kd, p), row)
+
+    samp = jax.vmap(draw)(keys, pos, l)
+    return jnp.where(temp > 0, samp, greedy)
+
+
 def _hits_stop(r: "_Request") -> bool:
     """True when r.tokens ends with any registered stop sequence."""
     for q in r.stop_sequences:
@@ -169,6 +199,83 @@ class _ServerBase:
     One implementation of the loop/finish/failure-isolation logic serves
     every family (decoder-only, encoder-decoder, ASR) — the round-2
     DecodeServer/Seq2SeqServer duplication, factored."""
+
+    def _init_sampling_state(self, slots: int, vocab: int,
+                             device_multi: bool) -> None:
+        """Per-slot sampling state for device-resident multi_step paths:
+        the scan bodies consume these as [B] device arrays, so sampled /
+        biased / penalized requests ride the same K-step dispatch as
+        greedy ones. Neutral values make a slot exactly greedy.
+        device_multi gates the lazy [B, V] counts/bias allocation."""
+        self._vocab = int(vocab)
+        self._device_multi = bool(device_multi)
+        self._temp = np.zeros((slots,), np.float32)
+        self._topk = np.full((slots,), vocab, np.int32)
+        self._topp = np.ones((slots,), np.float32)
+        self._minp = np.zeros((slots,), np.float32)
+        self._fpen = np.zeros((slots,), np.float32)
+        self._ppen = np.zeros((slots,), np.float32)
+        self._skeys = np.zeros((slots, 2), np.uint32)
+        # dense [B, V] device state, allocated lazily on the first
+        # admission that needs it (counts: generated-token histogram for
+        # frequency/presence penalties; bias: additive logit_bias rows)
+        self._counts: Optional[jax.Array] = None
+        self._bias: Optional[jax.Array] = None
+
+    @staticmethod
+    def _needs_device_sampling(r: _Request) -> bool:
+        return bool(r.temperature > 0.0 or r.logit_bias is not None
+                    or r.frequency_penalty or r.presence_penalty)
+
+    def _set_slot_sampling(self, slot: int, r: _Request) -> None:
+        """Write a claimed slot's sampling config into the per-slot device
+        arrays the multi_step scan consumes. Neutral values reduce a slot
+        to exact greedy, so one compiled program serves mixed traffic."""
+        V = self._vocab
+        self._temp[slot] = r.temperature
+        self._topk[slot] = max(1, min(int(r.top_k), V)) if r.top_k else V
+        self._topp[slot] = 1.0 if r.top_p is None else r.top_p
+        self._minp[slot] = 0.0 if r.min_p is None else r.min_p
+        self._fpen[slot] = r.frequency_penalty
+        self._ppen[slot] = r.presence_penalty
+        # threefry PRNGKey(seed) layout, computed host-side (no dispatch)
+        self._skeys[slot] = (np.uint32(r.seed >> 32),
+                             np.uint32(r.seed & 0xFFFFFFFF))
+        if (self._device_multi and self._counts is None
+                and self._needs_device_sampling(r)):
+            self._counts = jnp.zeros((self.B, V), jnp.int32)
+            self._bias = jnp.zeros((self.B, V), jnp.float32)
+        if self._counts is not None:
+            row = np.zeros((V,), np.int32)
+            for t in r.tokens:  # admission-emitted tokens count too
+                row[t] += 1
+            self._counts = self._counts.at[slot].set(jnp.asarray(row))
+            brow = np.zeros((V,), np.float32)
+            if r.logit_bias is not None:
+                idx, val = r.logit_bias
+                brow[idx] = val.astype(np.float32)
+            self._bias = self._bias.at[slot].set(jnp.asarray(brow))
+
+    def _emit_multi_block(self, toks: np.ndarray, K: int) -> None:
+        """Host bookkeeping after a K-step device block (pure decode):
+        emit each active slot's K tokens in order, finishing early on
+        max_new/eos/stop (overshoot tokens are discarded; the slot's
+        over-advanced cache rows are dead state masked by pos on
+        re-admission)."""
+        self.steps += 1
+        self._occupancy_sum += len(self._active())
+        for s in self._active():
+            r = self._req[s]
+            for j in range(K):
+                self._pos[s] += 1
+                tok = int(toks[s, j])
+                r.emit(tok)
+                self._last_tok[s] = tok
+                self.tokens_out += 1
+                if (len(r.tokens) >= r.max_new or tok == r.eos_id
+                        or _hits_stop(r)):
+                    self._finish(s, r)
+                    break
 
     def _start_dispatch(self, slots: int) -> None:
         """Call LAST in subclass __init__ (after all slot state exists)."""
@@ -411,10 +518,8 @@ class DecodeServer(_ServerBase):
         # slot finishes mid-block. The served-latency lever on a chip
         # where each dispatch pays a host roundtrip (PERF.md).
         self.multi_step = int(multi_step)
-        if self.multi_step and self.chunked:
-            raise ValueError("multi_step is incompatible with "
-                             "chunked_prefill (one dispatch loop each)")
         self._multi_fn = None
+        self._chunked_multi_fn = None
         # prompt/prefix KV cache: up to `prompt_cache` prompts' presents
         # kept host-side (LRU). Bucketed-prefill mode reuses EXACT prompt
         # matches (skips the whole prefill); chunked mode reuses the
@@ -501,24 +606,16 @@ class DecodeServer(_ServerBase):
         self._last_tok = np.zeros((slots,), np.int64)
         self._pending: List[Optional[np.ndarray]] = [None] * slots
         self._adapter = np.zeros((slots,), np.int64)
-        # per-slot sampling state for the device-resident multi_step path:
-        # the scan body consumes these as [B] device arrays, so sampled /
-        # biased / penalized requests ride the same K-step dispatch as
-        # greedy ones. Neutral values make a slot exactly greedy.
-        V = cfg.vocab_size
-        self._temp = np.zeros((slots,), np.float32)
-        self._topk = np.full((slots,), V, np.int32)
-        self._topp = np.ones((slots,), np.float32)
-        self._minp = np.zeros((slots,), np.float32)
-        self._fpen = np.zeros((slots,), np.float32)
-        self._ppen = np.zeros((slots,), np.float32)
-        self._skeys = np.zeros((slots, 2), np.uint32)
-        # dense [B, V] device state, allocated lazily on the first
-        # admission that needs it (counts: generated-token histogram for
-        # frequency/presence penalties; bias: additive logit_bias rows)
-        self._counts: Optional[jax.Array] = None
-        self._bias: Optional[jax.Array] = None
+        self._init_sampling_state(slots, cfg.vocab_size,
+                                  bool(self.multi_step))
         self._multi_sampled_fn = None
+        # chunked × multi_step: pending prompt suffixes live ON DEVICE so
+        # the K-step scan can feed chunks without host round-trips;
+        # _pbuf_len mirrors each row's admitted suffix length
+        self._pbuf: Optional[jax.Array] = None
+        if self.chunked and self.multi_step:
+            self._pbuf = jnp.zeros((slots, max_len), jnp.int32)
+        self._pbuf_len = np.zeros((slots,), np.int64)
         self._start_dispatch(slots)
 
     def _lora_feed(self, feed: dict) -> dict:
@@ -532,40 +629,6 @@ class DecodeServer(_ServerBase):
         if bucket not in self._prefill_engines:
             self._prefill_engines[bucket] = self._make_prefill(bucket)
         return bucket, self._prefill_engines[bucket]
-
-    @staticmethod
-    def _needs_device_sampling(r: _Request) -> bool:
-        return bool(r.temperature > 0.0 or r.logit_bias is not None
-                    or r.frequency_penalty or r.presence_penalty)
-
-    def _set_slot_sampling(self, slot: int, r: _Request) -> None:
-        """Write a claimed slot's sampling config into the per-slot device
-        arrays the multi_step scan consumes. Neutral values reduce a slot
-        to exact greedy, so one compiled program serves mixed traffic."""
-        V = self.cfg.vocab_size
-        self._temp[slot] = r.temperature
-        self._topk[slot] = max(1, min(int(r.top_k), V)) if r.top_k else V
-        self._topp[slot] = 1.0 if r.top_p is None else r.top_p
-        self._minp[slot] = 0.0 if r.min_p is None else r.min_p
-        self._fpen[slot] = r.frequency_penalty
-        self._ppen[slot] = r.presence_penalty
-        # threefry PRNGKey(seed) layout, computed host-side (no dispatch)
-        self._skeys[slot] = (np.uint32(r.seed >> 32),
-                             np.uint32(r.seed & 0xFFFFFFFF))
-        if (self.multi_step and self._counts is None
-                and self._needs_device_sampling(r)):
-            self._counts = jnp.zeros((self.B, V), jnp.int32)
-            self._bias = jnp.zeros((self.B, V), jnp.float32)
-        if self._counts is not None:
-            row = np.zeros((V,), np.int32)
-            for t in r.tokens:  # admission-emitted tokens count too
-                row[t] += 1
-            self._counts = self._counts.at[slot].set(jnp.asarray(row))
-            brow = np.zeros((V,), np.float32)
-            if r.logit_bias is not None:
-                idx, val = r.logit_bias
-                brow[idx] = val.astype(np.float32)
-            self._bias = self._bias.at[slot].set(jnp.asarray(brow))
 
     # -- client API ------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
@@ -712,6 +775,12 @@ class DecodeServer(_ServerBase):
             else:
                 self._pending[slot] = r.prompt.copy()
                 self._pos[slot] = 0
+            if self._pbuf is not None:
+                pend = self._pending[slot]
+                row = np.zeros((self.max_len,), np.int32)
+                row[: pend.size] = pend
+                self._pbuf = self._pbuf.at[slot].set(jnp.asarray(row))
+                self._pbuf_len[slot] = pend.size
             self._set_slot_sampling(slot, r)
             self._req[slot] = r
             return
@@ -832,33 +901,8 @@ class DecodeServer(_ServerBase):
             if name.startswith("past_")}
         K = self.multi_step
         lora = self._lora
-        V = self.cfg.vocab_size
         B = self.B
-
-        def select(logits, keys, pos, temp, tk, tp, mp):
-            """[B, V] logits -> [B] tokens; same filtering semantics as
-            the host _select_token, vectorized per slot."""
-            greedy = jnp.argmax(logits, axis=-1)
-            l = logits / jnp.where(temp > 0, temp, 1.0)[:, None]
-            sl = jnp.sort(l, axis=-1)                      # ascending
-            kth = jnp.take_along_axis(sl, (V - tk)[:, None].astype(jnp.int32),
-                                      axis=-1)
-            l = jnp.where(l >= kth, l, -jnp.inf)
-            sld = jnp.sort(l, axis=-1)[:, ::-1]            # descending
-            probs = jax.nn.softmax(sld, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            keep = cum - probs < tp[:, None]
-            thresh = jnp.min(jnp.where(keep, sld, jnp.inf), axis=-1,
-                             keepdims=True)
-            l = jnp.where(l >= thresh, l, -jnp.inf)
-            pm = jnp.exp(l - jnp.max(l, axis=-1, keepdims=True))
-            l = jnp.where(pm >= mp[:, None], l, -jnp.inf)
-
-            def draw(kd, p, row):
-                return jax.random.categorical(jax.random.fold_in(kd, p), row)
-
-            samp = jax.vmap(draw)(keys, pos, l)
-            return jnp.where(temp > 0, samp, greedy)
+        select = _device_select
 
         def multi(params, tok, pos, cache, scales, idx, keys,
                   temp, tk, tp, mp, fpen, ppen, counts, bias):
@@ -902,10 +946,8 @@ class DecodeServer(_ServerBase):
                       for s in self._active())
         if sampled:
             if self._counts is None:  # replayed pcache admissions only
-                self._counts = jnp.zeros((self.B, self.cfg.vocab_size),
-                                         jnp.int32)
-                self._bias = jnp.zeros((self.B, self.cfg.vocab_size),
-                                       jnp.float32)
+                self._counts = jnp.zeros((self.B, self._vocab), jnp.int32)
+                self._bias = jnp.zeros((self.B, self._vocab), jnp.float32)
             multi = self._get_multi_sampled_fn()
             toks, self._cache, self._counts = multi(
                 self.decode.params,
@@ -924,27 +966,165 @@ class DecodeServer(_ServerBase):
                 jnp.asarray(self._last_tok.astype(np.int32)),
                 jnp.asarray(self._pos.astype(np.int32)),
                 self._cache, scales, jnp.asarray(self._adapter))
-        toks = np.asarray(toks)                          # [B, K]
+        self._emit_multi_block(np.asarray(toks), K)
+
+    def _get_chunked_multi_fn(self):
+        """K CHUNK steps per dispatch: the unified prefill/decode loop
+        device-resident. Each scan step, per slot: if prompt tokens
+        remain, feed the next C of them from the device prompt buffer
+        (one-hot matmul, not gather — CLAUDE.md rule) and emit a token
+        only when the chunk consumed the prompt's tail; otherwise feed
+        the last emitted token as a 1-real-token decode chunk. Mode
+        flags (remaining/offset) ride the scan carry, so mixed
+        prefill+decode batches advance K steps in ONE dispatch.
+
+        Selection is the same per-slot on-device sampler as
+        _get_multi_sampled_fn (neutral params = exact greedy); the
+        emission validity mask comes back with the tokens and the host
+        replays the same arithmetic for bookkeeping."""
+        if self._chunked_multi_fn is not None:
+            return self._chunked_multi_fn
+        decode_fn = self.decode.jitted
+        int8 = self.kv_dtype == np.int8
+        present_of = {
+            name: name.replace("past_", "present_", 1)
+            for name in (spec.name for spec in self.decode.graph.inputs)
+            if name.startswith("past_")}
+        K = self.multi_step
+        C = self.chunk
+        L = self.max_len
+        lora = self._lora
+        B = self.B
+        select = _device_select
+
+        def multi(params, tok, pos, rem, off, pbuf, cache, scales, idx,
+                  keys, temp, tk, tp, mp, fpen, ppen, counts, bias):
+            def body(carry, _):
+                tok, pos, rem, off, cache, counts = carry
+                prefilling = rem > 0                       # [B]
+                n_feed = jnp.where(prefilling,
+                                   jnp.minimum(C, rem), 1).astype(pos.dtype)
+                # prompt window [B, C] via one-hot matmul (house rule:
+                # never index-gather what a tiny matmul can scatter)
+                want = off[:, None] + jnp.arange(C)[None, :]     # [B, C]
+                onehot = (want[:, :, None]
+                          == jnp.arange(L)[None, None, :])       # [B, C, L]
+                window = jnp.einsum(
+                    "bcl,bl->bc", onehot.astype(jnp.float32),
+                    pbuf.astype(jnp.float32)).astype(tok.dtype)
+                decode_ids = jnp.concatenate(
+                    [tok[:, None],
+                     jnp.zeros((B, C - 1), tok.dtype)], axis=1) \
+                    if C > 1 else tok[:, None]
+                ids = jnp.where(prefilling[:, None], window, decode_ids)
+
+                feed = {"input_ids": ids, "pos": pos}
+                feed.update(cache)
+                if int8:
+                    feed.update(scales)
+                if lora:
+                    feed["lora_idx"] = idx
+                out = decode_fn(params, feed)
+                logits = out["logits"].astype(jnp.float32)   # [B, C, V]
+                sel_oh = (jnp.arange(C)[None, :]
+                          == (n_feed - 1)[:, None])          # [B, C]
+                last_logits = jnp.einsum(
+                    "bc,bcv->bv", sel_oh.astype(jnp.float32), logits)
+                last_logits = last_logits + bias
+                cf = counts.astype(jnp.float32)
+                last_logits = last_logits - (fpen[:, None] * cf
+                                             + ppen[:, None] * (cf > 0))
+                nxt = select(last_logits, keys, pos, temp, tk, tp, mp
+                             ).astype(tok.dtype)
+                rem_after = jnp.maximum(rem - n_feed, 0)
+                valid = rem_after == 0          # emitted a real token
+                tok = jnp.where(valid, nxt, tok)
+                counts = counts.at[jnp.arange(B), nxt].add(
+                    valid.astype(counts.dtype))
+                pos = pos + n_feed
+                off = off + jnp.where(prefilling, n_feed, 0)
+                new_cache = {p: out[pr] for p, pr in present_of.items()}
+                return ((tok, pos, rem_after, off, new_cache, counts),
+                        (nxt, valid))
+
+            carry, (toks, valid) = jax.lax.scan(
+                body, (tok, pos, rem, off, cache, counts), None, length=K)
+            _, _, _, _, cache, counts = carry
+            return toks.T, valid.T, cache, counts          # [B, K]
+
+        self._chunked_multi_fn = jax.jit(multi)
+        return self._chunked_multi_fn
+
+    def _step_chunked_multi(self) -> None:
+        """K chunk steps in one dispatch; host bookkeeping by replaying
+        the same feed arithmetic over the returned (token, valid) grid."""
+        K = self.multi_step
+        multi = self._get_chunked_multi_fn()
+        scales = ({k: jnp.asarray(v) for k, v in self._kv_scales.items()}
+                  if self.kv_dtype == np.int8 else {})
+        if self._counts is None:
+            self._counts = jnp.zeros((self.B, self._vocab), jnp.int32)
+            self._bias = jnp.zeros((self.B, self._vocab), jnp.float32)
+        rem = np.array([0 if p is None else p.size for p in self._pending],
+                       np.int32)
+        off = (self._pbuf_len - rem).astype(np.int32)
+        toks, valid, self._cache, self._counts = multi(
+            self.decode.params,
+            jnp.asarray(self._last_tok.astype(np.int32)),
+            jnp.asarray(self._pos.astype(np.int32)),
+            jnp.asarray(rem), jnp.asarray(off), self._pbuf,
+            self._cache, scales, jnp.asarray(self._adapter),
+            jnp.asarray(self._skeys),
+            jnp.asarray(self._temp), jnp.asarray(self._topk),
+            jnp.asarray(self._topp), jnp.asarray(self._minp),
+            jnp.asarray(self._fpen), jnp.asarray(self._ppen),
+            self._counts, self._bias)
+        toks = np.asarray(toks)                 # [B, K]
+        valid = np.asarray(valid)               # [B, K]
         self.steps += 1
         self._occupancy_sum += len(self._active())
+        C = self.chunk
         for s in self._active():
             r = self._req[s]
+            remaining = 0 if self._pending[s] is None else \
+                int(self._pending[s].size)
+            fed_total = 0
+            plen_done = None
             for j in range(K):
-                self._pos[s] += 1
+                if remaining > 0:
+                    n = min(C, remaining)
+                    remaining -= n
+                    fed_total += n
+                    self._pos[s] += n
+                    if remaining > 0:
+                        assert not valid[s, j]
+                        continue            # still prefilling: no token
+                    plen_done = int(self._pos[s])
+                else:
+                    self._pos[s] += 1
+                assert valid[s, j]
                 tok = int(toks[s, j])
                 r.emit(tok)
                 self._last_tok[s] = tok
                 self.tokens_out += 1
                 if (len(r.tokens) >= r.max_new or tok == r.eos_id
                         or _hits_stop(r)):
-                    # overshoot tokens j+1..K-1 are discarded; the slot's
-                    # over-advanced cache rows are dead state (masked by
-                    # pos on re-admission)
-                    self._finish(s, r)
+                    self._finish(s, r)      # overshoot discarded
                     break
+            if fed_total:
+                self._pending[s] = self._pending[s][fed_total:]
+            if plen_done is not None and self.prompt_cache:
+                self._pcache_put(r.prompt, r.adapter, {
+                    name: np.asarray(self._cache[name][s, :, :plen_done])
+                    for name in self._cache})
 
     def _step(self) -> None:
         if self.chunked:
+            # chunked × multi_step runs the device block once int8 KV
+            # calibration (shadow fp32 phase) is out of the way
+            if self.multi_step > 0 and not (
+                    self._shadow is not None and self._kv_scales is None):
+                return self._step_chunked_multi()
             return self._step_chunked()
         if self.multi_step > 0:
             return self._step_multi()
@@ -1082,6 +1262,7 @@ class Seq2SeqServer(_ServerBase):
         param_sharding_fn=None,
         family: str = "t5",
         encoder_cache: int = 0,
+        multi_step: int = 0,
     ):
         from .models import seq2seq_family
 
@@ -1118,6 +1299,13 @@ class Seq2SeqServer(_ServerBase):
         self.encoder_cache = int(encoder_cache)
         self._enc_cache: "OrderedDict[bytes, dict]" = OrderedDict()
         self.encoder_cache_hits = 0
+        # multi_step=K: K decode steps per dispatch (lax.scan over time,
+        # cross-attention state static inside the scan) — the same
+        # device-loop lever as DecodeServer, for encoder-decoder families
+        self.multi_step = int(multi_step)
+        self._multi_fn = None
+        self._init_sampling_state(slots, cfg.vocab_size,
+                                  bool(self.multi_step))
         self._start_dispatch(slots)
 
     def stats(self) -> Dict[str, float]:
@@ -1178,12 +1366,84 @@ class Seq2SeqServer(_ServerBase):
                     self._enc_cache.popitem(last=False)
         for name, v in cross.items():
             self._cache[name] = self._cache[name].at[slot].set(v)
+        self._set_slot_sampling(slot, r)
         self._req[slot] = r
         self._pos[slot] = 0
         self._last_tok[slot] = self.start_token
         self._src_lens[slot] = r.prompt.size
 
+    def _get_multi_fn(self):
+        """K decode steps in one dispatch for the encoder-decoder case:
+        self-attention KV rides the scan carry, cross-attention K/V and
+        per-slot source lengths are loop constants. Token selection is
+        the shared on-device per-slot sampler (_device_select) — greedy
+        slots select exact argmax."""
+        if self._multi_fn is not None:
+            return self._multi_fn
+        decode_fn = self.decode.jitted
+        K = self.multi_step
+        B = self.B
+        src_mask = self.fam.src_mask
+        present_of = {
+            f"past_{kind}_{i}": f"present_{kind}_{i}"
+            for i in range(self.n_layers) for kind in ("key", "value")}
+        select = _device_select
+
+        def multi(params, tok, pos, past, cross, src_lens, keys,
+                  temp, tk, tp, mp, fpen, ppen, counts, bias):
+            def body(carry, _):
+                tok, pos, past, counts = carry
+                feed = {"input_ids": tok[:, None], "pos": pos}
+                feed.update(past)
+                feed.update(cross)
+                if src_mask:
+                    feed["src_len"] = src_lens
+                out = decode_fn(params, feed)
+                logits = out["logits"][:, -1, :].astype(jnp.float32)
+                logits = logits + bias
+                cf = counts.astype(jnp.float32)
+                logits = logits - (fpen[:, None] * cf
+                                   + ppen[:, None] * (cf > 0))
+                nxt = select(logits, keys, pos, temp, tk, tp, mp
+                             ).astype(tok.dtype)
+                counts = counts.at[jnp.arange(B), nxt].add(1)
+                new_past = {p: out[pr] for p, pr in present_of.items()}
+                return (nxt, pos + 1, new_past, counts), nxt
+
+            carry, toks = jax.lax.scan(body, (tok, pos, past, counts),
+                                       None, length=K)
+            _, _, past, counts = carry
+            return toks.T, past, counts                    # toks [B, K]
+
+        self._multi_fn = jax.jit(multi)
+        return self._multi_fn
+
+    def _step_multi(self) -> None:
+        K = self.multi_step
+        multi = self._get_multi_fn()
+        if self._counts is None:
+            self._counts = jnp.zeros((self.B, self._vocab), jnp.int32)
+            self._bias = jnp.zeros((self.B, self._vocab), jnp.float32)
+        past = {k: v for k, v in self._cache.items()
+                if k.startswith("past_")}
+        cross = {k: v for k, v in self._cache.items()
+                 if k.startswith("cross_")}
+        toks, past, self._counts = multi(
+            self.decode.params,
+            jnp.asarray(self._last_tok.astype(np.int32)),
+            jnp.asarray(self._pos.astype(np.int32)),
+            past, cross, jnp.asarray(self._src_lens.astype(np.int32)),
+            jnp.asarray(self._skeys),
+            jnp.asarray(self._temp), jnp.asarray(self._topk),
+            jnp.asarray(self._topp), jnp.asarray(self._minp),
+            jnp.asarray(self._fpen), jnp.asarray(self._ppen),
+            self._counts, self._bias)
+        self._cache.update(past)
+        self._emit_multi_block(np.asarray(toks), K)
+
     def _step(self) -> None:
+        if self.multi_step > 0:
+            return self._step_multi()
         feed = {"input_ids": jnp.asarray(self._last_tok[:, None]),
                 "pos": jnp.asarray(self._pos), **self._cache}
         if self.fam.src_mask:
