@@ -221,7 +221,8 @@ def cmd_generate(args) -> int:
 
             bg = Seq2SeqBeamGenerator(cfg, batch=1, beam=args.beam,
                                       src_len=src.shape[1],
-                                      max_len=args.max_len)
+                                      max_len=args.max_len,
+                                      device_loop=bool(args.device_loop))
             toks, scores = bg.generate(src, args.new)
             print(json.dumps({"family": "t5", "src": src[0].tolist(),
                               "generated": toks[0].tolist(),
@@ -284,7 +285,8 @@ def cmd_generate(args) -> int:
 
         bg = BeamGenerator(cfg, batch=1, beam=args.beam,
                            prompt_len=ids.shape[1], max_len=args.max_len,
-                           family=args.family, int4_weights=args.int4)
+                           family=args.family, int4_weights=args.int4,
+                           device_loop=bool(args.device_loop))
         toks, scores = bg.generate(ids, args.new)
         print(json.dumps({"family": args.family, "prompt": ids[0].tolist(),
                           "generated": toks[0].tolist(), "beam": args.beam,
@@ -578,7 +580,9 @@ def main(argv: Optional[list] = None) -> int:
     pg.add_argument("--device-loop", dest="device_loop", type=int,
                     default=0, metavar="K",
                     help="run K decode steps per dispatch on device "
-                         "(lax.scan over time, on-device sampling)")
+                         "(lax.scan over time, on-device sampling); "
+                         "with --beam, any nonzero value runs the whole "
+                         "beam loop in one dispatch")
     pg.add_argument("--spec-k", dest="spec_k", type=int, default=4,
                     help="speculation chunk size (draft proposes k-1)")
     pg.add_argument("--beam", type=int, default=1, metavar="K",

@@ -871,6 +871,16 @@ def _beam_loop(step_logp, reorder, tokens, scores, finished, *,
         reorder((np.arange(B)[:, None] * K + src_beam).reshape(-1))
         last = tok.reshape(B * K)
 
+    return _beam_finalize(tokens, scores, n_new=n_new, eos_id=eos_id,
+                          length_penalty=length_penalty)
+
+
+def _beam_finalize(tokens: np.ndarray, scores: np.ndarray, *, n_new: int,
+                   eos_id: Optional[int], length_penalty: float,
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Final best-beam selection shared by the host loop and the device
+    scan: GNMT length penalty, argmax over beams, eos-padding to n_new."""
+    B = tokens.shape[0]
     if length_penalty:
         lens = tokens.shape[2] - (0 if eos_id is None
                                   else (tokens == eos_id).sum(2))
@@ -885,6 +895,70 @@ def _beam_loop(step_logp, reorder, tokens, scores, finished, *,
             [out_toks, np.full((B, n_new - out_toks.shape[1]),
                                pad_tok, out_toks.dtype)], axis=1)
     return out_toks, scores[np.arange(B), best]
+
+
+def _beam_backtrack(top0: np.ndarray, parents: np.ndarray,
+                    toks: np.ndarray) -> np.ndarray:
+    """Reconstruct [B, K, T+1] beam histories from per-step parent
+    pointers — the host-side half of the device beam scan (the scan
+    records (src_beam, token) per step instead of reordering a token
+    buffer on device)."""
+    T, B, K = parents.shape
+    seq = np.zeros((B, K, T + 1), np.int64)
+    bi = np.arange(B)[:, None]
+    cur = np.tile(np.arange(K), (B, 1))
+    for t in range(T - 1, -1, -1):
+        seq[:, :, t + 1] = toks[t][bi, cur]
+        cur = parents[t][bi, cur]
+    seq[:, :, 0] = np.take_along_axis(top0, cur, axis=1)
+    return seq
+
+
+def _build_device_beam_fn(decode_fn, past_names, *, B: int, K: int, V: int,
+                          n_new: int, eos_id: Optional[int]):
+    """One jitted program running ALL beam steps 1..n_new-1: decode,
+    log-softmax, frozen-beam masking, top-K expansion, and the cache
+    reorder (batch-dim take — the cheap gather class) inside a lax.scan.
+    Returns (scores [B,K], finished [B,K], parents [T,B,K], toks [T,B,K]).
+
+    Early exit is unnecessary for correctness: a finished beam's only
+    continuation is eos at zero cost, so extra steps append eos without
+    moving any score — exactly the host loop's break-and-pad-with-eos."""
+    present_of = {n: n.replace("past_", "present_", 1) for n in past_names}
+    T = n_new - 1
+
+    def run(params, cache, const_feed, last, scores, finished, pos):
+        def body(carry, _):
+            last, scores, finished, cache, pos = carry
+            feed = {"input_ids": last[:, None], "pos": pos}
+            feed.update(cache)
+            feed.update(const_feed)
+            out = decode_fn(params, feed)
+            lp = jax.nn.log_softmax(
+                out["logits"][:, -1, :].astype(jnp.float32))
+            lp = lp.reshape(B, K, V)
+            if eos_id is not None:
+                frozen = jnp.full((V,), -jnp.inf).at[eos_id].set(0.0)
+                lp = jnp.where(finished[:, :, None], frozen, lp)
+            flat = (scores[:, :, None] + lp).reshape(B, K * V)
+            vals, idx = jax.lax.top_k(flat, K)
+            src_beam = idx // V                          # [B, K]
+            tok = idx % V
+            fin = jnp.take_along_axis(finished, src_beam, axis=1)
+            if eos_id is not None:
+                fin = fin | (tok == eos_id)
+            rows = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+            new_cache = {n: jnp.take(out[p], rows, axis=0)
+                         for n, p in present_of.items()}
+            return ((tok.reshape(B * K), vals, fin, new_cache, pos + 1),
+                    (src_beam, tok))
+
+        carry, (parents, toks) = jax.lax.scan(
+            body, (last, scores, finished, cache, pos), None, length=T)
+        _, scores, finished, _, _ = carry
+        return scores, finished, parents, toks
+
+    return jax.jit(run)
 
 
 class BeamGenerator:
@@ -909,10 +983,17 @@ class BeamGenerator:
 
     def __init__(self, cfg, *, batch: int = 1, beam: int = 4,
                  prompt_len: int = 8, max_len: int = 32, seed: int = 0,
-                 family: str = "gpt2", int4_weights: bool = False):
+                 family: str = "gpt2", int4_weights: bool = False,
+                 device_loop: bool = False):
         from .models import decoder_family
 
         assert beam >= 1
+        # device_loop: run ALL beam steps (score/expand/reorder included)
+        # inside one lax.scan — one dispatch per generate() instead of
+        # one per token; bit-identical beams, ~device_loop-style speedup
+        # on dispatch-bound links (the greedy lever, PERF.md)
+        self.device_loop = bool(device_loop)
+        self._dev_fns: Dict[tuple, object] = {}
         self.cfg, self.B, self.K = cfg, batch, beam
         self.prompt_len, self.max_len = prompt_len, max_len
         build_prefill, build_decode, _ = decoder_family(family)
@@ -963,6 +1044,24 @@ class BeamGenerator:
                 kv = jnp.pad(kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
                 cache[f"past_{kind}_{i}"] = jnp.repeat(kv, K, axis=0)
 
+        if self.device_loop:
+            key = (n_new, eos_id)
+            if key not in self._dev_fns:
+                self._dev_fns[key] = _build_device_beam_fn(
+                    self.decode.jitted, self._past_names,
+                    B=B, K=K, V=V, n_new=n_new, eos_id=eos_id)
+            fscores, ffin, parents, toks = self._dev_fns[key](
+                self.decode.params, cache, {},
+                jnp.asarray(top.reshape(B * K).astype(np.int32)),
+                jnp.asarray(scores.astype(np.float32)),
+                jnp.asarray(finished),
+                jnp.asarray(np.full((B * K,), P, np.int32)))
+            seq = _beam_backtrack(top, np.asarray(parents),
+                                  np.asarray(toks))
+            return _beam_finalize(seq, np.asarray(fscores), n_new=n_new,
+                                  eos_id=eos_id,
+                                  length_penalty=length_penalty)
+
         staged: Dict[str, jax.Array] = {}
 
         def step_logp(last, t):
@@ -999,10 +1098,12 @@ class Seq2SeqBeamGenerator:
 
     def __init__(self, cfg, *, batch: int = 1, beam: int = 4,
                  src_len: int = 16, max_len: int = 32, seed: int = 0,
-                 family: str = "t5"):
+                 family: str = "t5", device_loop: bool = False):
         from .models import seq2seq_family
 
         assert beam >= 1
+        self.device_loop = bool(device_loop)
+        self._dev_fns: Dict[tuple, object] = {}
         self.fam = seq2seq_family(family)
         self.cfg, self.B, self.K = cfg, batch, beam
         self.src_len = src_len
@@ -1074,6 +1175,27 @@ class Seq2SeqBeamGenerator:
         finished = np.zeros((B, K), bool)
         if eos_id is not None:
             finished |= top == eos_id
+
+        if self.device_loop:
+            # presents from step 0 are the live cache for the scan
+            dev_cache = {name: staged[name.replace("past_", "present_", 1)]
+                         for name in self._past_names}
+            key = (n_new, eos_id)
+            if key not in self._dev_fns:
+                self._dev_fns[key] = _build_device_beam_fn(
+                    self.decode.jitted, self._past_names,
+                    B=B, K=K, V=V, n_new=n_new, eos_id=eos_id)
+            fscores, ffin, parents, toks = self._dev_fns[key](
+                self.decode.params, dev_cache, cross,
+                jnp.asarray(top.reshape(B * K).astype(np.int32)),
+                jnp.asarray(scores.astype(np.float32)),
+                jnp.asarray(finished),
+                jnp.asarray(np.full((B * K,), 1, np.int32)))
+            seq = _beam_backtrack(top, np.asarray(parents),
+                                  np.asarray(toks))
+            return _beam_finalize(seq, np.asarray(fscores), n_new=n_new,
+                                  eos_id=eos_id,
+                                  length_penalty=length_penalty)
 
         def reorder(rows):
             rows_d = jnp.asarray(rows)

@@ -170,3 +170,49 @@ def test_seq2seq_beam_matches_sequential_replay():
     got, scores = bg.generate(src, n_new)
     assert list(got[0]) == want_toks
     np.testing.assert_allclose(scores[0], want_score, atol=1e-4)
+
+
+def test_device_beam_matches_host_loop():
+    """device_loop=True folds ALL beam steps (expand/reorder included)
+    into one lax.scan dispatch; beams and scores must match the host
+    loop, with and without eos freezing."""
+    ids = rng.integers(0, TINY.vocab_size, (2, 4)).astype(np.int64)
+    for eos in (None, 7):
+        host = BeamGenerator(TINY, batch=2, beam=3, prompt_len=4,
+                             max_len=16)
+        dev = BeamGenerator(TINY, batch=2, beam=3, prompt_len=4,
+                            max_len=16, device_loop=True)
+        ht, hs = host.generate(ids, 6, eos_id=eos)
+        dt, ds = dev.generate(ids, 6, eos_id=eos)
+        np.testing.assert_array_equal(dt, ht)
+        np.testing.assert_allclose(ds, hs, rtol=1e-5, atol=1e-5)
+
+
+def test_device_beam_length_penalty():
+    ids = rng.integers(0, TINY.vocab_size, (1, 4)).astype(np.int64)
+    host = BeamGenerator(TINY, batch=1, beam=4, prompt_len=4, max_len=16)
+    dev = BeamGenerator(TINY, batch=1, beam=4, prompt_len=4, max_len=16,
+                        device_loop=True)
+    ht, hs = host.generate(ids, 5, eos_id=3, length_penalty=0.8)
+    dt, ds = dev.generate(ids, 5, eos_id=3, length_penalty=0.8)
+    np.testing.assert_array_equal(dt, ht)
+    np.testing.assert_allclose(ds, hs, rtol=1e-5, atol=1e-5)
+
+
+def test_device_seq2seq_beam_matches_host_loop():
+    from onnx_rusty_inference_engine_tpu.generate import (
+        Seq2SeqBeamGenerator,
+    )
+    from onnx_rusty_inference_engine_tpu.models.t5 import TINY as T5_TINY
+
+    src = rng.integers(1, T5_TINY.vocab_size, (2, 8)).astype(np.int64)
+    lens = np.array([5, 8], np.int64)
+    for eos in (None, 2):
+        host = Seq2SeqBeamGenerator(T5_TINY, batch=2, beam=3, src_len=8,
+                                    max_len=16)
+        dev = Seq2SeqBeamGenerator(T5_TINY, batch=2, beam=3, src_len=8,
+                                   max_len=16, device_loop=True)
+        ht, hs = host.generate(src, 6, eos_id=eos, src_lengths=lens)
+        dt, ds = dev.generate(src, 6, eos_id=eos, src_lengths=lens)
+        np.testing.assert_array_equal(dt, ht)
+        np.testing.assert_allclose(ds, hs, rtol=1e-5, atol=1e-5)
