@@ -84,6 +84,7 @@ class InferenceServer:
         max_delay_s: float = 0.002,
         warmup: bool = False,
         example_shape: Optional[Tuple[int, ...]] = None,
+        autostart: bool = True,
     ):
         self.engine = engine
         self.input_name = input_name or engine.graph.input_names[0]
@@ -95,7 +96,15 @@ class InferenceServer:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         if warmup and example_shape is not None:
             self.warmup(example_shape)
-        self._thread.start()
+        if autostart:
+            self._thread.start()
+
+    def start(self) -> None:
+        """Launch the dispatcher of a server built with autostart=False
+        (pre-queue requests first for deterministic packing — the SPMD
+        multi-host recipe; a stopped server cannot restart)."""
+        if not self._thread.is_alive():
+            self._thread.start()
 
     # -- client API ------------------------------------------------------
     def submit(self, x) -> Future:

