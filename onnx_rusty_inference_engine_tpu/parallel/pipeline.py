@@ -71,8 +71,23 @@ _BOUNDARY_RE = re.compile(r"^(?:blk|l)(\d+)_res2$")
 
 
 def infer_boundaries(graph) -> List[str]:
-    """[trunk_in, layer0_out, ..., layerN-1_out] for the repo's decoder
-    families (gpt2/llama/moe naming). Raises if the pattern is absent."""
+    """[trunk_in, layer0_out, ..., layerN-1_out]. Tries the repo's naming
+    convention first (gpt2/llama/moe: blk{i}_res2 / l{i}_res2, trunk
+    input h0), then falls back to STRUCTURAL detection — periodic
+    isomorphic-block hashing along the node list — so external ONNX
+    decoders with foreign tensor names pipeline without `boundaries=`."""
+    try:
+        return _infer_boundaries_named(graph)
+    except PipelineError as named_err:
+        try:
+            return infer_boundaries_structural(graph)
+        except PipelineError as struct_err:
+            raise PipelineError(
+                f"{named_err} Structural inference also failed: "
+                f"{struct_err}") from None
+
+
+def _infer_boundaries_named(graph) -> List[str]:
     produced = {o for n in graph.nodes for o in n.outputs if o}
     layers: Dict[int, str] = {}
     for name in produced:
@@ -87,6 +102,109 @@ def infer_boundaries(graph) -> List[str]:
     if idxs != list(range(len(idxs))):
         raise PipelineError(f"non-contiguous layer indices: {idxs}")
     return ["h0"] + [layers[i] for i in idxs]
+
+
+def _node_sig(n) -> tuple:
+    """Name-free structural signature — the same equivalence align_blocks
+    enforces (op sequence + arity), so a structurally-proposed cut is
+    exactly what the stacking machinery can consume."""
+    return (n.op_type, n.domain, len(n.inputs), len(n.outputs))
+
+
+def _periodic_window(sigs: List[tuple]) -> Tuple[int, int, int]:
+    """Largest periodic run in the signature sequence: returns
+    (start, period, span_end) for the run maximizing repeats*period
+    (coverage), then repeats (so a 2-layer 'super-period' never shadows
+    the true layer period). span_end is the exclusive end of the FULL
+    periodic extent, which can exceed start + repeats*period by a
+    partial block — phase shifts recover complete blocks from it.
+    Raises if nothing repeats."""
+    N = len(sigs)
+    ids = {}
+    S = np.fromiter((ids.setdefault(s, len(ids)) for s in sigs),
+                    np.int64, N)
+    best = None  # (coverage, repeats, -start)
+    out = None
+    for p in range(1, N // 2 + 1):
+        eq = S[p:] == S[:-p]                       # eq[i]: S[i] == S[i+p]
+        i = 0
+        while i < eq.size:
+            if not eq[i]:
+                i += 1
+                continue
+            j = i
+            while j < eq.size and eq[j]:
+                j += 1
+            run = j - i                            # S[i..i+run+p-1] periodic
+            reps = run // p + 1
+            if reps >= 2:
+                cov = reps * p
+                key = (cov, reps, -i)
+                if best is None or key > best:
+                    best, out = key, (i, p, i + run + p)  # full extent
+            i = j
+    if out is None:
+        raise PipelineError("no repeated block structure found")
+    return out
+
+
+def _window_phases(start: int, p: int, span_end: int):
+    """All phase shifts of a periodic window (the maximal run can begin
+    mid-block, putting the residual add at the wrong edge): yields
+    (start+d, p, reps_d) for every d that still holds >= 2 full periods
+    inside the periodic extent [start, span_end), fullest-first."""
+    phases = []
+    for d in range(p):
+        r = (span_end - (start + d)) // p
+        if r >= 2:
+            phases.append((r, start + d))
+    phases.sort(key=lambda x: (-x[0], x[1]))
+    for r, s in phases:
+        yield s, p, r
+
+
+def infer_boundaries_structural(graph) -> List[str]:
+    """Detect the trunk by periodic isomorphic-block hashing: find the
+    longest run of repeated node-signature blocks, then the positional
+    tensor family crossing every consecutive block pair (the residual
+    stream). Each candidate family is VALIDATED by split_stages +
+    align_blocks — the proposal is only returned if the graph actually
+    partitions and stacks along it."""
+    nodes = graph.nodes
+    w0, p, span_end = _periodic_window([_node_sig(n) for n in nodes])
+    errors: List[str] = []
+    for start, _, k in _window_phases(w0, p, span_end):
+        blocks = [nodes[start + i * p: start + (i + 1) * p]
+                  for i in range(k)]
+        # positional families of tensors crossing consecutive blocks:
+        # ((producer node offset, out slot), (consumer node offset, slot))
+        fams = None
+        for i in range(k - 1):
+            produced = {o: (t, s) for t, n in enumerate(blocks[i])
+                        for s, o in enumerate(n.outputs) if o}
+            cur = set()
+            for t, n in enumerate(blocks[i + 1]):
+                for s, inp in enumerate(n.inputs):
+                    if inp in produced:
+                        cur.add((produced[inp], (t, s)))
+            fams = cur if fams is None else fams & cur
+        if not fams:
+            errors.append(f"phase {start}: no tensor family crosses "
+                          "every consecutive block pair")
+            continue
+        # residual stream enters its block early: low consumer offset 1st
+        for (pt, ps), (ct, cs) in sorted(fams, key=lambda f: (f[1], f[0])):
+            bnds = [blocks[0][ct].inputs[cs]] + [
+                blocks[i][pt].outputs[ps] for i in range(k)]
+            try:
+                align_blocks(split_stages(graph, bnds))
+                return bnds
+            except PipelineError as e:
+                errors.append(f"phase {start} cut {bnds[0]}->{bnds[1]}: "
+                              f"{e}")
+    raise PipelineError(
+        "no periodic phase yields a valid stage partition: "
+        + "; ".join(errors[:4]))
 
 
 def _backward_slice(graph, targets: Sequence[str], stop: set) -> List:
