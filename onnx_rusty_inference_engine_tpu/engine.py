@@ -162,23 +162,49 @@ class Engine:
         param_sharding_fn=None,
         input_sharding_fn=None,
         donate_inputs: bool = False,
+        share_params_with: "Optional[Engine]" = None,
     ):
         self.graph = graph
         self.dtype = np.dtype(dtype)
         self.mesh = mesh
         self._input_sharding_fn = input_sharding_fn
 
-        params: Dict[str, jax.Array] = {}
-        for name in graph.weight_names:
-            arr = graph.constants[name]
-            if arr.dtype == np.float32 and self.dtype != np.float32:
-                arr = arr.astype(self.dtype)
-            if mesh is not None and param_sharding_fn is not None:
-                sharding = param_sharding_fn(name, arr)
-                params[name] = jax.device_put(jnp.asarray(arr), sharding)
-            else:
-                params[name] = jnp.asarray(arr)
-        self.params = params
+        if share_params_with is not None:
+            # same weights, different static shapes elsewhere (e.g. the
+            # per-cache-length decode programs of a length-bucketed
+            # server): reuse the donor's device arrays instead of
+            # re-uploading a full parameter set per program. Shape- or
+            # dtype-mismatched entries (length-dependent tables such as
+            # position aranges/masks) are NOT shared — they upload fresh.
+            if set(share_params_with.params) != set(graph.weight_names):
+                raise ValueError("share_params_with: weight sets differ")
+            donor = share_params_with.params
+            self.params = {}
+            for name in graph.weight_names:
+                arr = graph.constants[name]
+                if arr.dtype == np.float32 and self.dtype != np.float32:
+                    arr = arr.astype(self.dtype)
+                d = donor[name]
+                if tuple(d.shape) == tuple(np.shape(arr)) \
+                        and d.dtype == arr.dtype:
+                    self.params[name] = d
+                elif mesh is not None and param_sharding_fn is not None:
+                    self.params[name] = jax.device_put(
+                        jnp.asarray(arr), param_sharding_fn(name, arr))
+                else:
+                    self.params[name] = jnp.asarray(arr)
+        else:
+            params: Dict[str, jax.Array] = {}
+            for name in graph.weight_names:
+                arr = graph.constants[name]
+                if arr.dtype == np.float32 and self.dtype != np.float32:
+                    arr = arr.astype(self.dtype)
+                if mesh is not None and param_sharding_fn is not None:
+                    sharding = param_sharding_fn(name, arr)
+                    params[name] = jax.device_put(jnp.asarray(arr), sharding)
+                else:
+                    params[name] = jnp.asarray(arr)
+            self.params = params
 
         raw = lower(graph)
         if self.dtype != np.float32:

@@ -473,6 +473,12 @@ class DecodeServer(_ServerBase):
     prompt_len: prefill graph length; prompts are right-padded to it.
     max_len: fixed KV-cache length.
     kv_dtype: "float32" or "int8" (in-graph QDQ cache).
+    len_buckets: ascending cache lengths ending at max_len. The decode
+        step's HBM traffic scales with the CACHE length, so the pool
+        runs at the smallest bucket covering what live requests still
+        need — one compiled program per bucket (weights shared), cache
+        rows pad/slice on switch, growth at admission, shrink at step
+        boundaries (experiments/kv_len_probe.py for the economics).
     """
 
     def __init__(
@@ -497,6 +503,7 @@ class DecodeServer(_ServerBase):
         lora_bank=None,
         lora_alpha: float = 16.0,
         autostart: bool = True,
+        len_buckets: Optional[Sequence[int]] = None,
     ):
         self.cfg = cfg
         self.B = slots
@@ -545,8 +552,11 @@ class DecodeServer(_ServerBase):
         # slot finishes mid-block. The served-latency lever on a chip
         # where each dispatch pays a host roundtrip (PERF.md).
         self.multi_step = int(multi_step)
-        self._multi_fn = None
-        self._chunked_multi_fn = None
+        # K-step device functions are compiled per CACHE LENGTH (the
+        # len_buckets lever swaps static shapes): dicts keyed _cur_len
+        self._multi_fns: Dict[int, object] = {}
+        self._multi_sampled_fns: Dict[int, object] = {}
+        self._chunked_multi_fns: Dict[int, object] = {}
         # prompt/prefix KV cache: up to `prompt_cache` prompts' presents
         # kept host-side (LRU). Bucketed-prefill mode reuses EXACT prompt
         # matches (skips the whole prefill); chunked mode reuses the
@@ -574,8 +584,37 @@ class DecodeServer(_ServerBase):
 
             return attach_lora(g, lora_bank, alpha=lora_alpha)
 
-        decode_graph = _attach(import_model(build_decode(
-            cfg, batch=slots, max_len=max_len, seed=seed, **dkw)))
+        # KV-length buckets: the decode step's HBM traffic scales with
+        # the CACHE length, not the live sequence lengths — serving at
+        # max_len when every live request fits a quarter of it wastes
+        # K/V bandwidth (experiments/kv_len_probe.py quantifies). With
+        # len_buckets the slot pool's cache length tracks what live
+        # requests actually need: one compiled decode program per bucket
+        # (weights shared on device), cache rows pad/slice on switch.
+        self._len_buckets: Optional[Tuple[int, ...]] = None
+        if len_buckets is not None:
+            bks = tuple(sorted(int(b) for b in len_buckets))
+            if not bks or bks[-1] != max_len:
+                raise ValueError("len_buckets must end at max_len")
+            if chunked_prefill and kv_dtype == "int8":
+                raise NotImplementedError(
+                    "len_buckets with the chunked int8 shadow-calibration "
+                    "phase is not supported; use bucketed prefill")
+            self._len_buckets = bks
+        self._cur_len = self._len_buckets[0] if self._len_buckets \
+            else max_len
+        self.cache_resizes = 0
+
+        def make_decode_graph(L: int):
+            g = _attach(import_model(build_decode(
+                cfg, batch=slots, max_len=L, seed=seed, **dkw)))
+            if int4_weights:
+                from .quant import quantize_weights_int4
+
+                g = quantize_weights_int4(g)
+            return g
+
+        self._make_decode_graph = make_decode_graph
         # chunked + int8 KV: no bucketed prefill exists to calibrate the
         # per-head scales from, so steps run a SHADOW fp32 chunk graph
         # until the first request finishes prefilling; the fp32 cache is
@@ -593,10 +632,6 @@ class DecodeServer(_ServerBase):
                 # models mid-stream when calibration ends
                 self._shadow_graph = quantize_weights_int4(
                     self._shadow_graph)
-        if int4_weights:
-            from .quant import quantize_weights_int4
-
-            decode_graph = quantize_weights_int4(decode_graph)
         ekw = dict(mesh=mesh, param_sharding_fn=param_sharding_fn)
         self._ekw = ekw
         self._prefill_engines: Dict[int, Engine] = {}
@@ -613,7 +648,10 @@ class DecodeServer(_ServerBase):
             return Engine(g, dtype=prefill_dtype, **ekw)
 
         self._make_prefill = make_prefill
-        self.decode = Engine(decode_graph, **ekw)
+        # decode engines keyed by cache length; all share ONE device
+        # parameter set (the length only changes cache/static shapes)
+        self._decode_engines: Dict[int, Engine] = {
+            self._cur_len: Engine(make_decode_graph(self._cur_len), **ekw)}
         self._shadow = (Engine(self._shadow_graph, **ekw)
                         if self._shadow_graph is not None else None)
 
@@ -635,7 +673,6 @@ class DecodeServer(_ServerBase):
         self._adapter = np.zeros((slots,), np.int64)
         self._init_sampling_state(slots, cfg.vocab_size,
                                   bool(self.multi_step))
-        self._multi_sampled_fn = None
         # chunked × multi_step: pending prompt suffixes live ON DEVICE so
         # the K-step scan can feed chunks without host round-trips;
         # _pbuf_len mirrors each row's admitted suffix length
@@ -644,6 +681,61 @@ class DecodeServer(_ServerBase):
             self._pbuf = jnp.zeros((slots, max_len), jnp.int32)
         self._pbuf_len = np.zeros((slots,), np.int64)
         self._start_dispatch(slots, autostart)
+
+    @property
+    def decode(self) -> Engine:
+        """The decode engine for the CURRENT cache length (len_buckets:
+        per-bucket programs compiled lazily, one shared parameter set)."""
+        eng = self._decode_engines.get(self._cur_len)
+        if eng is None:
+            base = next(iter(self._decode_engines.values()))
+            eng = Engine(self._make_decode_graph(self._cur_len),
+                         share_params_with=base, **self._ekw)
+            self._decode_engines[self._cur_len] = eng
+        return eng
+
+    # -- KV-length buckets -------------------------------------------------
+    def _required_len(self) -> int:
+        """Cache rows the LIVE requests still need: per slot, current
+        position + un-ingested prompt + tokens left to generate."""
+        need = 2
+        for s in self._active():
+            r = self._req[s]
+            pend = 0 if self._pending[s] is None else \
+                int(self._pending[s].size)
+            need = max(need, int(self._pos[s]) + pend
+                       + (r.max_new - len(r.tokens)))
+        return need
+
+    def _bucket_for(self, need: int) -> int:
+        for b in self._len_buckets:
+            if b >= need:
+                return b
+        return self._len_buckets[-1]
+
+    def _resize_cache(self, target: int) -> None:
+        """Switch the slot pool to a different cache length: pad (grow)
+        or slice (shrink) every KV array's length axis (dim 2). Rows
+        beyond every live request's final need are garbage by
+        construction (attention masks by pos), so slicing is exact."""
+        if target == self._cur_len:
+            return
+        old = self._cur_len
+        for name, v in self._cache.items():
+            if target > old:
+                pad = [(0, 0)] * v.ndim
+                pad[2] = (0, target - old)
+                self._cache[name] = jnp.pad(v, pad)
+            else:
+                self._cache[name] = v[:, :, :target]
+        self._cur_len = target
+        self.cache_resizes += 1
+
+    def _fit_cache(self, admit_need: int = 0) -> None:
+        if self._len_buckets is None:
+            return
+        self._resize_cache(self._bucket_for(
+            max(self._required_len(), admit_need)))
 
     def _lora_feed(self, feed: dict) -> dict:
         if self._lora:
@@ -707,6 +799,9 @@ class DecodeServer(_ServerBase):
         if self.prompt_cache:
             s["prefix_hits"] = self.prefix_hits
             s["prefix_tokens_saved"] = self.prefix_tokens_saved
+        if self._len_buckets is not None:
+            s["cache_len"] = self._cur_len
+            s["cache_resizes"] = self.cache_resizes
         return s
 
     # -- admission --------------------------------------------------------
@@ -782,6 +877,14 @@ class DecodeServer(_ServerBase):
         return q.dtype == self._cache[name].dtype
 
     def _admit(self, slot: int, r: _Request) -> None:
+        if self._len_buckets is not None:
+            plen = r.prompt.size
+            if self.chunked:
+                need = plen + r.max_new
+            else:
+                bucket = next(b for b in self.prompt_buckets if b >= plen)
+                need = max(bucket, plen + r.max_new)
+            self._fit_cache(need)
         if self.chunked:
             # no prefill engine: the prompt streams through the chunk
             # graph C tokens per step — from position 0, or from the end
@@ -871,8 +974,8 @@ class DecodeServer(_ServerBase):
 
     # -- dispatcher -------------------------------------------------------
     def _get_multi_fn(self):
-        if self._multi_fn is not None:
-            return self._multi_fn
+        if self._cur_len in self._multi_fns:
+            return self._multi_fns[self._cur_len]
         decode_fn = self.decode.jitted
         int8 = self.kv_dtype == np.int8
         present_of = {
@@ -903,8 +1006,9 @@ class DecodeServer(_ServerBase):
             _, pos, cache = carry
             return toks.T, cache                        # toks [B, K]
 
-        self._multi_fn = jax.jit(multi)
-        return self._multi_fn
+        fn = jax.jit(multi)
+        self._multi_fns[self._cur_len] = fn
+        return fn
 
     def _get_multi_sampled_fn(self):
         """multi_step variant with per-slot ON-DEVICE token selection:
@@ -918,8 +1022,8 @@ class DecodeServer(_ServerBase):
         a function of (seed, cache position) only, so a request's stream
         is identical for any K, any admission timing, and any
         co-resident traffic (tests exploit this for K-invariance)."""
-        if self._multi_sampled_fn is not None:
-            return self._multi_sampled_fn
+        if self._cur_len in self._multi_sampled_fns:
+            return self._multi_sampled_fns[self._cur_len]
         decode_fn = self.decode.jitted
         int8 = self.kv_dtype == np.int8
         present_of = {
@@ -958,8 +1062,9 @@ class DecodeServer(_ServerBase):
             _, pos, cache, counts = carry
             return toks.T, cache, counts                   # toks [B, K]
 
-        self._multi_sampled_fn = jax.jit(multi)
-        return self._multi_sampled_fn
+        fn = jax.jit(multi)
+        self._multi_sampled_fns[self._cur_len] = fn
+        return fn
 
     def _step_multi(self) -> None:
         """K decode steps in one dispatch; host-side bookkeeping after.
@@ -1009,8 +1114,8 @@ class DecodeServer(_ServerBase):
         _get_multi_sampled_fn (neutral params = exact greedy); the
         emission validity mask comes back with the tokens and the host
         replays the same arithmetic for bookkeeping."""
-        if self._chunked_multi_fn is not None:
-            return self._chunked_multi_fn
+        if self._cur_len in self._chunked_multi_fns:
+            return self._chunked_multi_fns[self._cur_len]
         decode_fn = self.decode.jitted
         int8 = self.kv_dtype == np.int8
         present_of = {
@@ -1079,8 +1184,9 @@ class DecodeServer(_ServerBase):
             _, _, _, _, cache, counts = carry
             return toks.T, valid.T, cache, counts          # [B, K]
 
-        self._chunked_multi_fn = jax.jit(multi)
-        return self._chunked_multi_fn
+        fn = jax.jit(multi)
+        self._chunked_multi_fns[self._cur_len] = fn
+        return fn
 
     def _step_chunked_multi(self) -> None:
         """K chunk steps in one dispatch; host bookkeeping by replaying
@@ -1146,6 +1252,12 @@ class DecodeServer(_ServerBase):
                     for name in self._cache})
 
     def _step(self) -> None:
+        if self._len_buckets is not None:
+            # shrink opportunistically: growth happened at admission, so
+            # only a finished long request can lower the requirement here
+            t = self._bucket_for(self._required_len())
+            if t < self._cur_len:
+                self._resize_cache(t)
         if self.chunked:
             # chunked × multi_step runs the device block once int8 KV
             # calibration (shadow fp32 phase) is out of the way
@@ -1443,8 +1555,9 @@ class Seq2SeqServer(_ServerBase):
             _, _, past, counts = carry
             return toks.T, past, counts                    # toks [B, K]
 
-        self._multi_fn = jax.jit(multi)
-        return self._multi_fn
+        fn = jax.jit(multi)
+        self._multi_fns[self._cur_len] = fn
+        return fn
 
     def _step_multi(self) -> None:
         K = self.multi_step
