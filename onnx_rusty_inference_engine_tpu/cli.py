@@ -371,6 +371,7 @@ def cmd_serve_llm(args) -> int:
             ("--kv-dtype", args.kv_dtype != "float32"),
             ("--int4", args.int4),
             ("--multi-step", args.multi_step),
+            ("--len-buckets", bool(args.len_buckets)),
             ("--prompt-cache", args.prompt_cache)) if on]
         if bad:
             print(f"error: {', '.join(bad)} not supported with "
@@ -387,12 +388,15 @@ def cmd_serve_llm(args) -> int:
                                 max_len=args.max_len, k=args.spec_k,
                                 family=args.family, draft_seed=1)
     else:
+        lb = ([int(x) for x in args.len_buckets.split(",")]
+              if args.len_buckets else None)
         srv = DecodeServer(cfg, slots=args.slots,
                            prompt_len=args.prompt_len,
                            max_len=args.max_len, kv_dtype=args.kv_dtype,
                            int4_weights=args.int4, family=args.family,
                            multi_step=args.multi_step,
-                           prompt_cache=args.prompt_cache)
+                           prompt_cache=args.prompt_cache,
+                           len_buckets=lb)
     print(f"serving on :{args.port} (POST /v1/generate)", file=sys.stderr)
     serve_generate_http(srv, port=args.port)
     return 0
@@ -612,6 +616,11 @@ def main(argv: Optional[list] = None) -> int:
                      choices=["gpt2", "llama", "moe"])
     psl.add_argument("--multi-step", dest="multi_step", type=int, default=0,
                      metavar="K", help="K decode steps per dispatch (greedy or sampled)")
+    psl.add_argument("--len-buckets", dest="len_buckets", default="",
+                     metavar="L1,L2,...",
+                     help="KV cache length buckets (ascending, ending at "
+                          "max-len): the pool runs at the smallest bucket "
+                          "covering live requests")
     psl.add_argument("--draft-layers", dest="draft_layers", type=int,
                      default=0, metavar="N",
                      help="serve with lossless speculative decoding: an "
