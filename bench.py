@@ -56,6 +56,14 @@ def worker() -> None:
                             "unit": "x", "vs_baseline": 1.0})
         if selftest == "crash_after_stage":
             sys.exit(3)
+        if selftest == "crash_stage_depth":
+            # attempt 1 gets further (stages int8) than attempt 2; both
+            # crash — salvage must pick the DEEPEST attempt, not the last
+            if stage_path and stage_path.endswith(".1"):
+                stage("int8_done", {"metric": "selftest_int8_staged",
+                                    "value": 2.0, "unit": "x",
+                                    "vs_baseline": 2.0})
+            sys.exit(3)
         print(json.dumps({"metric": "selftest_int8", "value": 2.0,
                           "unit": "x", "vs_baseline": 2.0}), flush=True)
         return
@@ -172,13 +180,16 @@ def _kill(proc: subprocess.Popen) -> None:
 
 
 def supervise() -> int:
-    fd, stage_file = tempfile.mkstemp(prefix="bench_stage_", suffix=".jsonl")
+    fd, base = tempfile.mkstemp(prefix="bench_stage_", suffix=".jsonl")
     os.close(fd)
+    stage_files = []
     try:
         for attempt in range(1, ATTEMPTS + 1):
             print(f"[bench] attempt {attempt}/{ATTEMPTS}",
                   file=sys.stderr, flush=True)
-            line = _run_attempt(stage_file)
+            stage_file = f"{base}.{attempt}"   # per attempt: salvage picks
+            stage_files.append(stage_file)     # the DEEPEST run, not the
+            line = _run_attempt(stage_file)    # most recent one
             if line is not None:
                 print(line, flush=True)
                 return 0
@@ -187,16 +198,16 @@ def supervise() -> int:
                 print(f"[bench] retrying in {delay:.0f}s",
                       file=sys.stderr, flush=True)
                 time.sleep(delay)
-        # All attempts failed: salvage the best staged metric, if any.
-        best = None
-        try:
-            with open(stage_file) as f:
-                for raw in f:
-                    raw = raw.strip()
-                    if raw:
-                        best = raw  # later stages are strictly better
-        except OSError:
-            pass
+        # All attempts failed: salvage the metric from the attempt that
+        # got FURTHEST (stage depth), not whichever wrote last.
+        best, best_depth = None, 0
+        for sf in stage_files:
+            try:
+                lines = [ln.strip() for ln in open(sf) if ln.strip()]
+            except OSError:
+                continue
+            if len(lines) > best_depth:
+                best, best_depth = lines[-1], len(lines)
         if best is not None:
             print("[bench] all attempts failed; emitting best staged metric",
                   file=sys.stderr, flush=True)
@@ -204,10 +215,11 @@ def supervise() -> int:
             return 0
         return 1
     finally:
-        try:
-            os.unlink(stage_file)
-        except OSError:
-            pass
+        for sf in stage_files + [base]:
+            try:
+                os.unlink(sf)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":

@@ -139,7 +139,8 @@ class InferenceServer:
     def stop(self) -> None:
         self._running = False
         self._q.put(None)
-        self._thread.join(timeout=10)
+        if self._thread.ident is not None:  # autostart=False, never started
+            self._thread.join(timeout=10)
 
     # -- dispatcher -------------------------------------------------------
     def _collect(self) -> List[_Item]:

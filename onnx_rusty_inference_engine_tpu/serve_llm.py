@@ -166,6 +166,14 @@ def _fetch(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def _bias_penalize(logits, bias, fpen, ppen, counts):
+    """Shared logit epilogue of every multi_step scan body: additive
+    logit_bias rows + OpenAI frequency/presence penalties from the
+    per-slot generated-token histogram."""
+    cf = counts.astype(jnp.float32)
+    return logits + bias - (fpen[:, None] * cf + ppen[:, None] * (cf > 0))
+
+
 def _device_select(logits, keys, pos, temp, tk, tp, mp):
     """On-device per-slot token selection for the multi_step scan bodies:
     [B, V] logits -> [B] tokens. Same filtering semantics as the host
@@ -180,11 +188,17 @@ def _device_select(logits, keys, pos, temp, tk, tp, mp):
     kth = jnp.take_along_axis(sl, (V - tk)[:, None].astype(jnp.int32),
                               axis=-1)
     l = jnp.where(l >= kth, l, -jnp.inf)
-    sld = jnp.sort(l, axis=-1)[:, ::-1]                    # descending
+    # descending sorted view of the top-k-masked row, derived from the ONE
+    # sort above (masking the sorted array == sorting the masked array)
+    sld = jnp.where(sl >= kth, sl, -jnp.inf)[:, ::-1]
     probs = jax.nn.softmax(sld, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep = cum - probs < tp[:, None]
-    thresh = jnp.min(jnp.where(keep, sld, jnp.inf), axis=-1, keepdims=True)
+    # host fallback parity: an empty keep set (top_p == 0) keeps the top-1
+    thresh = jnp.where(jnp.any(keep, axis=-1, keepdims=True),
+                       jnp.min(jnp.where(keep, sld, jnp.inf), axis=-1,
+                               keepdims=True),
+                       sld[:, :1])
     l = jnp.where(l >= thresh, l, -jnp.inf)
     pm = jnp.exp(l - jnp.max(l, axis=-1, keepdims=True))
     l = jnp.where(pm >= mp[:, None], l, -jnp.inf)
@@ -340,7 +354,8 @@ class _ServerBase:
             # after this flip no new request can slip past both drains
             self._running = False
         self._q.put(None)
-        self._thread.join(timeout=300 if drain else 30)
+        if self._thread.ident is not None:  # autostart=False, never started
+            self._thread.join(timeout=300 if drain else 30)
         self._drain_queue("server stopped before request was admitted")
 
     def _drain_queue(self, msg: str) -> None:
@@ -1046,11 +1061,9 @@ class DecodeServer(_ServerBase):
                 if lora:
                     feed["lora_idx"] = idx
                 out = decode_fn(params, feed)
-                logits = out["logits"][:, -1, :].astype(jnp.float32)
-                logits = logits + bias
-                cf = counts.astype(jnp.float32)
-                logits = logits - (fpen[:, None] * cf
-                                   + ppen[:, None] * (cf > 0))
+                logits = _bias_penalize(
+                    out["logits"][:, -1, :].astype(jnp.float32),
+                    bias, fpen, ppen, counts)
                 nxt = select(logits, keys, pos, temp, tk, tp, mp
                              ).astype(tok.dtype)
                 counts = counts.at[jnp.arange(B), nxt].add(1)
@@ -1162,10 +1175,8 @@ class DecodeServer(_ServerBase):
                           == (n_feed - 1)[:, None])          # [B, C]
                 last_logits = jnp.einsum(
                     "bc,bcv->bv", sel_oh.astype(jnp.float32), logits)
-                last_logits = last_logits + bias
-                cf = counts.astype(jnp.float32)
-                last_logits = last_logits - (fpen[:, None] * cf
-                                             + ppen[:, None] * (cf > 0))
+                last_logits = _bias_penalize(last_logits, bias, fpen,
+                                             ppen, counts)
                 nxt = select(last_logits, keys, pos, temp, tk, tp, mp
                              ).astype(tok.dtype)
                 rem_after = jnp.maximum(rem - n_feed, 0)
@@ -1539,11 +1550,9 @@ class Seq2SeqServer(_ServerBase):
                 if src_mask:
                     feed["src_len"] = src_lens
                 out = decode_fn(params, feed)
-                logits = out["logits"][:, -1, :].astype(jnp.float32)
-                logits = logits + bias
-                cf = counts.astype(jnp.float32)
-                logits = logits - (fpen[:, None] * cf
-                                   + ppen[:, None] * (cf > 0))
+                logits = _bias_penalize(
+                    out["logits"][:, -1, :].astype(jnp.float32),
+                    bias, fpen, ppen, counts)
                 nxt = select(logits, keys, pos, temp, tk, tp, mp
                              ).astype(tok.dtype)
                 counts = counts.at[jnp.arange(B), nxt].add(1)
@@ -1555,9 +1564,8 @@ class Seq2SeqServer(_ServerBase):
             _, _, past, counts = carry
             return toks.T, past, counts                    # toks [B, K]
 
-        fn = jax.jit(multi)
-        self._multi_fns[self._cur_len] = fn
-        return fn
+        self._multi_fn = jax.jit(multi)
+        return self._multi_fn
 
     def _step_multi(self) -> None:
         K = self.multi_step

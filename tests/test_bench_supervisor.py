@@ -44,3 +44,12 @@ def test_init_watchdog_kills_hung_worker():
               "BENCH_INIT_TIMEOUT": "3", "BENCH_TIMEOUT": "10"}, timeout=90)
     assert r.returncode == 1
     assert "backend init exceeded" in r.stderr
+
+
+def test_salvage_prefers_deepest_attempt_not_latest():
+    """A later attempt's shallower stage must not shadow an earlier
+    attempt's deeper (better) staged metric."""
+    r = _run({"BENCH_SELFTEST": "crash_stage_depth", "BENCH_ATTEMPTS": "2"})
+    assert r.returncode == 0
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "selftest_int8_staged"

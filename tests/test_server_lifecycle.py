@@ -124,3 +124,15 @@ def test_failed_chunked_admission_frees_slot():
         assert len(out) == 3
     finally:
         srv.stop()
+
+
+def test_stop_before_start_fails_queued_futures():
+    """autostart=False + stop() without start(): queued futures must
+    fail with RuntimeError, not hang (and join() must not raise on the
+    never-started thread)."""
+    srv = DecodeServer(TINY, slots=1, prompt_len=4, max_len=16,
+                       autostart=False)
+    fut = srv.submit(_prompt(), 2)
+    srv.stop()
+    with pytest.raises(RuntimeError, match="server stopped"):
+        fut.result(timeout=30)

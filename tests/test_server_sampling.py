@@ -290,3 +290,23 @@ def test_multi_step_penalties_match_host():
         srv1.stop()
         srvK.stop()
     assert dev == host
+
+
+def test_multi_step_top_p_zero_matches_host():
+    """top_p=0.0 keeps only the top-1 token in the host sampler; the
+    device path must fall back the same way (not mask every token to
+    -inf and emit token 0)."""
+    p = _prompt()
+    srv1 = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24)
+    srvK = DecodeServer(TINY, slots=2, prompt_len=8, max_len=24,
+                        multi_step=2)
+    try:
+        host = srv1.submit(p, 6, temperature=1.3,
+                           top_p=0.0).result(timeout=300)
+        dev = srvK.submit(p, 6, temperature=1.3,
+                          top_p=0.0).result(timeout=300)
+        greedy = srv1.submit(p, 6).result(timeout=300)
+    finally:
+        srv1.stop()
+        srvK.stop()
+    assert dev == host == greedy
