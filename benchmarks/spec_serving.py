@@ -60,6 +60,9 @@ def main() -> None:
     ap.add_argument("--max-len", type=int, default=256)
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--ngram", type=int, default=2)
+    ap.add_argument("--multi-step", dest="multi_step", type=int, default=0,
+                    help="R speculation rounds per dispatch (device "
+                         "prompt-lookup)")
     args = ap.parse_args()
     cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
                      n_embd=args.d, n_layer=args.layers,
@@ -73,7 +76,8 @@ def main() -> None:
     base_out, base_dt = serve_all(base, prompts, args.new)
     base.stop()
 
-    spec = SpeculativeServer(cfg, **kw, k=args.k, ngram=args.ngram)
+    spec = SpeculativeServer(cfg, **kw, k=args.k, ngram=args.ngram,
+                             multi_step=args.multi_step)
     _ = serve_all(spec, prompts[:2], 4)                 # warm compiles
     spec_out, spec_dt = serve_all(spec, prompts, args.new)
     acc = spec.stats().get("acceptance_rate")
@@ -87,7 +91,7 @@ def main() -> None:
         "spec_tok_s": round(total / spec_dt, 1),
         "speedup": round(base_dt / spec_dt, 3),
         "acceptance_rate": acc,
-        "k": args.k, "ngram": args.ngram,
+        "k": args.k, "ngram": args.ngram, "multi_step": args.multi_step,
         "requests": args.requests, "new": args.new,
     }))
 

@@ -1663,6 +1663,7 @@ class SpeculativeServer(_ServerBase):
         mesh=None,
         param_sharding_fn=None,
         autostart: bool = True,
+        multi_step: int = 0,
     ):
         from .models import decoder_family
 
@@ -1708,6 +1709,20 @@ class SpeculativeServer(_ServerBase):
         self._last_tok = np.zeros((slots,), np.int64)
         self.accepted_total = 0
         self.proposed_total = 0
+        # multi_step=R (ngram mode only): R whole speculation rounds —
+        # device-computed prompt-lookup proposal, chunk verify, greedy
+        # acceptance, context append — inside ONE lax.scan dispatch.
+        # Per-slot contexts live in a device buffer for the lookup.
+        self.multi_step = int(multi_step)
+        if self.multi_step and not self.ngram:
+            raise ValueError(
+                "multi_step speculation requires ngram mode (draft-model "
+                "proposals need k-1 host dispatches per round)")
+        self._ctx: Optional[jax.Array] = None
+        if self.multi_step:
+            self._ctx = jnp.zeros((slots, max_len), jnp.int32)
+        self._ctx_len = np.zeros((slots,), np.int64)
+        self._ngram_multi_fn = None
         self._start_dispatch(slots, autostart)
 
     def stats(self) -> Dict[str, float]:
@@ -1739,6 +1754,9 @@ class SpeculativeServer(_ServerBase):
                 "ngram (prompt-lookup) proposals have no q distribution "
                 "to rejection-sample against — greedy only; use a draft "
                 "model for sampled speculation")
+        if temperature and self.multi_step:
+            raise ValueError(
+                "multi_step speculation is greedy-only (ngram mode)")
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         assert 1 <= prompt_ids.size <= self.prompt_len
         assert prompt_ids.size + max_new_tokens + self.k <= self.max_len
@@ -1778,6 +1796,11 @@ class SpeculativeServer(_ServerBase):
                 or _hits_stop(r)):
             self._finish(None, r)
             return
+        if self._ctx is not None:
+            row = np.zeros((self.max_len,), np.int32)
+            row[:plen] = r.prompt
+            row[plen] = first
+            self._ctx = self._ctx.at[slot].set(jnp.asarray(row))
         self._req[slot] = r
         self._pos[slot] = plen
         self._last_tok[slot] = first
@@ -1831,8 +1854,118 @@ class SpeculativeServer(_ServerBase):
                     self._finish(s, r)
                     break
 
+    def _get_ngram_multi_fn(self):
+        """R whole prompt-lookup speculation rounds in ONE dispatch: the
+        proposal search runs on device over a per-slot context buffer
+        (static n shifted equality maps + one-hot window gathers — no
+        index gathers, CLAUDE.md rule), then the chunk verify, greedy
+        acceptance (cumprod of the match prefix), and the context append
+        (one-hot scatter) — all inside a lax.scan. The host replays the
+        returned (tpred, m) grids for emission/finish bookkeeping.
+
+        Invariant exploited: context length == pos + 1 (admission seeds
+        ctx = prompt + first token with pos = plen; each round appends
+        m+1 tokens and advances pos by m+1), so the scan carries no
+        separate length."""
+        if self._ngram_multi_fn is not None:
+            return self._ngram_multi_fn
+        verify_fn = self.t_verify.jitted
+        present_of = {
+            name: name.replace("past_", "present_", 1)
+            for name in self._t_cache}
+        k, n, L = self.k, self.ngram, self.max_len
+        B, R = self.B, self.multi_step
+
+        def multi(params, last, pos, cache, ctx):
+            def body(carry, _):
+                last, pos, cache, ctx = carry
+                clen = pos + 1                                   # [B]
+                # final n-gram of each context (one-hot gather)
+                want = (clen - n)[:, None] + jnp.arange(n)[None, :]
+                oh = want[:, :, None] == jnp.arange(L)[None, None, :]
+                g = jnp.einsum("bnl,bl->bn", oh.astype(jnp.float32),
+                               ctx.astype(jnp.float32)).astype(ctx.dtype)
+                # match map over all window starts (n static shifts)
+                W = L - n + 1
+                ok = jnp.ones((B, W), bool)
+                for j in range(n):
+                    ok &= ctx[:, j:j + W] == g[:, j][:, None]
+                idxs = jnp.arange(W)[None, :]
+                ok &= idxs <= (clen - n - 1)[:, None]  # strictly earlier
+                has = jnp.any(ok, axis=1)
+                i = jnp.max(jnp.where(ok, idxs, -1), axis=1)     # latest
+                # continuation window i+n .. i+n+k-2, padded with `last`
+                tpos = (i + n)[:, None] + jnp.arange(k - 1)[None, :]
+                ohc = tpos[:, :, None] == jnp.arange(L)[None, None, :]
+                cont = jnp.einsum(
+                    "btl,bl->bt", ohc.astype(jnp.float32),
+                    ctx.astype(jnp.float32)).astype(last.dtype)
+                valid = has[:, None] & (tpos < clen[:, None])
+                prop = jnp.where(valid, cont, last[:, None])
+                chunk = jnp.concatenate([last[:, None], prop], axis=1)
+
+                out = verify_fn(params, {"input_ids": chunk, "pos": pos,
+                                         **cache})
+                cache = {p: out[pr] for p, pr in present_of.items()}
+                tpred = jnp.argmax(out["logits"], axis=-1
+                                   ).astype(last.dtype)          # [B, k]
+                eq = chunk[:, 1:] == tpred[:, : k - 1]
+                m = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1),
+                            axis=1)                              # [B]
+                last = jnp.take_along_axis(tpred, m[:, None], axis=1)[:, 0]
+                for j in range(k):                # append accepted tokens
+                    w = (jnp.arange(L)[None, :] == (clen + j)[:, None]) \
+                        & (j <= m)[:, None]
+                    ctx = jnp.where(w, tpred[:, j][:, None].astype(
+                        ctx.dtype), ctx)
+                pos = pos + m + 1
+                return (last, pos, cache, ctx), (tpred, m)
+
+            carry, (tpreds, ms) = jax.lax.scan(
+                body, (last, pos, cache, ctx), None, length=R)
+            _, _, cache, ctx = carry
+            # [R, B, k] -> [B, R, k]; [R, B] -> [B, R]
+            return cache, ctx, jnp.moveaxis(tpreds, 0, 1), ms.T
+
+        self._ngram_multi_fn = jax.jit(multi)
+        return self._ngram_multi_fn
+
+    def _step_ngram_multi(self) -> None:
+        R, k = self.multi_step, self.k
+        multi = self._get_ngram_multi_fn()
+        self._t_cache, self._ctx, tpreds, ms = multi(
+            self.t_verify.params,
+            jnp.asarray(self._last_tok.astype(np.int32)),
+            jnp.asarray(self._pos.astype(np.int32)),
+            self._t_cache, self._ctx)
+        tpreds = _fetch(tpreds)                    # [B, R, k]
+        ms = _fetch(ms)                            # [B, R]
+        self.steps += 1
+        self._occupancy_sum += len(self._active())
+        for s in self._active():
+            r = self._req[s]
+            done = False
+            for rd in range(R):
+                m = int(ms[s, rd])
+                self.accepted_total += m
+                self.proposed_total += k - 1
+                self._pos[s] += m + 1
+                self._last_tok[s] = int(tpreds[s, rd, m])
+                for t in tpreds[s, rd, : m + 1]:
+                    r.emit(int(t))
+                    self.tokens_out += 1
+                    if (len(r.tokens) >= r.max_new or t == r.eos_id
+                            or _hits_stop(r)):
+                        self._finish(s, r)   # overshoot discarded
+                        done = True
+                        break
+                if done:
+                    break
+
     def _step(self) -> None:
         if self.ngram:
+            if self.multi_step:
+                return self._step_ngram_multi()
             return self._step_ngram()
         k = self.k
         pos = self._pos.copy()

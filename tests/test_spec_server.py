@@ -175,3 +175,64 @@ def test_ngram_rejects_temperature():
             srv.submit(np.array([1, 2, 3]), 4, temperature=1.0)
     finally:
         srv.stop()
+
+
+def test_ngram_multi_step_matches_single_step():
+    """SpeculativeServer(ngram, multi_step=R): R whole speculation rounds
+    per dispatch with DEVICE-computed prompt-lookup proposals; served
+    tokens must equal the single-step ngram server (and therefore the
+    target's isolated greedy decode)."""
+    motif = np.array([5, 9, 2], np.int64)
+    prompts = [np.tile(motif, 3)[:7],
+               rng.integers(0, TINY.vocab_size, (6,)).astype(np.int64)]
+    kw = dict(slots=2, prompt_len=8, max_len=64, k=4, ngram=2)
+    srv1 = SpeculativeServer(TINY, **kw)
+    srvR = SpeculativeServer(TINY, **kw, multi_step=3)
+    try:
+        host = [srv1.submit(p, 12).result(timeout=300) for p in prompts]
+        dev = [srvR.submit(p, 12).result(timeout=300) for p in prompts]
+        acc = srvR.stats()["acceptance_rate"]
+    finally:
+        srv1.stop()
+        srvR.stop()
+    assert dev == host
+    assert 0.0 <= acc <= 1.0
+
+
+def _prompt(n=6):
+    return rng.integers(0, TINY.vocab_size, (n,)).astype(np.int64)
+
+
+def test_ngram_multi_step_rejects_sampling_and_draft_mode():
+    with pytest.raises(ValueError, match="greedy only"):
+        srv = SpeculativeServer(TINY, slots=2, prompt_len=8, max_len=64,
+                                k=3, ngram=2, multi_step=2)
+        try:
+            srv.submit(_prompt(), 4, temperature=1.0)
+        finally:
+            srv.stop()
+    with pytest.raises(ValueError, match="ngram"):
+        SpeculativeServer(TINY, slots=2, prompt_len=8, max_len=64,
+                          k=3, multi_step=2)
+
+
+def test_ngram_multi_step_eos_and_slot_reuse():
+    """eos mid-block discards overshoot; the slot serves the next request
+    exactly."""
+    kw = dict(slots=1, prompt_len=8, max_len=64, k=3, ngram=2)
+    srv1 = SpeculativeServer(TINY, **kw)
+    srvR = SpeculativeServer(TINY, **kw, multi_step=2)
+    try:
+        p = _prompt(6)
+        base = srv1.submit(p, 10).result(timeout=300)
+        eos = base[3]
+        a = srv1.submit(p, 10, eos_id=eos).result(timeout=300)
+        b = srvR.submit(p, 10, eos_id=eos).result(timeout=300)
+        p5 = _prompt(5)
+        c = srvR.submit(p5, 6).result(timeout=300)
+        d = srv1.submit(p5, 6).result(timeout=300)
+    finally:
+        srv1.stop()
+        srvR.stop()
+    assert b == a
+    assert c == d
