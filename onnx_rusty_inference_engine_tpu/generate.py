@@ -62,9 +62,10 @@ class Generator:
         from .models import decoder_family
 
         build_prefill, build_decode, int8_kv_ok = decoder_family(family)
-        if self._int4_kv and family != "gpt2":
+        if self._int4_kv and family not in ("gpt2", "llama"):
             raise NotImplementedError(
-                f"{family}: int4 KV cache is gpt2-only for now")
+                f"{family}: int4 KV cache needs a nibble-packing decode "
+                "graph (gpt2/llama only)")
         if self._kv_q and not int8_kv_ok:
             raise NotImplementedError(
                 f"{family}: in-graph quantized KV cache not implemented")

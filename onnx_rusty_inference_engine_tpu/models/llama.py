@@ -240,10 +240,18 @@ def build_llama_decode(
 
     kv_dtype="int8" carries the QDQ inside the graph exactly like the GPT-2
     decode graph (per-head scale inputs kv_scale_{key,value}_{i} [Hkv]).
+    kv_dtype="int4" nibble-packs the GQA cache ([B,Hkv,L,hd/2] int8, two
+    4-bit values per byte — half the int8 cache's HBM traffic) with the
+    same pack/unpack arithmetic as gpt2 (quant.pack_int4_kv inverts it).
 
     scan_layers=True emits the scan-over-layers form with stacked weights
     and a stacked cache interface (see gpt2.build_gpt2_decode)."""
-    int8_kv = np.dtype(kv_dtype) == np.int8
+    int4_kv = kv_dtype == "int4"
+    int8_kv = (not int4_kv) and np.dtype(kv_dtype) == np.int8
+    if int4_kv and (fused_attention or scan_layers):
+        raise ValueError("int4 KV supports the plain decode graph only")
+    if int4_kv and cfg.head_dim % 2:
+        raise ValueError("int4 KV packs hd pairs: head_dim must be even")
     if fused_attention and not int8_kv:
         raise ValueError("fused_attention requires kv_dtype='int8'")
     if fused_attention and chunk != 1:
@@ -259,16 +267,20 @@ def build_llama_decode(
     B, T = batch, chunk
     D, H, Hkv, hd = cfg.dim, cfg.n_head, cfg.n_kv_head, cfg.head_dim
     L = max_len
-    cache_np = np.int8 if int8_kv else np.float32
+    cache_np = np.int8 if (int8_kv or int4_kv) else np.float32
+    cache_hd = hd // 2 if int4_kv else hd
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)
     pos = b.input("pos", [B], dtype=np.int64)
-    pasts = [(b.input(f"past_key_{i}", [B, Hkv, L, hd], dtype=cache_np),
-              b.input(f"past_value_{i}", [B, Hkv, L, hd], dtype=cache_np))
+    pasts = [(b.input(f"past_key_{i}", [B, Hkv, L, cache_hd],
+                      dtype=cache_np),
+              b.input(f"past_value_{i}", [B, Hkv, L, cache_hd],
+                      dtype=cache_np))
              for i in range(cfg.n_layer)]
     kv_scales = [(b.input(f"kv_scale_key_{i}", [Hkv]),
                   b.input(f"kv_scale_value_{i}", [Hkv]))
-                 for i in range(cfg.n_layer)] if int8_kv else None
+                 for i in range(cfg.n_layer)] if (int8_kv or int4_kv) \
+        else None
     zp8 = b.init("kv_zp8", np.int8(0)) if int8_kv else None
 
     emb = b.init("tok_embeddings", (b.rng.standard_normal(
@@ -346,6 +358,55 @@ def build_llama_decode(
     kvshape = b.init("kv_shape", np.array([B, T, Hkv, hd], np.int64))
     merge_shape = b.init("ctx_merge_shape", np.array([B, T, D], np.int64))
 
+    if int4_kv:
+        # int4 pack/unpack constants (see gpt2._q4_pack: p = (q0+8) +
+        # 16*q1 spans [-128,127]; f32 arithmetic, small ints exact)
+        q4_lo = b.init("q4_lo", np.float32(-8.0))
+        q4_hi = b.init("q4_hi", np.float32(7.0))
+        q4_16 = b.init("q4_16", np.float32(16.0))
+        q4_8 = b.init("q4_8", np.float32(8.0))
+        q4_128 = b.init("q4_128", np.float32(128.0))
+        q4_s0 = b.init("q4_s0", np.array([0], np.int64))
+        q4_s1 = b.init("q4_s1", np.array([1], np.int64))
+        q4_send = b.init("q4_send", np.array([hd], np.int64))
+        q4_ax3 = b.init("q4_ax3", np.array([3], np.int64))
+        q4_step2 = b.init("q4_step2", np.array([2], np.int64))
+        q4_ax4 = b.init("q4_ax4", np.array([4], np.int64))
+        q4_sshape = b.init("q4_sshape", np.array([1, Hkv, 1, 1], np.int64))
+        q4_full = b.init("q4_full", np.array([B, Hkv, L, hd], np.int64))
+
+    def _q4_pack(t: str, s4: str, tag: str) -> str:
+        """[B,Hkv,T,hd] f32 -> [B,Hkv,T,hd/2] int8 (two nibbles/byte)."""
+        (d,) = b.node("Div", [t, s4], [f"{tag}_q4d"])
+        (r,) = b.node("Round", [d], [f"{tag}_q4r"])
+        (c,) = b.node("Clip", [r, q4_lo, q4_hi], [f"{tag}_q4c"])
+        (q0,) = b.node("Slice", [c, q4_s0, q4_send, q4_ax3, q4_step2],
+                       [f"{tag}_q4q0"])
+        (q1,) = b.node("Slice", [c, q4_s1, q4_send, q4_ax3, q4_step2],
+                       [f"{tag}_q4q1"])
+        (q0b,) = b.node("Add", [q0, q4_8], [f"{tag}_q4q0b"])
+        (m,) = b.node("Mul", [q1, q4_16], [f"{tag}_q4m"])
+        (pp,) = b.node("Add", [q0b, m], [f"{tag}_q4p"])
+        (p8,) = b.node("Cast", [pp], [f"{tag}_q4p8"], to=3)
+        return p8
+
+    def _q4_unpack(t8: str, s4: str, tag: str) -> str:
+        """[B,Hkv,L,hd/2] int8 -> dequantized [B,Hkv,L,hd] f32."""
+        (pf,) = b.node("Cast", [t8], [f"{tag}_q4pf"], to=1)
+        (t1,) = b.node("Add", [pf, q4_128], [f"{tag}_q4t1"])
+        (t2,) = b.node("Div", [t1, q4_16], [f"{tag}_q4t2"])
+        (q1p,) = b.node("Floor", [t2], [f"{tag}_q4q1p"])
+        (q1,) = b.node("Sub", [q1p, q4_8], [f"{tag}_q4uq1"])
+        (m,) = b.node("Mul", [q1, q4_16], [f"{tag}_q4um"])
+        (q0b,) = b.node("Sub", [pf, m], [f"{tag}_q4uq0b"])
+        (q0,) = b.node("Sub", [q0b, q4_8], [f"{tag}_q4uq0"])
+        (u0,) = b.node("Unsqueeze", [q0, q4_ax4], [f"{tag}_q4u0"])
+        (u1,) = b.node("Unsqueeze", [q1, q4_ax4], [f"{tag}_q4u1"])
+        (cat,) = b.node("Concat", [u0, u1], [f"{tag}_q4cat"], axis=4)
+        (fl,) = b.node("Reshape", [cat, q4_full], [f"{tag}_q4fl"])
+        (dq,) = b.node("Mul", [fl, s4], [f"{tag}_q4dq"])
+        return dq
+
     for i in range(cfg.n_layer):
         xn = _rmsnorm(b, x, f"l{i}_attn_norm", D)
         q = _linear(b, xn, f"l{i}_wq", D, H * hd)
@@ -369,11 +430,11 @@ def build_llama_decode(
             if T == 1:
                 return t
             src = t
-            if int8_kv:
+            if cache_np == np.int8:
                 (src,) = b.node("Cast", [t], [f"l{i}_{tag}_f"], to=1)
             (sp,) = b.node("MatMul", ["scatter_oh4", src],
                            [f"l{i}_{tag}_spread_f"])
-            if int8_kv:
+            if cache_np == np.int8:
                 (sp,) = b.node("Cast", [sp], [f"l{i}_{tag}_spread"], to=3)
             return sp
 
@@ -393,6 +454,20 @@ def build_llama_decode(
                                [f"l{i}_k_dq"], axis=1)
                 (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
                                [f"l{i}_v_dq"], axis=1)
+        elif int4_kv:
+            # quantize + nibble-pack the new GQA k/v, update the packed
+            # int8 cache, unpack + dequantize for the attention
+            sk, sv = kv_scales[i]
+            (sk4,) = b.node("Reshape", [sk, q4_sshape], [f"l{i}_sk4"])
+            (sv4,) = b.node("Reshape", [sv, q4_sshape], [f"l{i}_sv4"])
+            kq = _q4_pack(kh, sk4, f"l{i}_k")
+            vq = _q4_pack(vh, sv4, f"l{i}_v")
+            (kc8,) = b.node("Where", [is_now4, _spread(kq, "k8"), pk],
+                            [f"present_key_{i}"])
+            (vc8,) = b.node("Where", [is_now4, _spread(vq, "v8"), pv],
+                            [f"present_value_{i}"])
+            kc = _q4_unpack(kc8, sk4, f"l{i}_k")
+            vc = _q4_unpack(vc8, sv4, f"l{i}_v")
         else:
             (kc,) = b.node("Where", [is_now4, _spread(kh, "k"), pk],
                            [f"present_key_{i}"])
@@ -431,8 +506,9 @@ def build_llama_decode(
     (logits,) = b.node("MatMul", [x, lm], ["logits"])
     b.output(logits, [B, T, cfg.vocab_size])
     for i in range(cfg.n_layer):
-        b.output(f"present_key_{i}", [B, Hkv, L, hd], dtype=cache_np)
-        b.output(f"present_value_{i}", [B, Hkv, L, hd], dtype=cache_np)
+        b.output(f"present_key_{i}", [B, Hkv, L, cache_hd], dtype=cache_np)
+        b.output(f"present_value_{i}", [B, Hkv, L, cache_hd],
+                 dtype=cache_np)
     return b.model()
 
 

@@ -530,8 +530,10 @@ class DecodeServer(_ServerBase):
         self._int4_kv = kv_dtype == "int4"
         self.kv_dtype = np.dtype(np.int8 if self._int4_kv else kv_dtype)
         self._kv_qmax = 7.0 if self._int4_kv else 127.0
-        if self._int4_kv and family != "gpt2":
-            raise NotImplementedError("int4 KV serving is gpt2-only")
+        if self._int4_kv and family not in ("gpt2", "llama"):
+            raise NotImplementedError(
+                "int4 KV serving needs a nibble-packing decode graph "
+                "(gpt2/llama only)")
         if self._int4_kv and chunked_prefill:
             raise NotImplementedError(
                 "int4 KV with chunked_prefill (shadow calibration) is "

@@ -160,3 +160,135 @@ def test_decode_server_int4_rejects_chunked():
     with pytest.raises(NotImplementedError, match="chunked"):
         DecodeServer(TINY, slots=2, max_len=24, kv_dtype="int4",
                      chunked_prefill=True)
+
+
+# ---------------------------------------------------------------------------
+# llama (GQA) int4 KV — round 4: the nibble-packed cache is no longer
+# gpt2-only. Hkv < H heads, same pack/unpack arithmetic.
+# ---------------------------------------------------------------------------
+def test_llama_int4_step_matches_fp32_on_grid_cache():
+    """Past cache exactly on the int4 grid with per-head scales
+    CALIBRATED to the new token's k/v magnitude (what Generator/server
+    do: amax/7) — llama's k/v run ~50x larger than the gpt2 TINY's, so a
+    fixed tiny scale would clip the new token to garbage. Layer-0
+    presents must equal numpy quantization of the fp32 presents to one
+    rounding step; logits agree to quantization noise."""
+    from onnx_rusty_inference_engine_tpu.models.llama import (
+        TINY as LTINY, build_llama_decode)
+
+    LHkv, Lhd, LL = LTINY.n_kv_head, LTINY.head_dim, LTINY.n_layer
+    B, max_len = 2, 12
+    g4 = import_model(build_llama_decode(LTINY, batch=B, max_len=max_len,
+                                         kv_dtype="int4"))
+    gf = import_model(build_llama_decode(LTINY, batch=B, max_len=max_len))
+    e4, ef = Engine(g4), Engine(gf)
+
+    ids = rng.integers(0, LTINY.vocab_size, (B, 1)).astype(np.int64)
+    pos = np.array([3, 5], np.int64)
+    # pass 1: fp32 probe on an empty cache -> per-head scales amax/7
+    probe = {"input_ids": ids, "pos": pos}
+    for i in range(LL):
+        for kk in ("key", "value"):
+            probe[f"past_{kk}_{i}"] = np.zeros((B, LHkv, max_len, Lhd),
+                                               np.float32)
+    pout = ef(probe)
+    scales = {}
+    for i in range(LL):
+        for kk in ("key", "value"):
+            kv = np.asarray(pout[f"present_{kk}_{i}"])
+            scales[f"{kk}_{i}"] = np.maximum(
+                np.abs(kv).max(axis=(0, 2, 3)), 1e-6) / 7.0
+
+    feed4 = {"input_ids": ids, "pos": pos}
+    feedf = dict(feed4)
+    for i in range(LL):
+        for kk in ("key", "value"):
+            sh = scales[f"{kk}_{i}"].astype(np.float32)   # [Hkv]
+            q = rng.integers(-8, 8, (B, LHkv, max_len, Lhd)
+                             ).astype(np.float32)
+            feed4[f"past_{kk}_{i}"] = _pack(q)
+            feed4[f"kv_scale_{kk}_{i}"] = sh
+            feedf[f"past_{kk}_{i}"] = q * sh[None, :, None, None]
+    o4, of = e4(feed4), ef(feedf)
+    np.testing.assert_allclose(np.asarray(o4["logits"]),
+                               np.asarray(of["logits"]), atol=0.08)
+    # layer 0 sees identical inputs in both graphs: presents must match
+    # numpy quantization bit-for-bit (one rounding-tie step allowed)
+    for kk in ("key", "value"):
+        p4 = np.asarray(o4[f"present_{kk}_0"])
+        assert p4.dtype == np.int8 and p4.shape == (B, LHkv, max_len,
+                                                    Lhd // 2)
+        sh = scales[f"{kk}_0"][None, :, None, None]
+        want = np.clip(np.round(
+            np.asarray(of[f"present_{kk}_0"]) / sh), -8, 7)
+        diff = np.abs(_unpack(p4) - want)
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.01
+
+
+def test_llama_int4_chunk_equals_sequential_steps():
+    from onnx_rusty_inference_engine_tpu.models.llama import (
+        TINY as LTINY, build_llama_decode)
+
+    LHkv, Lhd, LL = LTINY.n_kv_head, LTINY.head_dim, LTINY.n_layer
+    B, max_len, C = 2, 16, 3
+    g1 = import_model(build_llama_decode(LTINY, batch=B, max_len=max_len,
+                                         kv_dtype="int4"))
+    gc = import_model(build_llama_decode(LTINY, batch=B, max_len=max_len,
+                                         kv_dtype="int4", chunk=C))
+    e1, ec = Engine(g1), Engine(gc)
+    scales = {f"kv_scale_{k}_{i}": np.full((LHkv,), 0.05, np.float32)
+              for i in range(LL) for k in ("key", "value")}
+    cache = {f"past_{k}_{i}": np.zeros((B, LHkv, max_len, Lhd // 2),
+                                       np.int8)
+             for i in range(LL) for k in ("key", "value")}
+    toks = rng.integers(0, LTINY.vocab_size, (B, C)).astype(np.int64)
+    pos0 = np.array([0, 2], np.int64)
+
+    c1 = dict(cache)
+    for j in range(C):
+        out = e1({"input_ids": toks[:, j:j + 1], "pos": pos0 + j,
+                  **c1, **scales})
+        for i in range(LL):
+            for kk in ("key", "value"):
+                c1[f"past_{kk}_{i}"] = out[f"present_{kk}_{i}"]
+    last1 = out["logits"]
+
+    outc = ec({"input_ids": toks, "pos": pos0, **cache, **scales})
+    np.testing.assert_allclose(np.asarray(outc["logits"][:, -1]),
+                               np.asarray(last1[:, -1]),
+                               rtol=1e-4, atol=1e-4)
+    for i in range(LL):
+        for kk in ("key", "value"):
+            np.testing.assert_array_equal(
+                np.asarray(outc[f"present_{kk}_{i}"]),
+                np.asarray(c1[f"past_{kk}_{i}"]))
+
+
+def test_llama_int4_generator_and_server():
+    from onnx_rusty_inference_engine_tpu.models.llama import TINY as LTINY
+    from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+    kw = dict(batch=2, prompt_len=4, max_len=16, family="llama")
+    ids = rng.integers(0, LTINY.vocab_size, (2, 4)).astype(np.int64)
+    tf, _ = Generator(LTINY, **kw).generate(ids, 6)
+    g = Generator(LTINY, kv_dtype="int4", **kw)
+    t1, _ = g.generate(ids, 6)
+    t2, _ = g.generate(ids, 6)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(t1[:, 0], tf[:, 0])  # prefill exact
+
+    # device loop parity over the packed GQA cache
+    got, _ = Generator(LTINY, kv_dtype="int4", device_loop=3,
+                       **kw).generate(ids, 6)
+    np.testing.assert_array_equal(got, t1)
+
+    prompt = rng.integers(0, LTINY.vocab_size, (5,)).astype(np.int64)
+    srv = DecodeServer(LTINY, slots=2, prompt_len=8, max_len=24,
+                       kv_dtype="int4", family="llama")
+    try:
+        a = srv.generate(prompt, 6, timeout=300)
+        b = srv.generate(prompt, 6, timeout=300)
+    finally:
+        srv.stop()
+    assert a == b
