@@ -51,13 +51,26 @@ def main() -> None:
 
     NL = cfg.n_layer
 
-    def make_feed(int8_kv: bool, stacked: bool = False):
+    def make_feed(int8_kv: bool, stacked: bool = False,
+                  int4_kv: bool = False):
         feed = {"input_ids": jnp.asarray(
                     rng.integers(0, cfg.vocab_size, (B, 1)).astype(np.int64)),
                 "pos": jnp.full((B,), L // 2, dtype=jnp.int64)}
         shape = (NL, B, Hkv, L, hd) if stacked else (B, Hkv, L, hd)
         for kind in ("key", "value"):
             kv = rng.standard_normal(shape).astype(np.float32)
+            if int4_kv:
+                from onnx_rusty_inference_engine_tpu.quant import (
+                    pack_int4_kv)
+
+                sc = np.abs(kv).max(axis=(0, 2, 3)) / 7.0
+                q = jnp.asarray(pack_int4_kv(
+                    kv, sc[None, :, None, None].astype(np.float32)))
+                for i in range(NL):
+                    feed[f"past_{kind}_{i}"] = q
+                    feed[f"kv_scale_{kind}_{i}"] = jnp.asarray(
+                        sc.astype(np.float32))
+                continue
             if int8_kv:
                 q = jnp.asarray(
                     np.clip(np.round(kv * 32), -127, 127).astype(np.int8))
@@ -116,8 +129,12 @@ def main() -> None:
                                                  kv_dtype="int8",
                                                  scan_layers=True))
     t_f = bench(g, "fp32", make_feed(False))
+    g_kv4 = import_model(build_llama_decode(cfg, batch=B, max_len=L,
+                                            kv_dtype="int4"))
     t_48 = bench(quantize_weights_int4(g_kv8), "int4_weights_int8_kv",
                  make_feed(True))
+    t_44 = bench(quantize_weights_int4(g_kv4), "int4_weights_int4_kv",
+                 make_feed(False, int4_kv=True))
     t_f48 = bench(quantize_weights_int4(g_fused_kv8),
                   "int4_weights_int8_kv_fusedattn", make_feed(True))
     t_s48 = bench(quantize_weights_int4(g_scan_kv8),
