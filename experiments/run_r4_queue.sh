@@ -22,6 +22,11 @@ run_step() {
   fi
 }
 
+# 0. Golden E2E on chip (verify skill: expect "golden: MATCH")
+run_step golden_mnist    1500 python -m onnx_rusty_inference_engine_tpu.cli run \
+  --model /root/reference/models/mnist-8.onnx \
+  --input /root/reference/mnist_data_0.pb \
+  --golden /root/reference/mnist_output_0.pb
 # 1. Headline (bench.py has its own supervisor/retries; give it headroom)
 run_step headline        2400 python bench.py
 # 2. INT4 weights / INT4 KV decode rows

@@ -216,9 +216,14 @@ class Engine:
                     for k, v in inputs.items()
                 }
                 out = raw(params, inputs)
-                return {k: (v.astype(jnp.float32)
+
+                def uncast(v):
+                    if isinstance(v, (list, tuple)):  # sequence output
+                        return [uncast(e) for e in v]
+                    return (v.astype(jnp.float32)
                             if v.dtype == jnp.dtype(cast_dtype) else v)
-                        for k, v in out.items()}
+
+                return {k: uncast(v) for k, v in out.items()}
         else:
             fn = raw
         self._fn = jax.jit(fn, donate_argnums=(1,) if donate_inputs else ())
@@ -245,7 +250,9 @@ class Engine:
     def run(self, inputs) -> InferenceResult:
         t0 = time.perf_counter()
         out = self(inputs)
-        out = {k: np.asarray(v) for k, v in out.items()}  # blocks
+        out = {k: ([np.asarray(e) for e in v]
+                   if isinstance(v, (list, tuple)) else np.asarray(v))
+               for k, v in out.items()}  # blocks
         return InferenceResult(out, time.perf_counter() - t0)
 
     def compile(self, inputs):

@@ -114,6 +114,37 @@ def loop(ctx: LoweringContext, node: Node, ins):
             f"(tensor {m_name!r} is dynamic)")
     M = int(np.asarray(trip).reshape(()))
 
+    # sequence/optional state (the "append to a sequence in a Loop" export
+    # pattern): such state has trace-time STRUCTURE, so it cannot ride a
+    # lax.scan carry — but the trip count is already static here, so the
+    # loop unrolls at trace time instead. Dynamic early exit would make the
+    # final structure data-dependent, hence the passthrough/true condition
+    # requirement (same rule as scan outputs below).
+    from .sequences import OptionalValue, is_sequence
+
+    if any(is_sequence(v) or isinstance(v, OptionalValue) for v in v_init):
+        cond0_static = ctx.constant(cond_name) if cond_name else True
+        init_true = (not cond_name) or (
+            cond0_static is not None
+            and bool(np.asarray(cond0_static).reshape(())))
+        if not (init_true and _body_cond_is_passthrough_or_true(body)):
+            raise UnsupportedOpError(
+                "Loop: sequence-valued state with a dynamic exit condition "
+                "implies a data-dependent sequence length; make the trip "
+                "count static and the body condition a passthrough/constant")
+        states = list(v_init)
+        ys_acc = [[] for _ in range(k_scan)]
+        for i in range(M):
+            outs = ctx.eval_subgraph(
+                body, [jnp.asarray(i, dtype=ins[0].dtype
+                                   if hasattr(ins[0], "dtype") else jnp.int32),
+                       jnp.asarray(True)] + states)
+            states = list(outs[1:1 + n_state])
+            for j, y in enumerate(outs[1 + n_state:]):
+                ys_acc[j].append(y)
+        ys_out = tuple(jnp.stack(col) for col in ys_acc)
+        return tuple(states) + ys_out
+
     if k_scan:
         # scan outputs under ANY dynamic early exit would have a
         # data-dependent length — not expressible in XLA. That includes a
