@@ -19,3 +19,4 @@ from . import fused  # noqa: F401,E402
 from . import bounded  # noqa: F401,E402
 from . import sequences  # noqa: F401,E402
 from . import losses  # noqa: F401,E402
+from . import vision_roi  # noqa: F401,E402
