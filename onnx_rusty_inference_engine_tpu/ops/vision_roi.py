@@ -142,6 +142,79 @@ def roi_align(ctx: LoweringContext, node: Node, ins):
     return (jnp.stack(outs),)
 
 
+@register("DeformConv")
+def deform_conv(ctx: LoweringContext, node: Node, ins):
+    """Deformable convolution (DCNv1/v2, opset 19).
+
+    Each kernel tap samples X at its regular grid position PLUS a learned
+    per-position offset, bilinearly; v2 adds a per-tap modulation mask.
+    Offset channel layout is [offset_group, kH, kW, (dy, dx)] — the
+    torchvision-compatible order the ONNX reference implementation uses.
+
+    Lowering: the four bilinear corners are fetched with vectorized
+    advanced indexing (the GridSample precedent in standard.py — XLA
+    lowers it to dynamic-gather; this op is a detection-head accessory,
+    not a serving hot path), then the tap contraction is ONE einsum
+    `ngcijpq,gmcij->ngmpq` that XLA places on the MXU."""
+    x, w, offset = ins[0], ins[1], ins[2]
+    bias = ins[3] if len(ins) > 3 else None
+    mask = ins[4] if len(ins) > 4 else None
+    N, C, H, W_ = x.shape
+    M, _, KH, KW = w.shape
+    groups = int(node.attr("group", 1))
+    og = int(node.attr("offset_group", 1))
+    strides = [int(v) for v in node.attr("strides", [1, 1])]
+    dil = [int(v) for v in node.attr("dilations", [1, 1])]
+    pads = [int(v) for v in node.attr("pads", [0, 0, 0, 0])]
+    OH, OW = offset.shape[2], offset.shape[3]
+
+    # regular grid per (tap, output position)
+    base_y = (jnp.arange(OH) * strides[0] - pads[0])[None, :] \
+        + (jnp.arange(KH) * dil[0])[:, None]                    # [KH,OH]
+    base_x = (jnp.arange(OW) * strides[1] - pads[1])[None, :] \
+        + (jnp.arange(KW) * dil[1])[:, None]                    # [KW,OW]
+    off = offset.reshape(N, og, KH, KW, 2, OH, OW)
+    y = base_y[None, None, :, None, :, None] + off[:, :, :, :, 0]
+    xx = base_x[None, None, None, :, None, :] + off[:, :, :, :, 1]
+    # y/xx: [N, OG, KH, KW, OH, OW]
+
+    xg = x.reshape(N, og, C // og, H, W_)
+
+    def corner(yi, xi):
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W_)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W_ - 1)
+        n_idx = jnp.arange(N).reshape(N, 1, 1, 1, 1, 1)
+        g_idx = jnp.arange(og).reshape(1, og, 1, 1, 1, 1)
+        v = xg[n_idx, g_idx, :, yc, xc]      # [N,OG,KH,KW,OH,OW,Cg]
+        return jnp.where(inb[..., None], v, 0)
+
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(xx)
+    ly = (y - y0)[..., None]
+    lx = (xx - x0)[..., None]
+    y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
+    samp = (corner(y0i, x0i) * (1 - ly) * (1 - lx)
+            + corner(y0i, x0i + 1) * (1 - ly) * lx
+            + corner(y0i + 1, x0i) * ly * (1 - lx)
+            + corner(y0i + 1, x0i + 1) * ly * lx)
+    # zero-pad semantics: a sample fully outside contributes 0; points in
+    # the [-1, 0) / (size-1, size] border band interpolate against zeros,
+    # which the per-corner in-bounds masking above already produces
+    if mask is not None:
+        samp = samp * mask.reshape(N, og, KH, KW, OH, OW)[..., None]
+
+    # [N,OG,KH,KW,OH,OW,Cg] -> [N, G, C/G, KH, KW, OH, OW]
+    s = jnp.moveaxis(samp, -1, 2).reshape(N, C, KH, KW, OH, OW)
+    s = s.reshape(N, groups, C // groups, KH, KW, OH, OW)
+    wg = w.reshape(groups, M // groups, C // groups, KH, KW)
+    out = jnp.einsum("ngcijpq,gmcij->ngmpq", s, wg)
+    out = out.reshape(N, M, OH, OW)
+    if bias is not None:
+        out = out + bias.reshape(1, M, 1, 1)
+    return (out.astype(x.dtype),)
+
+
 @register("MaxRoiPool")
 def max_roi_pool(ctx: LoweringContext, node: Node, ins):
     x, rois = ins[0], ins[1]  # rois [R,5] = (batch, x1, y1, x2, y2)

@@ -153,3 +153,88 @@ def test_max_roi_pool_scale_and_degenerate():
                     pooled_shape=[2, 2], spatial_scale=0.5)
     want = ref_max_roi_pool(x, rois, 2, 2, 0.5)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# DeformConv
+# ---------------------------------------------------------------------------
+def ref_deform_conv(x, w, offset, bias, mask, strides, pads, dil, groups, og):
+    N, C, H, W_ = x.shape
+    M, _, KH, KW = w.shape
+    OH, OW = offset.shape[2], offset.shape[3]
+    off = offset.reshape(N, og, KH, KW, 2, OH, OW)
+    msk = (np.ones((N, og, KH, KW, OH, OW)) if mask is None
+           else mask.reshape(N, og, KH, KW, OH, OW))
+    out = np.zeros((N, M, OH, OW))
+    cg = C // groups
+    for n in range(N):
+        for m in range(M):
+            g = m // (M // groups)
+            for p in range(OH):
+                for q in range(OW):
+                    acc = 0.0
+                    for ci in range(cg):
+                        c = g * cg + ci
+                        ogi = c // (C // og)
+                        for i in range(KH):
+                            for j in range(KW):
+                                y = (p * strides[0] - pads[0] + i * dil[0]
+                                     + off[n, ogi, i, j, 0, p, q])
+                                xx = (q * strides[1] - pads[1] + j * dil[1]
+                                      + off[n, ogi, i, j, 1, p, q])
+                                v = _bilinear_zeropad(x[n, c], y, xx)
+                                acc += (w[m, ci, i, j] * v
+                                        * msk[n, ogi, i, j, p, q])
+                    out[n, m, p, q] = acc + (0.0 if bias is None else bias[m])
+    return out
+
+
+def _bilinear_zeropad(img, y, x):
+    """Bilinear with zero padding outside [0, H-1] x [0, W-1] (each corner
+    outside the image contributes zero)."""
+    H, W = img.shape
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    v = 0.0
+    for (yy, wy) in ((y0, 1 - (y - y0)), (y0 + 1, y - y0)):
+        for (xc, wx) in ((x0, 1 - (x - x0)), (x0 + 1, x - x0)):
+            if 0 <= yy < H and 0 <= xc < W:
+                v += wy * wx * img[yy, xc]
+    return v
+
+
+def test_deform_conv_zero_offsets_equals_conv():
+    """With zero offsets and no mask, DeformConv must equal plain Conv."""
+    x = rng.standard_normal((2, 4, 7, 7)).astype(np.float32)
+    w = rng.standard_normal((6, 4, 3, 3)).astype(np.float32)
+    b = rng.standard_normal(6).astype(np.float32)
+    OH = OW = 7  # stride 1, pad 1
+    off = np.zeros((2, 1 * 3 * 3 * 2, OH, OW), np.float32)
+    (got,) = run_op("DeformConv", {"x": x, "w": w, "off": off, "b": b},
+                    kernel_shape=[3, 3], pads=[1, 1, 1, 1], strides=[1, 1])
+    (want,) = run_op("Conv", {"x": x, "w": w, "b": b},
+                     kernel_shape=[3, 3], pads=[1, 1, 1, 1], strides=[1, 1])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_deform_conv_offsets_mask_groups():
+    """Fractional offsets + modulation mask + group=2, offset_group=2,
+    stride 2, dilation 2 vs the scalar reference."""
+    N, C, H, W_ = 1, 4, 9, 8
+    M, KH, KW = 4, 2, 3
+    groups, og = 2, 2
+    strides, pads, dil = [2, 1], [1, 2, 1, 2], [2, 1]
+    OH = (H + pads[0] + pads[2] - dil[0] * (KH - 1) - 1) // strides[0] + 1
+    OW = (W_ + pads[1] + pads[3] - dil[1] * (KW - 1) - 1) // strides[1] + 1
+    x = rng.standard_normal((N, C, H, W_)).astype(np.float32)
+    w = rng.standard_normal((M, C // groups, KH, KW)).astype(np.float32)
+    off = (rng.standard_normal((N, og * KH * KW * 2, OH, OW)) * 1.7
+           ).astype(np.float32)
+    mask = rng.uniform(0.0, 1.0, (N, og * KH * KW, OH, OW)).astype(np.float32)
+    (got,) = run_op("DeformConv",
+                    {"x": x, "w": w, "off": off, "b": np.zeros(M, np.float32),
+                     "mask": mask},
+                    kernel_shape=[KH, KW], strides=strides, pads=pads,
+                    dilations=dil, group=groups, offset_group=og)
+    want = ref_deform_conv(x, w, off, None, mask, strides,
+                           [pads[0], pads[1]], dil, groups, og)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
