@@ -25,24 +25,36 @@ TITLES = {
     "bounded": "Value-dependent-shape ops, static-bound convention "
                "(padded outputs, valid-first)",
     "fused": "com.oriet fused ops (Pallas kernels)",
+    "sequences": "Sequence / Optional ops (trace-time structure, "
+                 "dynamic elements)",
+    "losses": "Loss ops (one-hot pick, gather-free)",
+    "vision_roi": "RoI / deformable ops (weight-matrix sampling on the MXU)",
 }
 ORDER = list(TITLES)
 
 
 def main() -> None:
+    from onnx_rusty_inference_engine_tpu import host
+
     mods = {}
     for (domain, op), fn in registry._REGISTRY.items():
         label = f"{op} ({domain})" if domain else op
         mods.setdefault(fn.__module__.split(".")[-1], []).append(label)
 
+    n_total = len(registry._REGISTRY) + len(host._HOST_EMITTERS)
     lines = [
         "# Supported operator coverage",
         "",
-        f"{len(registry._REGISTRY)} operators with lowering rules "
-        "(`ops/registry.py`; unknown ops raise a clean `UnsupportedOpError`, "
-        "vs the reference's panic at model_inference.rs:158-160). "
-        "Generated from the registry — regenerate with "
+        f"{n_total} operators: {len(registry._REGISTRY)} XLA lowering rules "
+        f"(`ops/registry.py`) plus {len(host._HOST_EMITTERS)} host-prolog "
+        "ops (`host.py` — string/image front-ends numpy-executed before the "
+        "jitted graph). Unknown ops raise a clean `UnsupportedOpError` "
+        "vs the reference's panic at model_inference.rs:158-160. "
+        "Generated from the registries — regenerate with "
         "`python docs/gen_ops.py`.",
+        "",
+        "Coverage is the COMPLETE ai.onnx core opset (every op in the "
+        "default-domain spec has a rule) plus contrib/fused extensions.",
         "",
     ]
     for m in ORDER + sorted(set(mods) - set(ORDER)):
@@ -51,6 +63,16 @@ def main() -> None:
             continue
         lines += [f"## {TITLES.get(m, m)} ({len(ops)})", "",
                   ", ".join(f"`{o}`" for o in ops), ""]
+    lines += [
+        f"## Host-prolog ops (host.py) ({len(host._HOST_EMITTERS)})",
+        "",
+        ", ".join(f"`{o}`" for o in sorted(host._HOST_EMITTERS)),
+        "",
+        "String/byte-stream semantics have no XLA dtype; these execute in",
+        "numpy as a graph PREFIX whose numeric products feed the single",
+        "jitted device function (hybrid host/device split, `host.py`).",
+        "",
+    ]
     lines += [
         "## Static-bound convention (ops/bounded.py)",
         "",
@@ -68,12 +90,18 @@ def main() -> None:
         "- Dynamic (non-constant) `size`/`frame_step` for window/DFT/STFT ops,",
         "  dynamic `max_output_boxes_per_class` for NMS, dynamic Clip bounds",
         "  in the int8 path — each names the offending tensor in its error.",
+        "- Dynamic positions for `SequenceInsert`/`SequenceErase` (they change",
+        "  the static list structure); dynamic `SequenceAt` over sequences",
+        "  with heterogeneous element shapes.",
+        "- `RoiAlign` with `sampling_ratio=0` (adaptive, data-dependent grid)",
+        "  when the rois are runtime tensors.",
         "- Training-only ops (gradients, optimizers): inference engine.",
         "",
     ]
     out = pathlib.Path(__file__).parent / "OPS.md"
     out.write_text("\n".join(lines))
-    print(f"wrote {out} ({len(registry._REGISTRY)} ops)")
+    print(f"wrote {out} ({n_total} ops: {len(registry._REGISTRY)} XLA "
+          f"+ {len(host._HOST_EMITTERS)} host)")
 
 
 if __name__ == "__main__":

@@ -164,6 +164,11 @@ class Engine:
         donate_inputs: bool = False,
         share_params_with: "Optional[Engine]" = None,
     ):
+        # string/image front-end ops run on host before the jitted graph
+        # (host.py); graphs without such ops pass through untouched
+        from .host import split_host_prolog
+
+        self._host, graph = split_host_prolog(graph)
         self.graph = graph
         self.dtype = np.dtype(dtype)
         self.mesh = mesh
@@ -243,8 +248,28 @@ class Engine:
             out[k] = v
         return out
 
+    def _apply_host(self, inputs):
+        """Run the host prolog (string/image front-end): returns the device
+        feed dict and the host-produced graph outputs."""
+        h = self._host
+        if isinstance(inputs, (list, tuple)):
+            inputs = dict(zip(h.orig_input_names, inputs))
+        elif isinstance(inputs, np.ndarray) or hasattr(inputs, "shape"):
+            inputs = {h.orig_input_names[0]: inputs}
+        host_out = h.run({k: np.asarray(v) for k, v in inputs.items()})
+        dev_feed = {k: v for k, v in inputs.items()
+                    if k in self.graph.input_names}
+        dev_feed.update({b: host_out[b] for b in h.boundary})
+        return dev_feed, {o: host_out[o] for o in h.host_outputs}
+
     # -- API -----------------------------------------------------------
     def __call__(self, inputs) -> Dict[str, jax.Array]:
+        if self._host is not None:
+            inputs, host_outputs = self._apply_host(inputs)
+            out = (dict(self._fn(self.params, self._canon_inputs(inputs)))
+                   if self.graph.outputs else {})
+            out.update(host_outputs)
+            return out
         return self._fn(self.params, self._canon_inputs(inputs))
 
     def run(self, inputs) -> InferenceResult:
@@ -257,10 +282,15 @@ class Engine:
 
     def compile(self, inputs):
         """Ahead-of-time compile for the given example inputs; returns self."""
+        if self._host is not None:
+            self(inputs)  # host prolog shapes gate the device signature
+            return self
         self._fn(self.params, self._canon_inputs(inputs))
         return self
 
     def output_shapes(self, inputs) -> Dict[str, Tuple[int, ...]]:
+        if self._host is not None:
+            return {k: tuple(np.shape(v)) for k, v in self(inputs).items()}
         shapes = jax.eval_shape(self._fn, self.params, self._canon_inputs(inputs))
         return {k: tuple(v.shape) for k, v in shapes.items()}
 

@@ -46,6 +46,10 @@ DTYPE_TO_NUMPY = {
     UINT32: np.dtype(np.uint32),
     UINT64: np.dtype(np.uint64),
     BFLOAT16: np.dtype(ml_dtypes.bfloat16),
+    # ONNX string tensors decode to numpy object arrays of Python str —
+    # they never reach XLA (the engine routes them through the host
+    # prolog, host.py); the codec treats them as first-class
+    STRING: np.dtype(object),
 }
 NUMPY_TO_DTYPE = {v: k for k, v in DTYPE_TO_NUMPY.items()}
 
@@ -180,6 +184,7 @@ def parse_tensor_proto(buf: bytes, base_dir: Optional[str] = None
     float_data: List[float] = []
     int_data: List[int] = []
     double_data: List[float] = []
+    str_data: List[bytes] = []
     external: Dict[str, str] = {}
     data_location = 0
     for field, wire, value in WireReader(buf):
@@ -198,6 +203,8 @@ def parse_tensor_proto(buf: bytes, base_dir: Optional[str] = None
                 int_data.append(WireReader.as_int64(value))
             else:
                 int_data.extend(WireReader.packed_varints(value))
+        elif field == 6:  # string_data (repeated bytes)
+            str_data.append(bytes(value))  # type: ignore[arg-type]
         elif field == 8:
             name = WireReader.as_string(value)
         elif field == 9:
@@ -219,6 +226,11 @@ def parse_tensor_proto(buf: bytes, base_dir: Optional[str] = None
     if np_dtype is None:
         raise NotImplementedError(f"TensorProto data_type {data_type} ({name!r})")
     shape = tuple(dims)
+    if data_type == STRING:
+        arr = np.empty(len(str_data), dtype=object)
+        for i, b in enumerate(str_data):
+            arr[i] = b.decode("utf-8", "surrogateescape")
+        return TensorData(name=name, array=arr.reshape(shape))
     n_declared = 1
     for d in dims:
         n_declared *= max(d, 1)
@@ -261,6 +273,14 @@ def parse_tensor_proto(buf: bytes, base_dir: Optional[str] = None
 
 
 def encode_tensor_proto(name: str, array: np.ndarray) -> bytes:
+    if array.dtype == object or array.dtype.kind == "U":
+        w = WireWriter()
+        w.packed_varints(1, list(array.shape))
+        w.varint(2, STRING)
+        for s in array.ravel():
+            w.bytes_field(6, str(s).encode("utf-8", "surrogateescape"))
+        w.string(8, name)
+        return w.getvalue()
     dtype = NUMPY_TO_DTYPE.get(array.dtype)
     if dtype is None:
         raise NotImplementedError(f"cannot encode numpy dtype {array.dtype}")
