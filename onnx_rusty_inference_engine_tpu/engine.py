@@ -256,7 +256,9 @@ class Engine:
             inputs = dict(zip(h.orig_input_names, inputs))
         elif isinstance(inputs, np.ndarray) or hasattr(inputs, "shape"):
             inputs = {h.orig_input_names[0]: inputs}
-        host_out = h.run({k: np.asarray(v) for k, v in inputs.items()})
+        need = set(h.consumed_inputs)  # don't pull device-only feeds to host
+        host_out = h.run({k: np.asarray(v) for k, v in inputs.items()
+                          if k in need})
         dev_feed = {k: v for k, v in inputs.items()
                     if k in self.graph.input_names}
         dev_feed.update({b: host_out[b] for b in h.boundary})
