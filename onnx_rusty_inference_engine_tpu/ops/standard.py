@@ -686,18 +686,31 @@ def slice_op(ctx: LoweringContext, node: Node, ins):
     return (x[tuple(sl)],)
 
 
+def _wrap_indices(idx, dim: int):
+    """ONNX negative-index wrap. Combined with mode="clip" below, an
+    out-of-range index (undefined per the ONNX spec) clamps to the edge
+    instead of producing JAX's fill-mode NaN — NaN here is a time bomb:
+    one NaN row scatter-matmuled into a KV cache poisons every later
+    attention over it (-1e9 masking cannot mask NaN), which is exactly
+    how parked decode slots broke multi-round speculation on chip."""
+    idx = idx.astype(jnp.int32)
+    return jnp.where(idx < 0, idx + dim, idx)
+
+
 @register("Gather")
 def gather(ctx, node, ins):
     x, idx = ins
     axis = int(node.attr("axis", 0))
-    return (jnp.take(x, idx.astype(jnp.int32), axis=axis),)
+    return (jnp.take(x, _wrap_indices(idx, x.shape[axis]), axis=axis,
+                     mode="clip"),)
 
 
 @register("GatherElements")
 def gather_elements(ctx, node, ins):
     x, idx = ins
     axis = int(node.attr("axis", 0))
-    return (jnp.take_along_axis(x, idx.astype(jnp.int32), axis=axis),)
+    return (jnp.take_along_axis(x, _wrap_indices(idx, x.shape[axis]),
+                                axis=axis, mode="clip"),)
 
 
 @register("ScatterND")

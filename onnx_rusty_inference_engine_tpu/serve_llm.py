@@ -1000,6 +1000,7 @@ class DecodeServer(_ServerBase):
             for name in (spec.name for spec in self.decode.graph.inputs)
             if name.startswith("past_")}
         K = self.multi_step
+        L = self._cur_len  # parking invariant: pos stays < L in-scan
 
         lora = self._lora
 
@@ -1016,7 +1017,7 @@ class DecodeServer(_ServerBase):
                 nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1
                                  ).astype(tok.dtype)
                 new_cache = {p: out[pr] for p, pr in present_of.items()}
-                return (nxt, pos + 1, new_cache), nxt
+                return (nxt, jnp.minimum(pos + 1, L - 1), new_cache), nxt
 
             carry, toks = jax.lax.scan(body, (tok, pos, cache), None,
                                        length=K)
@@ -1048,6 +1049,7 @@ class DecodeServer(_ServerBase):
             for name in (spec.name for spec in self.decode.graph.inputs)
             if name.startswith("past_")}
         K = self.multi_step
+        L = self._cur_len  # parking invariant: pos stays < L in-scan
         lora = self._lora
         B = self.B
         select = _device_select
@@ -1070,7 +1072,8 @@ class DecodeServer(_ServerBase):
                              ).astype(tok.dtype)
                 counts = counts.at[jnp.arange(B), nxt].add(1)
                 new_cache = {p: out[pr] for p, pr in present_of.items()}
-                return (nxt, pos + 1, new_cache, counts), nxt
+                return (nxt, jnp.minimum(pos + 1, L - 1), new_cache,
+                        counts), nxt
 
             carry, toks = jax.lax.scan(body, (tok, pos, cache, counts),
                                        None, length=K)
@@ -1140,6 +1143,7 @@ class DecodeServer(_ServerBase):
         K = self.multi_step
         C = self.chunk
         L = self.max_len
+        CUR = self._cur_len
         lora = self._lora
         B = self.B
         select = _device_select
@@ -1186,7 +1190,10 @@ class DecodeServer(_ServerBase):
                 tok = jnp.where(valid, nxt, tok)
                 counts = counts.at[jnp.arange(B), nxt].add(
                     valid.astype(counts.dtype))
-                pos = pos + n_feed
+                # parking invariant: parked lanes (and finished-mid-scan
+                # lanes) must not drift past the cache tables — see
+                # _get_ngram_multi_fn's note on the NaN-kv time bomb
+                pos = jnp.minimum(pos + n_feed, CUR - 1)
                 off = off + jnp.where(prefilling, n_feed, 0)
                 new_cache = {p: out[pr] for p, pr in present_of.items()}
                 return ((tok, pos, rem_after, off, new_cache, counts),
@@ -1536,6 +1543,7 @@ class Seq2SeqServer(_ServerBase):
         decode_fn = self.decode.jitted
         K = self.multi_step
         B = self.B
+        L = self.max_len  # parking invariant: pos stays < L in-scan
         src_mask = self.fam.src_mask
         present_of = {
             f"past_{kind}_{i}": f"present_{kind}_{i}"
@@ -1559,7 +1567,8 @@ class Seq2SeqServer(_ServerBase):
                              ).astype(tok.dtype)
                 counts = counts.at[jnp.arange(B), nxt].add(1)
                 new_past = {p: out[pr] for p, pr in present_of.items()}
-                return (nxt, pos + 1, new_past, counts), nxt
+                return (nxt, jnp.minimum(pos + 1, L - 1), new_past,
+                        counts), nxt
 
             carry, toks = jax.lax.scan(body, (tok, pos, past, counts),
                                        None, length=K)
@@ -1920,7 +1929,14 @@ class SpeculativeServer(_ServerBase):
                         & (j <= m)[:, None]
                     ctx = jnp.where(w, tpred[:, j][:, None].astype(
                         ctx.dtype), ctx)
-                pos = pos + m + 1
+                # parking invariant: pos ≤ L-k ALWAYS (docstring). Parked
+                # lanes and finished-mid-scan lanes would otherwise walk
+                # the verify window past the cache/position tables in
+                # round ≥2 (the host replay discards their tokens, but
+                # the out-of-range round's NaN kv would persist in the
+                # slot's cache rows and break the NEXT request admitted
+                # there — found by the chip bench, BENCH r4).
+                pos = jnp.minimum(pos + m + 1, L - k)
                 return (last, pos, cache, ctx), (tpred, m)
 
             carry, (tpreds, ms) = jax.lax.scan(

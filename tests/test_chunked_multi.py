@@ -164,3 +164,29 @@ def test_seq2seq_multi_step_asr_family():
         srv1.stop()
         srvK.stop()
     assert dev == host
+
+
+def test_chunked_multi_parked_lane_cache_stays_finite():
+    """Regression (r4 chip bench, same family as the spec-server NaN):
+    a lane parked at pos = max_len - 1 during a chunked multi dispatch
+    fed a C-token window whose tail positions fell past the position
+    tables; the OOB embedding rows were scatter-matmuled into the parked
+    slot's kv rows, corrupting the NEXT request admitted there. Needs
+    max_len == n_positions, warm traffic leaving lanes parked, then a
+    full batch over the previously-parked lanes."""
+    assert TINY.n_positions == 64
+    kw = dict(slots=3, prompt_len=8, max_len=64, chunked_prefill=True,
+              chunk=4)
+    srv = DecodeServer(TINY, **kw, multi_step=3)
+    try:
+        p0 = rng.integers(0, TINY.vocab_size, (6,)).astype(np.int64)
+        srv.submit(p0, 5).result(timeout=300)   # 2 lanes stay parked
+        reqs = [rng.integers(0, TINY.vocab_size,
+                             (int(rng.integers(3, 12)),)).astype(np.int64)
+                for _ in range(3)]
+        futs = [srv.submit(p, 10) for p in reqs]
+        got = [f.result(timeout=300) for f in futs]
+    finally:
+        srv.stop()
+    want = [_reference_tokens(p, 10, p.size, 64) for p in reqs]
+    assert got == want

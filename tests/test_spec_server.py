@@ -236,3 +236,29 @@ def test_ngram_multi_step_eos_and_slot_reuse():
         srvR.stop()
     assert b == a
     assert c == d
+
+
+def test_ngram_multi_step_parked_lane_cache_stays_finite():
+    """Regression (found by the r4 chip bench): lanes PARKED at
+    pos = max_len - k during a multi-round dispatch advanced pos in the
+    scan carry; round >= 2 walked the verify window past the position
+    tables, and the OOB position-embedding rows (JAX fill-mode NaN at
+    the time) were scatter-MATMULed into the parked slot's kv cache
+    (0 * NaN = NaN), silently breaking the NEXT request admitted to that
+    slot. Needs max_len == n_positions so OOB is reachable, warm traffic
+    that leaves most lanes parked across a dispatch, then a full batch."""
+    assert TINY.n_positions == 64
+    kw = dict(slots=4, prompt_len=8, max_len=64, k=4, ngram=2)
+    srv = SpeculativeServer(TINY, **kw, multi_step=3)
+    try:
+        # warm: 1 request, 3 lanes parked through its multi dispatches
+        p0 = _prompt(8)
+        srv.submit(p0, 6).result(timeout=300)
+        # full batch lands on the previously-parked lanes
+        prompts = [_prompt(8) for _ in range(4)]
+        futs = [srv.submit(p, 12) for p in prompts]
+        got = [f.result(timeout=300) for f in futs]
+    finally:
+        srv.stop()
+    want = [_reference(p, 12, 64) for p in prompts]
+    assert got == want
