@@ -29,6 +29,8 @@ TITLES = {
                  "dynamic elements)",
     "losses": "Loss ops (one-hot pick, gather-free)",
     "vision_roi": "RoI / deformable ops (weight-matrix sampling on the MXU)",
+    "ml": "ai.onnx.ml classical-ML ops (GEMM tree ensembles, kernel-matmul "
+          "SVMs; sklearn exports)",
 }
 ORDER = list(TITLES)
 
@@ -41,20 +43,24 @@ def main() -> None:
         label = f"{op} ({domain})" if domain else op
         mods.setdefault(fn.__module__.split(".")[-1], []).append(label)
 
-    n_total = len(registry._REGISTRY) + len(host._HOST_EMITTERS)
+    host_only = (set(host._HOST_EMITTERS) | set(host._EPILOG_EMITTERS)) \
+        - {op for (_, op) in registry._REGISTRY}
+    n_total = len(registry._REGISTRY) + len(host_only)
     lines = [
         "# Supported operator coverage",
         "",
         f"{n_total} operators: {len(registry._REGISTRY)} XLA lowering rules "
-        f"(`ops/registry.py`) plus {len(host._HOST_EMITTERS)} host-prolog "
-        "ops (`host.py` — string/image front-ends numpy-executed before the "
-        "jitted graph). Unknown ops raise a clean `UnsupportedOpError` "
+        f"(`ops/registry.py`) plus {len(host_only)} host-only ops "
+        "(`host.py` — string/image front-ends numpy-executed before the "
+        "jitted graph, and map/string tails like ZipMap after it). "
+        "Unknown ops raise a clean `UnsupportedOpError` "
         "vs the reference's panic at model_inference.rs:158-160. "
         "Generated from the registries — regenerate with "
         "`python docs/gen_ops.py`.",
         "",
         "Coverage is the COMPLETE ai.onnx core opset (every op in the "
-        "default-domain spec has a rule) plus contrib/fused extensions.",
+        "default-domain spec has a rule) plus the ai.onnx.ml domain and "
+        "contrib/fused extensions.",
         "",
     ]
     for m in ORDER + sorted(set(mods) - set(ORDER)):
@@ -71,6 +77,16 @@ def main() -> None:
         "String/byte-stream semantics have no XLA dtype; these execute in",
         "numpy as a graph PREFIX whose numeric products feed the single",
         "jitted device function (hybrid host/device split, `host.py`).",
+        "",
+        f"## Host-epilog ops (host.py) ({len(host._EPILOG_EMITTERS)})",
+        "",
+        ", ".join(f"`{o}`" for o in sorted(host._EPILOG_EMITTERS)),
+        "",
+        "Map outputs and numeric→string tails (sklearn classifier exports)",
+        "run AFTER the jitted graph on its (tiny) outputs; string-keyed",
+        "variants of the same ops run in the PROLOG when fed string inputs",
+        "(`fallback_op`). String-labelled classifiers stay on device",
+        "emitting the argmax index; the epilog maps index → label.",
         "",
     ]
     lines += [
@@ -101,7 +117,7 @@ def main() -> None:
     out = pathlib.Path(__file__).parent / "OPS.md"
     out.write_text("\n".join(lines))
     print(f"wrote {out} ({n_total} ops: {len(registry._REGISTRY)} XLA "
-          f"+ {len(host._HOST_EMITTERS)} host)")
+          f"+ {len(host_only)} host-only)")
 
 
 if __name__ == "__main__":

@@ -164,11 +164,13 @@ class Engine:
         donate_inputs: bool = False,
         share_params_with: "Optional[Engine]" = None,
     ):
-        # string/image front-end ops run on host before the jitted graph
+        # string/image front-end ops run on host before the jitted graph,
+        # map/string tails (ZipMap, string-labelled classifiers) after it
         # (host.py); graphs without such ops pass through untouched
-        from .host import split_host_prolog
+        from .host import split_host_epilog, split_host_prolog
 
         self._host, graph = split_host_prolog(graph)
+        graph, self._epilog = split_host_epilog(graph)
         self.graph = graph
         self.dtype = np.dtype(dtype)
         self.mesh = mesh
@@ -266,20 +268,31 @@ class Engine:
 
     # -- API -----------------------------------------------------------
     def __call__(self, inputs) -> Dict[str, jax.Array]:
+        host_outputs: Dict[str, np.ndarray] = {}
         if self._host is not None:
             inputs, host_outputs = self._apply_host(inputs)
-            out = (dict(self._fn(self.params, self._canon_inputs(inputs)))
-                   if self.graph.outputs else {})
-            out.update(host_outputs)
-            return out
-        return self._fn(self.params, self._canon_inputs(inputs))
+        feed = self._canon_inputs(inputs)
+        out = (dict(self._fn(self.params, feed))
+               if self.graph.outputs else {})
+        out.update(host_outputs)
+        if self._epilog is not None:
+            ep = self._epilog.run(out, feed)
+            for b in self._epilog.extra_boundary:  # helper-only tensors
+                out.pop(b, None)
+            out.update(ep)
+        return out
+
+    @staticmethod
+    def _to_host(v):
+        if isinstance(v, (list, tuple)):  # sequence output
+            return [e if isinstance(e, dict) else np.asarray(e)
+                    for e in v]           # ZipMap: sequence of maps
+        return np.asarray(v)
 
     def run(self, inputs) -> InferenceResult:
         t0 = time.perf_counter()
         out = self(inputs)
-        out = {k: ([np.asarray(e) for e in v]
-                   if isinstance(v, (list, tuple)) else np.asarray(v))
-               for k, v in out.items()}  # blocks
+        out = {k: self._to_host(v) for k, v in out.items()}  # blocks
         return InferenceResult(out, time.perf_counter() - t0)
 
     def compile(self, inputs):
@@ -291,7 +304,7 @@ class Engine:
         return self
 
     def output_shapes(self, inputs) -> Dict[str, Tuple[int, ...]]:
-        if self._host is not None:
+        if self._host is not None or self._epilog is not None:
             return {k: tuple(np.shape(v)) for k, v in self(inputs).items()}
         shapes = jax.eval_shape(self._fn, self.params, self._canon_inputs(inputs))
         return {k: tuple(v.shape) for k, v in shapes.items()}

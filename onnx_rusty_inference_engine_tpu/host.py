@@ -37,11 +37,37 @@ from .ops.registry import UnsupportedOpError
 # ops that can ONLY run on host (string semantics or byte-stream decode)
 _HOST_EMITTERS: Dict[str, Callable] = {}
 
+# ops with BOTH a device lowering (numeric data) and a numpy twin used
+# when their inputs are strings (prolog) or their outputs are strings
+# (epilog) — e.g. the ai.onnx.ml encoders. Unlike _HOST_EMITTERS these
+# do NOT force hosting by op name alone.
+_HOST_FALLBACK: Dict[str, Callable] = {}
+
+# ops that can only run AFTER the device graph (map/sequence outputs or
+# numeric→string mapping): the host epilog
+_EPILOG_EMITTERS: Dict[str, Callable] = {}
+
 
 def host_op(*names):
     def deco(fn):
         for n in names:
             _HOST_EMITTERS[n] = fn
+        return fn
+    return deco
+
+
+def fallback_op(*names):
+    def deco(fn):
+        for n in names:
+            _HOST_FALLBACK[n] = fn
+        return fn
+    return deco
+
+
+def epilog_op(*names):
+    def deco(fn):
+        for n in names:
+            _EPILOG_EMITTERS[n] = fn
         return fn
     return deco
 
@@ -203,6 +229,104 @@ def _tfidf_vectorizer(node: Node, ins):
 
 
 # --------------------------------------------------------------------------
+# ai.onnx.ml string twins (prolog fallbacks) and epilog ops
+# --------------------------------------------------------------------------
+@fallback_op("OneHotEncoder")
+def _one_hot_encoder_host(node: Node, ins):
+    cats = node.attr("cats_strings")
+    if cats is None:
+        cats = [int(v) for v in node.attr("cats_int64s", [])]
+        x = np.asarray(ins[0]).astype(np.int64)
+        eq = x[..., None] == np.asarray(cats, np.int64)
+    else:
+        x = np.asarray(ins[0])
+        eq = np.array([[str(v) == c for c in cats] for v in x.ravel()],
+                      np.bool_).reshape(x.shape + (len(cats),))
+    return [eq.astype(np.float32)]
+
+
+@fallback_op("LabelEncoder")
+@epilog_op("LabelEncoder")
+def _label_encoder_host(node: Node, ins):
+    from .ops.ml import _label_encoder_table
+
+    keys, kstr = _label_encoder_table(node, "keys")
+    vals, vstr = _label_encoder_table(node, "values")
+    default = node.attr("default_string")
+    if default is None:
+        t = node.attr("default_tensor")
+        if t is not None:
+            default = np.asarray(t).reshape(-1)[0]
+    if default is None:
+        default = node.attr("default_float")
+    if default is None:
+        default = node.attr("default_int64", -1)
+    if vstr and not isinstance(default, str):
+        default = "_Unused" if node.attr("default_string") is None \
+            else default
+    table = {(str(k) if kstr else k.item()): v
+             for k, v in zip(keys, vals)}
+    x = np.asarray(ins[0])
+    get = ((lambda v: table.get(str(v), default)) if kstr
+           else (lambda v: table.get(np.asarray(v).item(), default)))
+    out = np.array([get(v) for v in x.ravel()],
+                   dtype=object if vstr else vals.dtype)
+    return [out.reshape(x.shape)]
+
+
+@fallback_op("CategoryMapper")
+@epilog_op("CategoryMapper")
+def _category_mapper_host(node: Node, ins):
+    cats_s = [str(s) for s in node.attr("cats_strings", [])]
+    cats_i = [int(v) for v in node.attr("cats_int64s", [])]
+    x = np.asarray(ins[0])
+    if is_string_array(x):  # string → int64
+        table = dict(zip(cats_s, cats_i))
+        d = int(node.attr("default_int64", -1))
+        out = np.array([table.get(str(v), d) for v in x.ravel()], np.int64)
+    else:                   # int64 → string
+        table = dict(zip(cats_i, cats_s))
+        d = str(node.attr("default_string", "_Unused"))
+        out = np.array([table.get(int(v), d) for v in x.ravel()],
+                       dtype=object)
+    return [out.reshape(x.shape)]
+
+
+@epilog_op("ZipMap")
+def _zip_map(node: Node, ins):
+    """[N, C] scores → sequence of N {label: score} maps (the tail of
+    every sklearn classifier export). Runs after the jitted graph; the
+    tensor scores stay available as the device output feeding it."""
+    labels = node.attr("classlabels_strings")
+    if labels is None:
+        labels = [int(v) for v in node.attr("classlabels_int64s", [])]
+    else:
+        labels = [str(s) for s in labels]
+    x = np.asarray(ins[0], np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.shape[-1] != len(labels):
+        raise UnsupportedOpError(
+            f"ZipMap: {x.shape[-1]} scores for {len(labels)} labels")
+    return [[{lab: float(row[i]) for i, lab in enumerate(labels)}
+             for row in x]]
+
+
+def _produces_strings(node: Node) -> bool:
+    """True when an ml mapping node's VALUE table is strings (its output
+    can never live in the XLA graph, whatever its input)."""
+    if node.op_type == "LabelEncoder":
+        if node.attr("values_strings") is not None:
+            return True
+        t = node.attr("values_tensor")
+        return t is not None and np.asarray(t).dtype.kind in ("U", "S", "O")
+    if node.op_type == "CategoryMapper":
+        # direction decided by input dtype; resolved during partition
+        return False
+    return False
+
+
+# --------------------------------------------------------------------------
 # partition + execution
 # --------------------------------------------------------------------------
 class HostProlog:
@@ -222,7 +346,8 @@ class HostProlog:
         env: Dict[str, np.ndarray] = dict(self.constants)
         env.update({k: np.asarray(v) for k, v in feeds.items()})
         for node in self.nodes:
-            fn = _HOST_EMITTERS.get(node.op_type)
+            fn = _HOST_EMITTERS.get(node.op_type) \
+                or _HOST_FALLBACK.get(node.op_type)
             if fn is None:
                 raise UnsupportedOpError(
                     f"op '{node.op_type}' consumes a string value but has "
@@ -269,6 +394,10 @@ def split_host_prolog(graph: Graph) -> Tuple[Optional[HostProlog], Graph]:
         "StringConcat": (True,), "StringNormalizer": (True,),
         "StringSplit": (True, False), "RegexFullMatch": (False,),
         "ImageDecoder": (False,), "TfIdfVectorizer": (False,),
+        # ml encoders hosted because their INPUT is a string; output is
+        # numeric unless the value table itself is strings
+        "OneHotEncoder": (False,), "CategoryMapper": (False,),
+        "LabelEncoder": lambda n: (_produces_strings(n),),
     }
 
     hosted_vals = set(string_vals)
@@ -279,6 +408,8 @@ def split_host_prolog(graph: Graph) -> Tuple[Optional[HostProlog], Graph]:
                 i in hosted_vals for i in node.inputs if i):
             host_nodes.append(node)
             flags = string_outs.get(node.op_type)
+            if callable(flags):
+                flags = flags(node)
             for idx, o in enumerate(node.outputs):
                 # unknown op hosting a string (will error in run()) marks
                 # all outputs string so the poisoning is visible downstream
@@ -321,3 +452,126 @@ def split_host_prolog(graph: Graph) -> Tuple[Optional[HostProlog], Graph]:
     prolog = HostProlog(host_nodes, host_consts, boundary, host_outputs,
                         consumed, list(graph.input_names))
     return prolog, dev_graph
+
+
+# --------------------------------------------------------------------------
+# host epilog: map/string tails run AFTER the jitted graph
+# --------------------------------------------------------------------------
+class HostEpilog:
+    """The host-executable SUFFIX of a graph (mirror of HostProlog):
+    ZipMap (sequence-of-maps output), numeric→string LabelEncoder /
+    CategoryMapper tails, and the index→string mapping of string-labelled
+    ml classifiers (whose compute stays on device emitting the argmax
+    INDEX; see ops/ml.py). Runs eagerly in numpy on the device outputs."""
+
+    def __init__(self, nodes: List[Node], constants: Dict[str, np.ndarray],
+                 transforms: Dict[str, np.ndarray], boundary: List[str],
+                 consumed_inputs: List[str], outputs: List[str],
+                 extra_boundary: List[str]):
+        self.nodes = nodes
+        self.constants = constants
+        self.transforms = transforms  # device output -> label table
+        self.boundary = boundary      # device-produced values epilog reads
+        self.consumed_inputs = consumed_inputs
+        self.outputs = outputs        # graph outputs the epilog produces
+        self.extra_boundary = extra_boundary  # boundary ∖ graph outputs
+
+    def run(self, device_out: Dict[str, np.ndarray],
+            feeds: Dict[str, np.ndarray]) -> Dict[str, object]:
+        env: Dict[str, object] = dict(self.constants)
+        env.update({k: np.asarray(v) for k, v in feeds.items()
+                    if k in self.consumed_inputs})
+        env.update({k: np.asarray(v) for k, v in device_out.items()})
+        out: Dict[str, object] = {}
+        for name, labels in self.transforms.items():
+            idx = np.asarray(env[name]).astype(np.int64)
+            env[name] = labels[idx]
+            out[name] = env[name]
+        for node in self.nodes:
+            fn = _EPILOG_EMITTERS.get(node.op_type)
+            outs = fn(node, [env[i] if i else None for i in node.inputs])
+            for name, val in zip(node.outputs, outs):
+                if name:
+                    env[name] = val
+        out.update({o: env[o] for o in self.outputs})
+        return out
+
+
+def split_host_epilog(graph: Graph):
+    """Partition `graph` into (device graph, host epilog).
+
+    A node moves to the epilog iff it is epilog-only (ZipMap), its value
+    table makes its output strings (numeric→string LabelEncoder /
+    CategoryMapper fed numeric data), or it consumes an epilog product.
+    A non-epilog-capable consumer of an epilog product is a model error.
+    Classifier nodes with string classlabels STAY on device (their GEMM
+    is the hot path) — the epilog only maps their emitted index output."""
+    from .ops.ml import classifier_string_labels
+
+    def forced(node: Node) -> bool:
+        if node.op_type == "ZipMap":
+            return True
+        if node.op_type == "CategoryMapper":
+            # numeric input → string output; string inputs were already
+            # claimed by the prolog split, so anything left is int→str
+            return True
+        return _produces_strings(node)
+
+    epilogged: set = set()
+    ep_nodes: List[Node] = []
+    dev_nodes: List[Node] = []
+    transforms: Dict[str, np.ndarray] = {}
+    for node in graph.nodes:
+        consumes = any(i in epilogged for i in node.inputs if i)
+        if forced(node) or consumes:
+            if node.op_type not in _EPILOG_EMITTERS:
+                raise UnsupportedOpError(
+                    f"op '{node.op_type}' consumes a host-epilog value "
+                    f"(map/string) but has no epilog implementation")
+            ep_nodes.append(node)
+            epilogged.update(o for o in node.outputs if o)
+        else:
+            dev_nodes.append(node)
+            labels = classifier_string_labels(node)
+            if labels is not None and node.outputs and node.outputs[0]:
+                transforms[node.outputs[0]] = labels
+    if not ep_nodes and not transforms:
+        return graph, None
+
+    dev_produced = {o for n in dev_nodes for o in n.outputs if o}
+    input_names = {s.name for s in graph.inputs}
+    boundary: List[str] = []
+    consumed_inputs: List[str] = []
+    consts: Dict[str, np.ndarray] = {}
+    for n in ep_nodes:
+        for i in n.inputs:
+            if not i:
+                continue
+            if i in dev_produced and i not in boundary:
+                boundary.append(i)
+            elif i in graph.constants:
+                consts[i] = graph.constants[i]
+            elif i in input_names and i not in consumed_inputs:
+                consumed_inputs.append(i)
+
+    # label transforms only apply to values leaving the device graph
+    transforms = {k: v for k, v in transforms.items()
+                  if k in graph.outputs or any(
+                      k in n.inputs for n in ep_nodes)}
+    for k in transforms:
+        if k in dev_produced and k not in boundary \
+                and k not in graph.outputs:
+            boundary.append(k)
+    if not ep_nodes and not transforms:
+        return graph, None
+
+    ep_outputs = [o for o in graph.outputs if o in epilogged]
+    dev_outputs = [o for o in graph.outputs if o not in epilogged]
+    extra = [b for b in boundary if b not in dev_outputs]
+    import dataclasses as _dc
+
+    dev_graph = _dc.replace(graph, nodes=dev_nodes,
+                            outputs=dev_outputs + extra)
+    epilog = HostEpilog(ep_nodes, consts, transforms, boundary,
+                        consumed_inputs, ep_outputs, extra)
+    return dev_graph, epilog

@@ -20,3 +20,4 @@ from . import bounded  # noqa: F401,E402
 from . import sequences  # noqa: F401,E402
 from . import losses  # noqa: F401,E402
 from . import vision_roi  # noqa: F401,E402
+from . import ml  # noqa: F401,E402

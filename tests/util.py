@@ -42,11 +42,12 @@ def attr(name: str, value) -> onnx_io.Attribute:
 
 
 def node(op_type: str, inputs: Sequence[str], outputs: Sequence[str],
-         **attrs) -> onnx_io.NodeProto:
+         domain: str = "", **attrs) -> onnx_io.NodeProto:
     return onnx_io.NodeProto(
         op_type=op_type,
         input=list(inputs),
         output=list(outputs),
+        domain=domain,
         attributes={k: attr(k, v) for k, v in attrs.items()},
     )
 
@@ -80,12 +81,14 @@ def run_op(
     initializers: Optional[Dict[str, np.ndarray]] = None,
     opset: int = 13,
     n_outputs: int = 1,
+    domain: str = "",
     **attrs,
 ) -> List[np.ndarray]:
     """Build a single-op model, serialize→reparse (exercising the wire codec),
     import, lower, jit, run."""
     out_names = [f"out{i}" for i in range(n_outputs)]
-    n = node(op_type, list(inputs) + list(initializers or {}), out_names, **attrs)
+    n = node(op_type, list(inputs) + list(initializers or {}), out_names,
+             domain=domain, **attrs)
     m = make_model([n], inputs, out_names, initializers, opset)
     m2 = onnx_io.parse_model(onnx_io.serialize_model(m))  # roundtrip on purpose
     eng = Engine(import_model(m2))
