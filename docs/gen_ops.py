@@ -101,6 +101,11 @@ def main() -> None:
         "## Known unsupported (clean `UnsupportedOpError`, documented reasons)",
         "",
         "- `Unique` with the `axis` attribute (unique subtensors).",
+        "- `DictVectorizer` / `CastMap` (ai.onnx.ml): their INPUT is a map,",
+        "  which has no tensor feed representation in this engine's API",
+        "  (maps appear only as ZipMap OUTPUTS, produced by the host",
+        "  epilog). `TreeEnsemble` v5 `BRANCH_MEMBER` (set-membership",
+        "  splits) has no dense lowering yet.",
         "- `Loop` with a data-dependent trip count or dynamic early-exit plus",
         "  per-trip scan outputs (data-dependent result length).",
         "- Dynamic (non-constant) `size`/`frame_step` for window/DFT/STFT ops,",

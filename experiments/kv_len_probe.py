@@ -49,6 +49,11 @@ def step_seconds(cfg, batch: int, max_len: int, kv_dtype: str,
                     -90, 90, (batch, H, max_len, hd)), jnp.int8)
                 feed[f"kv_scale_{kind}_{i}"] = jnp.full((H,), 0.02,
                                                         jnp.float32)
+            elif kv_dtype == "int4":  # nibble-packed: two values/byte
+                feed[f"past_{kind}_{i}"] = jnp.asarray(rng.integers(
+                    -128, 128, (batch, H, max_len, hd // 2)), jnp.int8)
+                feed[f"kv_scale_{kind}_{i}"] = jnp.full((H,), 0.3,
+                                                        jnp.float32)
             else:
                 feed[f"past_{kind}_{i}"] = jnp.asarray(
                     rng.standard_normal((batch, H, max_len, hd)) * 0.3,

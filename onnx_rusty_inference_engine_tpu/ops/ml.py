@@ -470,10 +470,19 @@ _CMP = {
 }
 
 
+# above this many cells the dense path matrix C [NI, NL] switches to the
+# block-diagonal form (C only couples nodes and leaves of the SAME tree):
+# per-tree blocks padded to the max tree size and contracted with one
+# batched einsum — a 500-tree depth-8 forest needs ~130 MB blocked vs
+# ~65 GB dense, and the batched matmul is exactly what the MXU wants
+_BLOCKED_THRESHOLD = 1 << 22
+
+
 class _TreeTables:
     """Trace-time numpy compilation of an ONNX tree ensemble into the GEMM
     matrices: feats/thresh per internal node, path matrix C [NI, NL], true-
-    ancestor counts D [NL], leaf keys for the output matrix."""
+    ancestor counts D [NL], leaf keys for the output matrix. Large forests
+    use the block-diagonal-by-tree layout (see _BLOCKED_THRESHOLD)."""
 
     def __init__(self, tree_ids, node_ids, feats, modes, values,
                  true_ids, false_ids, miss_true):
@@ -512,38 +521,90 @@ class _TreeTables:
             raise UnsupportedOpError(
                 "tree ensemble: disconnected nodes (bad child ids)")
 
-        ni, nl = len(self.internal), len(self.leaves)
-        self.feat = np.asarray([feats[i] for i in self.internal], np.int64)
-        self.thresh = np.asarray([values[i] for i in self.internal],
-                                 np.float32)
-        self.modes = [modes[i] for i in self.internal]
-        self.miss = np.asarray(
-            [(miss_true[i] if miss_true is not None else 0)
-             for i in self.internal], np.float32)
-        self.C = np.zeros((ni, nl), np.float32)
-        self.D = np.zeros((nl,), np.float32)
-        for c, leaf in enumerate(self.leaves):
-            for (i, sign) in paths[leaf]:
-                self.C[i, c] = sign
-                if sign > 0:
-                    self.D[c] += 1.0
-        self.leaf_key = [(int(tree_ids[i]), int(node_ids[i]))
-                         for i in self.leaves]
-        self.tree_of_leaf = np.asarray(
-            [int(tree_ids[i]) for i in self.leaves], np.int64)
         self.n_trees = len(roots)
+        by_tree: Dict[int, Tuple[List[int], List[int]]] = {}
+        for i in self.internal:
+            by_tree.setdefault(int(tree_ids[i]), ([], []))[0].append(i)
+        for i in self.leaves:
+            by_tree.setdefault(int(tree_ids[i]), ([], []))[1].append(i)
+        tree_order = sorted(by_tree)
+        ni_m = max((len(v[0]) for v in by_tree.values()), default=1) or 1
+        nl_m = max(len(v[1]) for v in by_tree.values())
+        t = len(tree_order)
+        self.blocked = len(self.internal) * len(self.leaves) \
+            > _BLOCKED_THRESHOLD
+        if self.blocked:
+            # per-tree padded layout: row t*NI_m + j / leaf t*NL_m + j
+            self.block_shape = (t, ni_m, nl_m)
+            order_i = {}
+            order_l = {}
+            feat = np.zeros(t * ni_m, np.int64)
+            thresh = np.zeros(t * ni_m, np.float32)
+            miss = np.zeros(t * ni_m, np.float32)
+            mode_l = ["BRANCH_LEQ"] * (t * ni_m)
+            self.C = np.zeros((t, ni_m, nl_m), np.float32)
+            self.D = np.full((t, nl_m), -1.0, np.float32)  # pads: never hit
+            self.leaf_key = [("__pad__", ti, j) for ti in range(t)
+                             for j in range(nl_m)]
+            for ti, tid in enumerate(tree_order):
+                ints, lvs = by_tree[tid]
+                for j, i in enumerate(ints):
+                    r = ti * ni_m + j
+                    order_i[i] = r
+                    feat[r] = feats[i]
+                    thresh[r] = values[i]
+                    mode_l[r] = modes[i]
+                    miss[r] = (miss_true[i]
+                               if miss_true is not None else 0)
+                for j, i in enumerate(lvs):
+                    order_l[i] = (ti, j)
+                    self.D[ti, j] = 0.0
+                    self.leaf_key[ti * nl_m + j] = (
+                        int(tree_ids[i]), int(node_ids[i]))
+            for leaf, path in paths.items():
+                ti, j = order_l[leaf]
+                for (col, sign) in path:
+                    # `col` indexes self.internal order; map to padded row
+                    r = order_i[self.internal[col]]
+                    self.C[ti, r - ti * ni_m, j] = sign
+                    if sign > 0:
+                        self.D[ti, j] += 1.0
+            self.feat, self.thresh, self.miss = feat, thresh, miss
+            self.modes = mode_l
+        else:
+            ni, nl = len(self.internal), len(self.leaves)
+            self.feat = np.asarray([feats[i] for i in self.internal],
+                                   np.int64)
+            self.thresh = np.asarray([values[i] for i in self.internal],
+                                     np.float32)
+            self.modes = [modes[i] for i in self.internal]
+            self.miss = np.asarray(
+                [(miss_true[i] if miss_true is not None else 0)
+                 for i in self.internal], np.float32)
+            self.C = np.zeros((ni, nl), np.float32)
+            self.D = np.zeros((nl,), np.float32)
+            for c, leaf in enumerate(self.leaves):
+                for (i, sign) in paths[leaf]:
+                    self.C[i, c] = sign
+                    if sign > 0:
+                        self.D[c] += 1.0
+            self.leaf_key = [(int(tree_ids[i]), int(node_ids[i]))
+                             for i in self.leaves]
 
     def leaf_onehot(self, x):
         """x [B,F] float32 → leaf selector [B,NL] float32 (exactly one 1
-        per tree). Three fused device steps: pick, compare, path-matmul."""
+        per live tree slot; padded slots in the blocked layout are never
+        selected — their required count D is -1). Three fused device
+        steps: pick, compare, path-matmul (batched over trees when
+        blocked)."""
         f = x.shape[-1]
-        ni = len(self.internal)
-        a = np.zeros((f, ni), np.float32)
+        ni = self.feat.shape[0]
         ok = self.feat < f
         if not ok.all():
             raise UnsupportedOpError(
                 f"tree ensemble reads feature {int(self.feat.max())} but "
                 f"input has {f} columns")
+        a = np.zeros((f, ni), np.float32)
         a[self.feat, np.arange(ni)] = 1.0
         a_j = jnp.asarray(a)
         xc = jnp.nan_to_num(x, nan=0.0)
@@ -560,6 +621,12 @@ class _TreeTables:
             pred = jnp.where(jnp.asarray(mask), p, pred)
         pred = jnp.where(nanm > 0, jnp.asarray(self.miss), pred)
 
+        if self.blocked:
+            t, ni_m, nl_m = self.block_shape
+            s = jnp.einsum("bti,tij->btj",
+                           pred.reshape(-1, t, ni_m), jnp.asarray(self.C))
+            eq = s == jnp.asarray(self.D)
+            return eq.reshape(-1, t * nl_m).astype(jnp.float32)
         s = pred @ jnp.asarray(self.C)  # [B, NL]
         return (s == jnp.asarray(self.D)).astype(jnp.float32)
 

@@ -278,10 +278,7 @@ def test_svm_classifier_linear_mode_no_support_vectors():
 def _random_forest(n_trees, depth, n_feat, n_out, seed, classifier):
     """Random full binary trees in ONNX v3 attribute form + a walker."""
     r = np.random.default_rng(seed)
-    attrs = {k: [] for k in (
-        "nodes_treeids", "nodes_nodeids", "nodes_featureids", "nodes_modes",
-        "nodes_values", "nodes_truenodeids", "nodes_falsenodeids",
-        "nodes_missing_value_tracks_true")}
+    rows = []  # (treeid, nodeid, featureid, mode, value, true, false, mt)
     lk = "class" if classifier else "target"
     leaf = {f"{lk}_treeids": [], f"{lk}_nodeids": [], f"{lk}_ids": [],
             f"{lk}_weights": []}
@@ -291,14 +288,7 @@ def _random_forest(n_trees, depth, n_feat, n_out, seed, classifier):
         my = nid[0]
         nid[0] += 1
         if d == 0:
-            attrs["nodes_treeids"].append(t)
-            attrs["nodes_nodeids"].append(my)
-            attrs["nodes_featureids"].append(0)
-            attrs["nodes_modes"].append("LEAF")
-            attrs["nodes_values"].append(0.0)
-            attrs["nodes_truenodeids"].append(0)
-            attrs["nodes_falsenodeids"].append(0)
-            attrs["nodes_missing_value_tracks_true"].append(0)
+            rows.append([t, my, 0, "LEAF", 0.0, 0, 0, 0])
             w = {}
             for o in range(n_out):
                 wv = float(r.normal())
@@ -307,35 +297,27 @@ def _random_forest(n_trees, depth, n_feat, n_out, seed, classifier):
                 leaf[f"{lk}_ids"].append(o)
                 leaf[f"{lk}_weights"].append(wv)
                 w[o] = wv
-            spec.update({my: ("LEAF", w)})
+            spec[my] = ("LEAF", w)
             return my
         f = int(r.integers(0, n_feat))
         v = float(r.normal())
         mt = int(r.integers(0, 2))
-        attrs["nodes_treeids"].append(t)
-        attrs["nodes_nodeids"].append(my)
-        attrs["nodes_featureids"].append(f)
-        attrs["nodes_modes"].append("BRANCH_LEQ")
-        attrs["nodes_values"].append(v)
-        attrs["nodes_missing_value_tracks_true"].append(mt)
-        ti = build(t, nid, d - 1, spec)
-        fi = build(t, nid, d - 1, spec)
-        # children appended during recursion; fix up this node's ids
-        i = attrs["nodes_nodeids"].index(my) if t == 0 else \
-            next(j for j in range(len(attrs["nodes_nodeids"]))
-                 if attrs["nodes_treeids"][j] == t
-                 and attrs["nodes_nodeids"][j] == my)
-        attrs["nodes_truenodeids"].append(0)
-        attrs["nodes_falsenodeids"].append(0)
-        attrs["nodes_truenodeids"][i] = ti
-        attrs["nodes_falsenodeids"][i] = fi
-        spec.update({my: ("BRANCH", f, v, mt, ti, fi)})
+        row = [t, my, f, "BRANCH_LEQ", v, 0, 0, mt]
+        rows.append(row)
+        row[5] = build(t, nid, d - 1, spec)
+        row[6] = build(t, nid, d - 1, spec)
+        spec[my] = ("BRANCH", f, v, mt, row[5], row[6])
         return my
 
     for t in range(n_trees):
         spec = {}
         build(t, [0], depth, spec)
         trees.append(spec)
+
+    keys = ("nodes_treeids", "nodes_nodeids", "nodes_featureids",
+            "nodes_modes", "nodes_values", "nodes_truenodeids",
+            "nodes_falsenodeids", "nodes_missing_value_tracks_true")
+    attrs = {k: [row[i] for row in rows] for i, k in enumerate(keys)}
 
     def walk(x):
         out = np.zeros(n_out)
@@ -493,3 +475,42 @@ def test_post_transform_probit_and_softmax_zero():
     assert out[0, 1] == 0.0
     e = np.exp(np.array([1.0, 2.0]) - 2.0)
     np.testing.assert_allclose(out[0, [0, 2]], e / e.sum(), rtol=1e-5)
+
+
+def test_tree_ensemble_blocked_layout_matches_dense():
+    """Large forests switch C to the block-diagonal-by-tree layout
+    (ops/ml.py _BLOCKED_THRESHOLD); results must be bit-identical to the
+    dense path on the same model."""
+    import onnx_rusty_inference_engine_tpu.ops.ml as ml
+
+    attrs, walk = _random_forest(5, 4, 6, 2, seed=31, classifier=False)
+    x = rng.normal(size=(9, 6)).astype(np.float32)
+    x[2, 4] = np.nan
+    dense, = run_op("TreeEnsembleRegressor", {"x": x}, domain=ML,
+                    n_targets=2, **attrs)
+    old = ml._BLOCKED_THRESHOLD
+    ml._BLOCKED_THRESHOLD = 1  # force blocked
+    try:
+        blocked, = run_op("TreeEnsembleRegressor", {"x": x}, domain=ML,
+                          n_targets=2, **attrs)
+    finally:
+        ml._BLOCKED_THRESHOLD = old
+    np.testing.assert_array_equal(dense, blocked)
+    exp = np.stack([walk(r) for r in x])
+    np.testing.assert_allclose(blocked, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_tree_ensemble_blocked_large_forest():
+    """A forest big enough to trip the blocked threshold for real
+    (120 trees x depth 6 -> dense C would be ~7.6k x 7.7k) runs and
+    agrees with the python walker."""
+    attrs, walk = _random_forest(120, 6, 8, 1, seed=41, classifier=False)
+    import onnx_rusty_inference_engine_tpu.ops.ml as ml
+    ni = sum(m != "LEAF" for m in attrs["nodes_modes"])
+    nl = sum(m == "LEAF" for m in attrs["nodes_modes"])
+    assert ni * nl > ml._BLOCKED_THRESHOLD  # really exercises the path
+    x = rng.normal(size=(4, 8)).astype(np.float32)
+    y, = run_op("TreeEnsembleRegressor", {"x": x}, domain=ML,
+                n_targets=1, **attrs)
+    exp = np.stack([walk(r) for r in x])
+    np.testing.assert_allclose(y, exp, rtol=1e-3, atol=1e-4)
