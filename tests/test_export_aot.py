@@ -166,3 +166,50 @@ def test_sharded_engine_exports_and_reloads():
         got = m.run(feed)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-5)
+
+
+def test_host_stages_survive_export(tmp_path):
+    """A sklearn-style pipeline with a string PROLOG (LabelEncoder over a
+    string column) and a map/string EPILOG (string-labelled classifier +
+    ZipMap) exports and reloads: only the device part is StableHLO, the
+    host stages are bundled as serialized mini-graphs (export_aot.py)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from util import make_model, node
+
+    from onnx_rusty_inference_engine_tpu import onnx_io
+    from onnx_rusty_inference_engine_tpu.graph import import_model
+
+    ckw = dict(
+        nodes_treeids=[0, 0, 0], nodes_nodeids=[0, 1, 2],
+        nodes_featureids=[0, 0, 0],
+        nodes_modes=["BRANCH_LEQ", "LEAF", "LEAF"],
+        nodes_values=[0.5, 0.0, 0.0],
+        nodes_truenodeids=[1, 0, 0], nodes_falsenodeids=[2, 0, 0],
+        class_treeids=[0, 0, 0, 0], class_nodeids=[1, 1, 2, 2],
+        class_ids=[0, 1, 0, 1], class_weights=[0.9, 0.1, 0.2, 0.8],
+        classlabels_strings=["no", "yes"], post_transform="NONE")
+    nodes = [
+        node("LabelEncoder", ["cat"], ["cat_id"], domain="ai.onnx.ml",
+             keys_strings=["a", "b"], values_floats=[0.0, 1.0],
+             default_float=-1.0),
+        node("Unsqueeze", ["cat_id", "ax"], ["feats"]),
+        node("TreeEnsembleClassifier", ["feats"], ["label", "scores"],
+             domain="ai.onnx.ml", **ckw),
+        node("ZipMap", ["scores"], ["probs"], domain="ai.onnx.ml",
+             classlabels_strings=["no", "yes"]),
+    ]
+    cat = np.array(["a", "b", "zz"], dtype=object)
+    m = make_model(nodes, {"cat": cat}, ["label", "probs"],
+                   initializers={"ax": np.array([1], np.int64)}, opset=13)
+    eng = Engine(import_model(onnx_io.parse_model(onnx_io.serialize_model(m))))
+    want = eng.run({"cat": cat})
+
+    path = str(tmp_path / "pipe.oriet.npz")
+    export_engine(eng, {"cat": cat}, path)
+    got = load_exported(path).run({"cat": cat})
+    assert [str(v) for v in got["label"]] == \
+        [str(v) for v in want["label"]]
+    assert got["probs"] == want["probs"]  # list of {label: prob} dicts
+    assert "scores" not in got  # helper boundary stripped, like Engine
