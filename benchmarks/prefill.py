@@ -37,7 +37,8 @@ def main() -> None:
     from onnx_rusty_inference_engine_tpu.graph import import_model
     from onnx_rusty_inference_engine_tpu.models.gpt2 import (
         GPT2Config, build_gpt2)
-    from onnx_rusty_inference_engine_tpu.quant import quantize_weights_int4
+    from onnx_rusty_inference_engine_tpu.quant import (
+        quantize_matmuls_w8a8, quantize_weights_int4)
     from onnx_rusty_inference_engine_tpu.utils.timing import (
         engine_throughput)
 
@@ -55,6 +56,10 @@ def main() -> None:
         ("fp32", Engine(g)),
         ("bf16", Engine(g, dtype="bfloat16")),
         ("int4_weights", Engine(quantize_weights_int4(g))),
+        # dynamic W8A8: both matmul operands int8 on the MXU (~2× bf16
+        # MXU rate); per-row activation scales computed in-graph
+        ("w8a8", Engine(quantize_matmuls_w8a8(g))),
+        ("w8a8_bf16", Engine(quantize_matmuls_w8a8(g), dtype="bfloat16")),
     ]:
         seq_per_s = engine_throughput(eng, feed, iters=args.iters)
         tok_s = seq_per_s * P
@@ -67,6 +72,9 @@ def main() -> None:
         }))
     print(json.dumps({"metric": "gpt2_prefill_bf16_speedup",
                       "value": round(results["bf16"] / results["fp32"], 3)}))
+    print(json.dumps({"metric": "gpt2_prefill_w8a8_vs_bf16",
+                      "value": round(results["w8a8_bf16"] / results["bf16"],
+                                     3)}))
 
 
 if __name__ == "__main__":

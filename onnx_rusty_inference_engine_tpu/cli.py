@@ -52,6 +52,12 @@ def _build_engine(args, graph=None):
                      graph.input_names[len(feed)]] = t.array
             calib = [feed]
         graph = quantize_graph(graph, calibration_inputs=calib)
+    elif getattr(args, "quantize", None) == "w8a8":
+        # calibration-free dynamic W8A8 (per-row activation scales
+        # in-graph) — the MXU-rate lever for matmul-heavy graphs
+        from .quant import quantize_matmuls_w8a8
+
+        graph = quantize_matmuls_w8a8(graph)
     return Engine(graph, dtype=getattr(args, "dtype", "float32"))
 
 
@@ -202,9 +208,9 @@ def cmd_quantize(args) -> int:
 def cmd_generate(args) -> int:
     from .generate import Generator
 
-    if args.kv_dtype == "int4" and args.family != "gpt2":
-        print("error: --kv-dtype int4 is gpt2-only (nibble-packed cache "
-              "in the gpt2 decode builder)", file=sys.stderr)
+    if args.kv_dtype == "int4" and args.family not in ("gpt2", "llama"):
+        print("error: --kv-dtype int4 needs a nibble-packing decode graph "
+              "(gpt2/llama families)", file=sys.stderr)
         return 2
 
     if args.family == "t5":
@@ -330,6 +336,7 @@ def cmd_generate(args) -> int:
     gen = Generator(cfg, batch=1, prompt_len=ids.shape[1],
                     max_len=args.max_len, kv_dtype=args.kv_dtype,
                     int4_weights=args.int4, family=args.family,
+                    prefill_dtype=args.prefill_dtype,
                     device_loop=args.device_loop, **lkw)
     toks, _ = gen.generate(ids, args.new)
     out = {"family": args.family, "prompt": ids[0].tolist(),
@@ -372,6 +379,7 @@ def cmd_serve_llm(args) -> int:
             ("--int4", args.int4),
             ("--multi-step", args.multi_step),
             ("--len-buckets", bool(args.len_buckets)),
+            ("--prefill-dtype", args.prefill_dtype != "float32"),
             ("--prompt-cache", args.prompt_cache)) if on]
         if bad:
             print(f"error: {', '.join(bad)} not supported with "
@@ -396,6 +404,7 @@ def cmd_serve_llm(args) -> int:
                            int4_weights=args.int4, family=args.family,
                            multi_step=args.multi_step,
                            prompt_cache=args.prompt_cache,
+                           prefill_dtype=args.prefill_dtype,
                            len_buckets=lb)
     print(f"serving on :{args.port} (POST /v1/generate)", file=sys.stderr)
     serve_generate_http(srv, port=args.port)
@@ -510,7 +519,7 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--batch", type=int, default=1)
     pr.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    pr.add_argument("--quantize", choices=["int8"])
+    pr.add_argument("--quantize", choices=["int8", "w8a8"])
     pr.add_argument("--rtol", type=float, default=1e-4)
     pr.add_argument("--atol", type=float, default=1e-3)
     pr.add_argument("--log-ops", action="store_true",
@@ -528,7 +537,7 @@ def main(argv: Optional[list] = None) -> int:
     pb.add_argument("--steps", type=int, default=100)
     pb.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    pb.add_argument("--quantize", choices=["int8"])
+    pb.add_argument("--quantize", choices=["int8", "w8a8"])
     pb.add_argument("--input")
     pb.set_defaults(fn=cmd_bench)
 
@@ -544,7 +553,7 @@ def main(argv: Optional[list] = None) -> int:
     pp.add_argument("--steps", type=int, default=10)
     pp.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    pp.add_argument("--quantize", choices=["int8"])
+    pp.add_argument("--quantize", choices=["int8", "w8a8"])
     pp.add_argument("--input")
     pp.set_defaults(fn=cmd_profile)
 
@@ -554,7 +563,7 @@ def main(argv: Optional[list] = None) -> int:
     ps.add_argument("--port", type=int, default=8000)
     ps.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    ps.add_argument("--quantize", choices=["int8"])
+    ps.add_argument("--quantize", choices=["int8", "w8a8"])
     ps.add_argument("--input")
     ps.set_defaults(fn=cmd_serve)
 
@@ -575,6 +584,11 @@ def main(argv: Optional[list] = None) -> int:
                          "nibble-packed [B,H,L,hd/2] cache (gpt2)")
     pg.add_argument("--int4", action="store_true",
                     help="INT4 weight-only quantization")
+    pg.add_argument("--prefill-dtype", dest="prefill_dtype",
+                    default="float32",
+                    choices=["float32", "bfloat16", "w8a8"],
+                    help="prefill compute scheme (decoder families): bf16 "
+                         "or dynamic W8A8 matmuls (PERF.md)")
     pg.add_argument("--family", default="gpt2",
                     choices=["gpt2", "llama", "moe", "t5", "asr"])
     pg.add_argument("--draft-layers", dest="draft_layers", type=int,
@@ -612,6 +626,12 @@ def main(argv: Optional[list] = None) -> int:
     psl.add_argument("--kv-dtype", dest="kv_dtype", default="float32",
                      choices=["float32", "int8", "int4"])
     psl.add_argument("--int4", action="store_true")
+    psl.add_argument("--prefill-dtype", dest="prefill_dtype",
+                     default="float32",
+                     choices=["float32", "bfloat16", "w8a8"],
+                     help="bucketed-prefill compute scheme: bf16 (1.69x "
+                          "fp32 on chip) or dynamic W8A8 matmuls (2.8x, "
+                          "PERF.md)")
     psl.add_argument("--family", default="gpt2",
                      choices=["gpt2", "llama", "moe"])
     psl.add_argument("--multi-step", dest="multi_step", type=int, default=0,
@@ -643,7 +663,7 @@ def main(argv: Optional[list] = None) -> int:
     pe.add_argument("--batch", type=int, default=1)
     pe.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    pe.add_argument("--quantize", choices=["int8"])
+    pe.add_argument("--quantize", choices=["int8", "w8a8"])
     pe.add_argument("--input", action="append",
                     help="TensorProto .pb fixing input shapes (and int8 "
                          "calibration); default: synthetic at --batch")

@@ -89,10 +89,19 @@ class Generator:
         decode_graph = import_model(
             build_decode(cfg, batch=batch, max_len=max_len, seed=seed,
                          **dkw))
+        # prefill_dtype="w8a8": dynamic W8A8 matmuls on the MXU-bound
+        # prefill (386k vs bf16's 234k tok/s on chip — PERF.md); the
+        # remaining elementwise ops run bf16 (the fastest measured
+        # composition). Decode keeps its own scheme (HBM-bound: INT4
+        # weight-only wins there).
+        w8a8_prefill = prefill_dtype == "w8a8"
+        if w8a8_prefill:
+            prefill_dtype = "bfloat16"
         if int4_weights:
             from .quant import quantize_weights_int4
 
-            prefill_graph = quantize_weights_int4(prefill_graph)
+            if not w8a8_prefill:
+                prefill_graph = quantize_weights_int4(prefill_graph)
             decode_graph = quantize_weights_int4(decode_graph)
         # multi-LoRA: batched adapter deltas on both graphs (lora.py);
         # attached AFTER int4 so the base trunk quantizes while adapters
@@ -112,6 +121,13 @@ class Generator:
                                        alpha=lora_alpha)
             self._lora_idx = np.broadcast_to(
                 np.asarray(adapter, np.int64), (batch,)).copy()
+        if w8a8_prefill:
+            # AFTER attach_lora: the adapter rewrite matches base MatMuls
+            # by weight name; w8a8 then takes the base contraction int8
+            # while the small stacked-bank matmuls stay floating
+            from .quant import quantize_matmuls_w8a8
+
+            prefill_graph = quantize_matmuls_w8a8(prefill_graph)
         # pipeline parallelism: prefill AND decode trunks GPipe-sharded
         # over mesh[pipeline_axis] — the capacity path for models beyond
         # one chip's HBM (parallel/pipeline.py). The KV cache stays

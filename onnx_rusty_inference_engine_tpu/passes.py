@@ -23,7 +23,8 @@ import numpy as np
 from .graph import Graph, Node, prune_dead
 
 __all__ = ["fuse_conv_bias_add", "fold_batchnorm",
-           "fuse_layernorm", "fuse_gelu_erf", "optimize"]
+           "fuse_layernorm", "fuse_gelu_erf",
+           "eliminate_common_subexpressions", "optimize"]
 
 
 def _consumer_count(g: Graph) -> Dict[str, int]:
@@ -130,10 +131,94 @@ def optimize(g: Graph) -> Graph:
     """Run all fusions to fixpoint (mutates and returns g)."""
     for _ in range(3):
         changed = (fuse_conv_bias_add(g) + fold_batchnorm(g)
-                   + fuse_layernorm(g) + fuse_gelu_erf(g))
+                   + fuse_layernorm(g) + fuse_gelu_erf(g)
+                   + eliminate_common_subexpressions(g))
         if not changed:
             break
     return g
+
+
+# ops whose outputs differ across calls even with identical inputs — never
+# merged (Dropout is identity at inference but kept out for its mask/seed)
+_NONDETERMINISTIC = {
+    "RandomNormal", "RandomUniform", "RandomNormalLike",
+    "RandomUniformLike", "Multinomial", "Bernoulli", "Dropout",
+}
+
+
+def _attr_key(v):
+    """Canonical hashable form of one attribute value (None = unhashable:
+    the node is skipped). Tensor attrs hash by content."""
+    import hashlib
+
+    if isinstance(v, (int, float, str, bytes, bool)):
+        return v
+    if isinstance(v, np.ndarray):
+        return ("nd", v.shape, v.dtype.str,
+                hashlib.sha1(np.ascontiguousarray(v).tobytes()).hexdigest())
+    if isinstance(v, (list, tuple)):
+        parts = tuple(_attr_key(x) for x in v)
+        return None if any(p is None for p in parts) else ("seq", parts)
+    return None  # subgraphs and anything exotic: don't CSE
+
+
+def eliminate_common_subexpressions(g: Graph) -> int:
+    """Merge nodes that compute the same value: identical (op_type, domain,
+    attrs, inputs) after upstream merges. Real exporter output repeats
+    whole Shape/Slice/position-encoding chains per layer; one pass over the
+    topo-sorted node list collapses each chain to its first occurrence.
+
+    Never touches: nondeterministic ops, control-flow ops (their subgraph
+    bodies reference outer names via capture edges — renaming those would
+    need a body rewrite), nodes whose outputs are graph outputs (output
+    names are the API), and tensors captured by any subgraph.
+
+    The reference has no graph optimizer at all (nodes run as parsed,
+    /root/reference/src/model_inference.rs:29-120). Returns #eliminated."""
+    # names a subgraph body closes over — renaming them would break the
+    # body's internal references, so their defining nodes never merge away
+    captured = set()
+    for n in g.nodes:
+        captured.update(n.attrs.get("__captures__", ()))
+    outputs = set(g.outputs)
+
+    seen: Dict[tuple, Node] = {}
+    rename: Dict[str, str] = {}
+    kept: List[Node] = []
+    eliminated = 0
+    for n in g.nodes:
+        n.inputs = [rename.get(i, i) for i in n.inputs]
+        if (n.op_type in _NONDETERMINISTIC
+                or n.op_type in ("If", "Loop", "Scan")
+                or any(o in outputs or o in captured for o in n.outputs)):
+            kept.append(n)
+            continue
+        attr_parts = []
+        hashable = True
+        for k in sorted(n.attrs):
+            ak = _attr_key(n.attrs[k])
+            if ak is None:
+                hashable = False
+                break
+            attr_parts.append((k, ak))
+        if not hashable:
+            kept.append(n)
+            continue
+        key = (n.op_type, n.domain, tuple(n.inputs), tuple(attr_parts),
+               len(n.outputs))
+        rep = seen.get(key)
+        if rep is None:
+            seen[key] = n
+            kept.append(n)
+        else:
+            for old, new in zip(n.outputs, rep.outputs):
+                if old:
+                    rename[old] = new
+            eliminated += 1
+    if eliminated:
+        g.nodes = kept
+        prune_dead(g)
+    return eliminated
 
 
 def _const_scalar(g: Graph, name: str) -> Optional[float]:

@@ -779,6 +779,74 @@ def quantize_weights_int4(
     return g4
 
 
+def quantize_matmuls_w8a8(graph: Graph, min_elems: int = 4096) -> Graph:
+    """Dynamic W8A8: rewrite MatMul nodes with large constant 2-D weights
+    so BOTH operands hit the MXU as int8 (the MXU's int8 rate is ~2× its
+    bf16 rate; measured 111–128 vs 73–101 TOP/s on this chip, PERF.md).
+
+    Weights: per-output-column symmetric int8 (exactly the scheme
+    quantize_graph uses — zp=0). Activations: quantized PER ROW at
+    runtime inside the graph (amax over the contraction axis / 127), so
+    no calibration pass is needed and accuracy tracks each token's own
+    dynamic range. The contraction is MatMulInteger (s8×s8→s32 on the
+    MXU); the dequant is two broadcast Muls XLA fuses into the epilogue.
+
+    This is the MXU-bound PREFILL lever (decode is HBM-bound and already
+    served by INT4 weight-only — see benchmarks/prefill.py). Weight-only
+    int4 keeps fp32 activations; this trades a little per-row quantize
+    VPU work for double MXU rate on the big [B·T, D] contractions.
+
+    Reference parity note: the reference has no quantization at all
+    (fp32-only `utils.rs:128-142`); scheme matches ORT's dynamic-quant
+    MatMulInteger lowering, TPU-shaped (no zero points, symmetric)."""
+    new_nodes: List[Node] = []
+    consts = dict(graph.constants)
+    weights = list(graph.weight_names)
+    for node in graph.nodes:
+        w = consts.get(node.inputs[1]) if (
+            node.op_type == "MatMul" and len(node.inputs) == 2) else None
+        if (w is None or w.ndim != 2 or w.size < min_elems
+                or not np.issubdtype(w.dtype, np.floating)):
+            new_nodes.append(node)
+            continue
+        x, y = node.inputs[0], node.outputs[0]
+        w_scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+        wq = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+        wqn, wsn = f"{node.inputs[1]}__w8", f"{node.inputs[1]}__w8s"
+        consts[wqn] = wq
+        consts[wsn] = w_scale.astype(np.float32)
+        weights += [wqn, wsn]
+        p = f"{y}__w8a8"
+        consts[f"{p}_qmax"] = np.float32(127.0)
+        consts[f"{p}_eps"] = np.float32(1e-12)
+        new_nodes += [
+            Node("Abs", [x], [f"{p}_abs"]),
+            Node("ReduceMax", [f"{p}_abs"], [f"{p}_amax"],
+                 attrs={"axes": [-1], "keepdims": 1}),
+            Node("Div", [f"{p}_amax", f"{p}_qmax"], [f"{p}_s0"]),
+            Node("Max", [f"{p}_s0", f"{p}_eps"], [f"{p}_s"]),
+            Node("Div", [x, f"{p}_s"], [f"{p}_xs"]),
+            Node("Round", [f"{p}_xs"], [f"{p}_xr"]),
+            Node("Cast", [f"{p}_xr"], [f"{p}_xq"], attrs={"to": 3}),  # INT8
+            Node("MatMulInteger", [f"{p}_xq", wqn], [f"{p}_i32"]),
+            Node("Cast", [f"{p}_i32"], [f"{p}_f"], attrs={"to": 1}),
+            Node("Mul", [f"{p}_f", f"{p}_s"], [f"{p}_da"]),
+            Node("Mul", [f"{p}_da", wsn], list(node.outputs),
+                 node.name),
+        ]
+    gq = Graph(
+        name=f"{graph.name}_w8a8",
+        nodes=new_nodes,
+        constants=consts,
+        inputs=graph.inputs,
+        outputs=list(graph.outputs),
+        opset=graph.opset,
+        weight_names=weights,
+    )
+    prune_dead(gq)
+    return gq
+
+
 def pack_int4_kv(kv, scale, xp=np):
     """Quantize + nibble-pack a KV tensor for the int4 cache layout the
     gpt2 decode graph expects (models/gpt2.py _q4_pack): per-head scale

@@ -653,16 +653,29 @@ class DecodeServer(_ServerBase):
         self._ekw = ekw
         self._prefill_engines: Dict[int, Engine] = {}
 
+        # prefill_dtype="w8a8": dynamic W8A8 matmuls on the MXU-bound
+        # bucketed prefill (386k vs bf16 234k tok/s on chip, PERF.md);
+        # remaining ops run bf16. Applied after the LoRA attach so the
+        # adapter rewrite still finds its base MatMuls. Chunked-prefill
+        # mode has no prefill engines (prompts ride the decode chunk
+        # graph), so the knob is a no-op there.
+        w8a8_prefill = prefill_dtype == "w8a8"
+        prefill_engine_dtype = "bfloat16" if w8a8_prefill else prefill_dtype
+
         def make_prefill(bucket: int) -> Engine:
             g = _attach(import_model(build_prefill(
                 cfg, batch=1, seq_len=bucket, with_presents=True,
                 seed=seed, **pkw)))
-            if int4_weights:
+            if int4_weights and not w8a8_prefill:
                 from .quant import quantize_weights_int4
 
                 g = quantize_weights_int4(g)
+            if w8a8_prefill:
+                from .quant import quantize_matmuls_w8a8
+
+                g = quantize_matmuls_w8a8(g)
             # prefill is MXU-bound; bf16 measured 1.69x on chip (PERF.md)
-            return Engine(g, dtype=prefill_dtype, **ekw)
+            return Engine(g, dtype=prefill_engine_dtype, **ekw)
 
         self._make_prefill = make_prefill
         # decode engines keyed by cache length; all share ONE device
