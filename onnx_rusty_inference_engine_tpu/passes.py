@@ -204,15 +204,21 @@ def eliminate_common_subexpressions(g: Graph) -> int:
         if not hashable:
             kept.append(n)
             continue
+        # key the outputs' EMPTINESS MASK, not just the count: two
+        # otherwise-identical nodes may use different optional-output
+        # slots (MaxPool Indices, LSTM Y_h/Y_c) — merging a node whose
+        # live output sits where the representative has "" would rename
+        # a live tensor to the empty string and rewire its consumers to
+        # an omitted input.
         key = (n.op_type, n.domain, tuple(n.inputs), tuple(attr_parts),
-               len(n.outputs))
+               tuple(bool(o) for o in n.outputs))
         rep = seen.get(key)
         if rep is None:
             seen[key] = n
             kept.append(n)
         else:
             for old, new in zip(n.outputs, rep.outputs):
-                if old:
+                if old and new:
                     rename[old] = new
             eliminated += 1
     if eliminated:

@@ -818,6 +818,7 @@ def quantize_matmuls_w8a8(graph: Graph, min_elems: int = 4096) -> Graph:
         weights += [wqn, wsn]
         p = f"{y}__w8a8"
         consts[f"{p}_qmax"] = np.float32(127.0)
+        consts[f"{p}_qmin"] = np.float32(-127.0)
         consts[f"{p}_eps"] = np.float32(1e-12)
         new_nodes += [
             Node("Abs", [x], [f"{p}_abs"]),
@@ -827,7 +828,13 @@ def quantize_matmuls_w8a8(graph: Graph, min_elems: int = 4096) -> Graph:
             Node("Max", [f"{p}_s0", f"{p}_eps"], [f"{p}_s"]),
             Node("Div", [x, f"{p}_s"], [f"{p}_xs"]),
             Node("Round", [f"{p}_xs"], [f"{p}_xr"]),
-            Node("Cast", [f"{p}_xr"], [f"{p}_xq"], attrs={"to": 3}),  # INT8
+            # Saturate BEFORE the int8 cast: under the bf16 engine dtype
+            # the amax/127 scale rounds, so x/s can reach 127.5 -> Round
+            # -> 128 -> int8 wraparound to -128 (sign flip on the row's
+            # largest activation). XLA fuses the clamp for free.
+            Node("Clip", [f"{p}_xr", f"{p}_qmin", f"{p}_qmax"],
+                 [f"{p}_xc"]),
+            Node("Cast", [f"{p}_xc"], [f"{p}_xq"], attrs={"to": 3}),  # INT8
             Node("MatMulInteger", [f"{p}_xq", wqn], [f"{p}_i32"]),
             Node("Cast", [f"{p}_i32"], [f"{p}_f"], attrs={"to": 1}),
             Node("Mul", [f"{p}_f", f"{p}_s"], [f"{p}_da"]),

@@ -658,7 +658,14 @@ class DecodeServer(_ServerBase):
         # remaining ops run bf16. Applied after the LoRA attach so the
         # adapter rewrite still finds its base MatMuls. Chunked-prefill
         # mode has no prefill engines (prompts ride the decode chunk
-        # graph), so the knob is a no-op there.
+        # graph), so the knob would be a silent no-op there — reject it
+        # rather than hand back plain decode-dtype prefill unannounced.
+        if self.chunked and prefill_dtype != "float32":
+            raise ValueError(
+                f"prefill_dtype={prefill_dtype!r} has no effect with "
+                "chunked_prefill=True (prompts ride the decode chunk "
+                "graph, there are no prefill engines); drop the knob or "
+                "use bucketed prefill")
         w8a8_prefill = prefill_dtype == "w8a8"
         prefill_engine_dtype = "bfloat16" if w8a8_prefill else prefill_dtype
 

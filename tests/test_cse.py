@@ -109,3 +109,41 @@ def test_tensor_attr_content_hash():
     x = rng.standard_normal((2, 4)).astype(np.float32)
     y = np.asarray(Engine(g).run({"x": x})["y"])
     np.testing.assert_allclose(y, 2 * (x @ w), rtol=1e-5)
+
+
+def test_optional_output_mask_blocks_bad_merge():
+    """Two otherwise-identical MaxPools that use DIFFERENT optional-output
+    slots must not merge: renaming the duplicate's live Indices output to
+    the representative's empty slot would rewire its consumer to an
+    omitted input (round-4 advisor finding)."""
+    nodes = [
+        Node("MaxPool", ["x"], ["p1", ""],
+             attrs={"kernel_shape": [2, 2], "strides": [2, 2]}),
+        Node("MaxPool", ["x"], ["p2", "idx"],
+             attrs={"kernel_shape": [2, 2], "strides": [2, 2]}),
+        Node("Relu", ["p1"], ["r"]),
+        Node("Cast", ["idx"], ["idxf"], attrs={"to": 1}),
+        Node("Add", ["r", "idxf"], ["y"]),
+    ]
+    g = _graph(nodes, ["y"], in_shape=(1, 1, 4, 4))
+    assert eliminate_common_subexpressions(g) == 0
+    x = rng.standard_normal((1, 1, 4, 4)).astype(np.float32)
+    Engine(g).run({"x": x})  # executes without a dangling-input failure
+
+
+def test_same_output_mask_still_merges():
+    nodes = [
+        Node("MaxPool", ["x"], ["p1", "i1"],
+             attrs={"kernel_shape": [2, 2], "strides": [2, 2]}),
+        Node("MaxPool", ["x"], ["p2", "i2"],
+             attrs={"kernel_shape": [2, 2], "strides": [2, 2]}),
+        Node("Cast", ["i1"], ["c1"], attrs={"to": 1}),
+        Node("Cast", ["i2"], ["c2"], attrs={"to": 1}),
+        Node("Add", ["p1", "p2"], ["s"]),
+        Node("Add", ["c1", "c2"], ["t"]),
+        Node("Add", ["s", "t"], ["y"]),
+    ]
+    g = _graph(nodes, ["y"], in_shape=(1, 1, 4, 4))
+    assert eliminate_common_subexpressions(g) >= 1
+    x = rng.standard_normal((1, 1, 4, 4)).astype(np.float32)
+    Engine(g).run({"x": x})

@@ -266,3 +266,14 @@ def test_multi_step_server_int8_kv_and_eos():
         assert got == ref[: stop + 1]     # stops mid-block at the eos
     finally:
         srv.stop()
+
+
+def test_chunked_rejects_prefill_dtype():
+    """chunked_prefill has no prefill engines (prompts ride the decode
+    chunk graph) so prefill_dtype would be a silent no-op — the server
+    must reject the combination rather than quietly ignore the knob."""
+    import pytest
+
+    with pytest.raises(ValueError, match="prefill_dtype"):
+        DecodeServer(TINY, slots=2, max_len=24, chunked_prefill=True,
+                     chunk=4, prefill_dtype="w8a8", autostart=False)

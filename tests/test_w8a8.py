@@ -157,3 +157,26 @@ def test_w8a8_prefill_composes_with_lora():
         toks, _ = gen.generate(prompt[None], 6)
         outs.append(list(toks[0]))
     assert outs[0] != outs[1]  # the adapter delta reached the w8a8 prefill
+
+
+def test_bf16_saturation_no_int8_wraparound():
+    """Under the bf16 engine dtype the amax/127 scale and the x/s division
+    each round, so x/s can land on exactly 127.5 -> Round -> 128, one past
+    the int8 range. Float->int8 conversion of an out-of-range value is
+    backend-defined in XLA (CPU saturates; a wrap to -128 flips the sign
+    of the row's LARGEST activation) — the Clip inserted between Round and
+    the int8 Cast pins the semantics on every backend. A=1.3359375 is a
+    bf16 value that provably hits 127.5 (exhaustive bf16 simulation)."""
+    g, w, shape = _matmul_graph(1, 128, 64)
+    gq = quantize_matmuls_w8a8(g, min_elems=64)
+    ops = [n.op_type for n in gq.nodes]
+    assert ops.index("Round") < ops.index("Clip") < ops.index("Cast")
+
+    x = np.zeros(shape, np.float32)
+    x[0, 0] = 1.3359375  # bf16-exact; bf16((A/127 rounds down)) -> x/s=127.5
+    y_ref = np.asarray(Engine(g).run({"x": x})["y"], np.float32)
+    y_q = np.asarray(Engine(gq, dtype="bfloat16").run({"x": x})["y"],
+                     np.float32)
+    # a wrap would flip the sign of the whole row: rel error ~2.0
+    rel = np.abs(y_q - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert rel < 0.1, rel
