@@ -21,6 +21,7 @@ TITLES = {
     "rnn": "Recurrent ops (lax.scan)",
     "control_flow": "Control flow (lax.cond / lax.scan, subgraph closures)",
     "contrib_transformers": "ORT contrib ops (com.microsoft)",
+    "core_attention": "Core-domain attention ops (ai.onnx opset 23)",
     "extra": "Long-tail ops (trig, Lp, spectral, random, geometry)",
     "bounded": "Value-dependent-shape ops, static-bound convention "
                "(padded outputs, valid-first)",
@@ -60,7 +61,12 @@ def main() -> None:
         "",
         "Coverage is the COMPLETE ai.onnx core opset (every op in the "
         "default-domain spec has a rule) plus the ai.onnx.ml domain and "
-        "contrib/fused extensions.",
+        "contrib/fused extensions. This claim is MACHINE-CHECKED: "
+        "`tests/test_opset_complete.py` diffs the live registry + host-op "
+        "tables against the checked-in spec lists "
+        "(`docs/spec_ops_ai_onnx.txt`, `docs/spec_ops_ai_onnx_ml.txt`) in "
+        "both directions; the only intentional exclusion is the deprecated "
+        "ai.onnx.ml `CastMap`.",
         "",
     ]
     for m in ORDER + sorted(set(mods) - set(ORDER)):
@@ -101,10 +107,9 @@ def main() -> None:
         "## Known unsupported (clean `UnsupportedOpError`, documented reasons)",
         "",
         "- `Unique` with the `axis` attribute (unique subtensors).",
-        "- `DictVectorizer` / `CastMap` (ai.onnx.ml): their INPUT is a map,",
-        "  which has no tensor feed representation in this engine's API",
-        "  (maps appear only as ZipMap OUTPUTS, produced by the host",
-        "  epilog). `TreeEnsemble` v5 `BRANCH_MEMBER` (set-membership",
+        "- `CastMap` (ai.onnx.ml): deprecated; consumes a map produced only",
+        "  by the deprecated map-output SVM/Tree forms — no exporter emits",
+        "  it. `TreeEnsemble` v5 `BRANCH_MEMBER` (set-membership",
         "  splits) has no dense lowering yet.",
         "- `Loop` with a data-dependent trip count or dynamic early-exit plus",
         "  per-trip scan outputs (data-dependent result length).",

@@ -292,6 +292,44 @@ def _category_mapper_host(node: Node, ins):
     return [out.reshape(x.shape)]
 
 
+@host_op("DictVectorizer")
+def _dict_vectorizer(node: Node, ins):
+    """ai.onnx.ml DictVectorizer: {key: value} map(s) -> dense feature
+    vector over the vocabulary (the head of sklearn DictVectorizer
+    pipelines). A single dict feeds as a 0-d object array -> [C]; a
+    list/array of dicts -> [N, C] (the onnx reference semantics).
+    Keys absent from the vocabulary are dropped; vocabulary entries
+    absent from the dict are 0."""
+    svoc = node.attr("string_vocabulary")
+    if svoc is not None:
+        keys = [str(s) for s in svoc]
+        norm = str
+    else:
+        ivoc = node.attr("int64_vocabulary")
+        if ivoc is None:
+            raise UnsupportedOpError(
+                "DictVectorizer: string_vocabulary or int64_vocabulary "
+                "attribute required")
+        keys = [int(v) for v in ivoc]
+        norm = lambda k: int(k)  # noqa: E731
+    x = np.asarray(ins[0])
+    dicts = [x.item()] if x.ndim == 0 else [d for d in x.ravel()]
+    for d in dicts:
+        if not isinstance(d, dict):
+            raise UnsupportedOpError(
+                f"DictVectorizer: expected map input, got {type(d).__name__}")
+    rows = [[d.get(norm(k), 0) for k in keys]
+            for d in ({norm(k): v for k, v in d.items()} for d in dicts)]
+    flat = [v for r in rows for v in r]
+    if any(isinstance(v, str) for v in flat):
+        out = np.array(rows, dtype=object)
+    elif all(isinstance(v, (int, np.integer)) for v in flat):
+        out = np.array(rows, dtype=np.int64)
+    else:
+        out = np.array(rows, dtype=np.float32)
+    return [out[0] if x.ndim == 0 else out]
+
+
 @epilog_op("ZipMap")
 def _zip_map(node: Node, ins):
     """[N, C] scores → sequence of N {label: score} maps (the tail of
@@ -394,6 +432,7 @@ def split_host_prolog(graph: Graph) -> Tuple[Optional[HostProlog], Graph]:
         "StringConcat": (True,), "StringNormalizer": (True,),
         "StringSplit": (True, False), "RegexFullMatch": (False,),
         "ImageDecoder": (False,), "TfIdfVectorizer": (False,),
+        "DictVectorizer": (False,),
         # ml encoders hosted because their INPUT is a string; output is
         # numeric unless the value table itself is strings
         "OneHotEncoder": (False,), "CategoryMapper": (False,),

@@ -14,6 +14,7 @@ from . import quantized  # noqa: F401,E402
 from . import rnn  # noqa: F401,E402
 from . import control_flow  # noqa: F401,E402
 from . import contrib_transformers  # noqa: F401,E402
+from . import core_attention  # noqa: F401,E402
 from . import extra  # noqa: F401,E402
 from . import fused  # noqa: F401,E402
 from . import bounded  # noqa: F401,E402

@@ -216,11 +216,20 @@ def rotary_embedding(ctx: LoweringContext, node: Node, ins):
     if pid.shape[-1] == 1 and S > 1:
         # ORT shape-(B,1)/(1,) position_ids = per-sequence STARTING offset
         pid = pid + jnp.arange(S, dtype=jnp.int32)[None]
-    cos = cos_cache[pid]  # [B|1, S, rot/2]
-    sin = sin_cache[pid]
-    cos = cos[:, None]    # [B|1, 1, S, rot/2]
-    sin = sin[:, None]
+    cos = cos_cache[pid][:, None]  # [B|1, 1, S, rot/2]
+    sin = sin_cache[pid][:, None]
 
+    out = _rope_rotate(xh, cos, sin, rot, interleaved)
+    if orig_ndim == 3:
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
+    return (out,)
+
+
+def _rope_rotate(xh, cos, sin, rot, interleaved):
+    """Rotate the first `rot` head dims of xh [B,H,S,hd] by cos/sin
+    [B|1, 1, S, rot/2]; dims past `rot` pass through. Shared by the
+    com.microsoft and core-domain (opset 23) RotaryEmbedding lowerings."""
+    rot_half = rot // 2
     xr, xp = xh[..., :rot], xh[..., rot:]
     if interleaved:
         x1, x2 = xr[..., 0::2], xr[..., 1::2]
@@ -232,10 +241,8 @@ def rotary_embedding(ctx: LoweringContext, node: Node, ins):
         r1 = x1 * cos - x2 * sin
         r2 = x2 * cos + x1 * sin
         rotated = jnp.concatenate([r1, r2], axis=-1)
-    out = jnp.concatenate([rotated, xp], axis=-1) if xp.shape[-1] else rotated
-    if orig_ndim == 3:
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
-    return (out,)
+    return jnp.concatenate([rotated, xp], axis=-1) if xp.shape[-1] \
+        else rotated
 
 
 @register("GroupQueryAttention", domain="com.microsoft")

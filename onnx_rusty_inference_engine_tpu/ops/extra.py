@@ -396,3 +396,38 @@ def scatter(ctx, node, ins):
     from .standard import scatter_elements
 
     return scatter_elements(ctx, node, ins)
+
+
+@register("AffineGrid")
+def affine_grid(ctx, node, ins):
+    """ai.onnx AffineGrid (opset 20): sampling grid for a batch of 2-D/3-D
+    affine transforms (torch.nn.functional.affine_grid semantics; feeds
+    GridSample). theta [N,2,3] -> grid [N,H,W,2]; theta [N,3,4] ->
+    grid [N,D,H,W,3]. The base grid is built in numpy at trace time
+    (static `size`), so only one [P,dim+1]x[dim+1,dim] matmul per batch
+    row reaches the device."""
+    theta = ins[0]
+    size = ctx.require_constant(node.inputs[1], "AffineGrid size")
+    align = int(node.attr("align_corners", 0))
+    dims = [int(v) for v in np.asarray(size).reshape(-1)]
+    if len(dims) not in (4, 5):
+        raise UnsupportedOpError(
+            f"AffineGrid: size must have 4 or 5 elements, got {len(dims)}")
+    N, spatial = dims[0], dims[2:]
+    nd = len(spatial)  # 2 (H,W) or 3 (D,H,W)
+
+    def axis(s):
+        if align:
+            return np.linspace(-1.0, 1.0, s) if s > 1 else np.zeros(1)
+        return (2.0 * np.arange(s) + 1.0) / s - 1.0
+
+    # mesh in (x, y[, z]) order = reversed spatial order (x fastest)
+    coords = np.meshgrid(*[axis(s) for s in reversed(spatial)],
+                         indexing="ij")
+    # meshgrid over (W,) / (W,H) reversed -> arrange to spatial-major
+    coords = [c.transpose(*reversed(range(nd))) for c in coords]
+    base = np.stack(coords + [np.ones(tuple(spatial))], axis=-1)
+    base = base.reshape(-1, nd + 1).astype(np.float32)  # [P, nd+1]
+    # grid[n, p] = theta[n] @ base[p]  -> [N, P, nd]
+    g = jnp.einsum("pk,nok->npo", jnp.asarray(base, theta.dtype), theta)
+    return (g.reshape((N, *spatial, nd)),)

@@ -179,3 +179,55 @@ def test_string_into_device_op_rejected():
     m2 = onnx_io.parse_model(onnx_io.serialize_model(m))
     with pytest.raises(UnsupportedOpError, match="no host"):
         Engine(import_model(m2)).run({"x": x})
+
+
+# ---------------------------------------------------------------------------
+# DictVectorizer (ai.onnx.ml) — map input -> dense feature vector
+# ---------------------------------------------------------------------------
+def _d(v):
+    a = np.empty((), dtype=object)
+    a[()] = v
+    return a
+
+
+def test_dict_vectorizer_string_vocab():
+    d = _d({"cat": 2.5, "dog": 1.0, "ignored": 9.0})
+    (got,) = run_op("DictVectorizer", {"x": d}, domain="ai.onnx.ml",
+                    string_vocabulary=["ant", "cat", "dog"])
+    np.testing.assert_allclose(got, [0.0, 2.5, 1.0])
+    assert got.dtype == np.float32
+
+
+def test_dict_vectorizer_int64_vocab_int_values():
+    d = _d({7: 3, 5: 1})
+    (got,) = run_op("DictVectorizer", {"x": d}, domain="ai.onnx.ml",
+                    int64_vocabulary=[5, 6, 7])
+    np.testing.assert_array_equal(got, [1, 0, 3])
+    assert got.dtype == np.int64
+
+
+def test_dict_vectorizer_batch_of_maps():
+    a = np.empty(2, dtype=object)
+    a[0] = {"a": 1.0}
+    a[1] = {"b": 2.0, "a": 3.0}
+    (got,) = run_op("DictVectorizer", {"x": a}, domain="ai.onnx.ml",
+                    string_vocabulary=["a", "b"])
+    assert got.shape == (2, 2)
+    np.testing.assert_allclose(got, [[1.0, 0.0], [3.0, 2.0]])
+
+
+def test_dict_vectorizer_feeds_device_graph():
+    """The sklearn shape: DictVectorizer (host prolog) -> Scaler (device).
+    The numeric boundary tensor must reach the jitted graph."""
+    d = _d({"x1": 4.0, "x2": 8.0})
+    nodes = [
+        node("DictVectorizer", ["m"], ["feat"], domain="ai.onnx.ml",
+             string_vocabulary=["x1", "x2"]),
+        node("Scaler", ["feat"], ["y"], domain="ai.onnx.ml",
+             offset=[1.0, 2.0], scale=[0.5, 0.25]),
+    ]
+    m = make_model(nodes, {"m": d}, ["y"])
+    m2 = onnx_io.parse_model(onnx_io.serialize_model(m))
+    y = np.asarray(Engine(import_model(m2)).run({"m": d}).outputs["y"])
+    np.testing.assert_allclose(y.ravel(), [(4 - 1) * 0.5, (8 - 2) * 0.25],
+                               rtol=1e-6)
