@@ -377,7 +377,6 @@ def cmd_serve_llm(args) -> int:
         bad = [flag for flag, on in (
             ("--kv-dtype", args.kv_dtype != "float32"),
             ("--int4", args.int4),
-            ("--multi-step", args.multi_step),
             ("--len-buckets", bool(args.len_buckets)),
             ("--prefill-dtype", args.prefill_dtype != "float32"),
             ("--prompt-cache", args.prompt_cache)) if on]
@@ -394,7 +393,8 @@ def cmd_serve_llm(args) -> int:
         srv = SpeculativeServer(cfg, dcfg, slots=args.slots,
                                 prompt_len=args.prompt_len,
                                 max_len=args.max_len, k=args.spec_k,
-                                family=args.family, draft_seed=1)
+                                family=args.family, draft_seed=1,
+                                multi_step=args.multi_step)
     else:
         lb = ([int(x) for x in args.len_buckets.split(",")]
               if args.len_buckets else None)

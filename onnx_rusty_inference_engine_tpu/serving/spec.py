@@ -47,7 +47,14 @@ class SpeculativeServer(_ServerBase):
     zero extra dispatches per round). Greedy verification still makes
     the output exactly the target's greedy decode; acceptance just
     tracks how repetitive the text is. Greedy-only (no q distribution
-    exists to rejection-sample against)."""
+    exists to rejection-sample against).
+
+    multi_step=R folds R whole speculation rounds into ONE dispatch
+    (lax.scan) — for BOTH proposal kinds: ngram rounds search the
+    per-slot context buffer on device; draft-model rounds run the k-1
+    draft steps + target verify + acceptance (greedy token-match or
+    device rejection sampling) with both engines' params feeding the one
+    jitted function. A host round-trip then costs R rounds, not one."""
 
     def __init__(
         self,
@@ -111,20 +118,27 @@ class SpeculativeServer(_ServerBase):
         self._last_tok = np.zeros((slots,), np.int64)
         self.accepted_total = 0
         self.proposed_total = 0
-        # multi_step=R (ngram mode only): R whole speculation rounds —
-        # device-computed prompt-lookup proposal, chunk verify, greedy
-        # acceptance, context append — inside ONE lax.scan dispatch.
-        # Per-slot contexts live in a device buffer for the lookup.
+        # multi_step=R: R whole speculation rounds inside ONE lax.scan
+        # dispatch. ngram mode: device-computed prompt-lookup proposal,
+        # chunk verify, greedy acceptance, context append (per-slot
+        # contexts live in a device buffer for the lookup). Draft-model
+        # mode: the k-1 draft steps, final draft KV write, target chunk
+        # verify and acceptance (greedy or device rejection sampling)
+        # all ride the same scan — both engines' params feed one jitted
+        # function, so a round costs ZERO host round-trips (round-4
+        # verdict item 2: the ngram path proved the pattern; this
+        # removes its draft-model exclusion).
         self.multi_step = int(multi_step)
-        if self.multi_step and not self.ngram:
-            raise ValueError(
-                "multi_step speculation requires ngram mode (draft-model "
-                "proposals need k-1 host dispatches per round)")
         self._ctx: Optional[jax.Array] = None
-        if self.multi_step:
+        if self.multi_step and self.ngram:
             self._ctx = jnp.zeros((slots, max_len), jnp.int32)
         self._ctx_len = np.zeros((slots,), np.int64)
         self._ngram_multi_fn = None
+        self._draft_multi_fn = None
+        # per-slot sampling state for the device rejection sampler
+        # (neutral temp 0 = greedy lane)
+        self._mtemp = np.zeros((slots,), np.float32)
+        self._mkeys = np.zeros((slots, 2), np.uint32)
         self._start_dispatch(slots, autostart)
 
     def stats(self) -> Dict[str, float]:
@@ -136,6 +150,7 @@ class SpeculativeServer(_ServerBase):
     def _clear_slot(self, slot: int) -> None:
         self._req[slot] = None
         self._pos[slot] = self.max_len - self.k    # park (see docstring)
+        self._mtemp[slot] = 0.0                    # parked lanes run greedy
 
     # -- client API ------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, max_new_tokens: int,
@@ -156,9 +171,6 @@ class SpeculativeServer(_ServerBase):
                 "ngram (prompt-lookup) proposals have no q distribution "
                 "to rejection-sample against — greedy only; use a draft "
                 "model for sampled speculation")
-        if temperature and self.multi_step:
-            raise ValueError(
-                "multi_step speculation is greedy-only (ngram mode)")
         prompt_ids = np.asarray(prompt_ids).reshape(-1).astype(np.int64)
         assert 1 <= prompt_ids.size <= self.prompt_len
         assert prompt_ids.size + max_new_tokens + self.k <= self.max_len
@@ -206,6 +218,10 @@ class SpeculativeServer(_ServerBase):
         self._req[slot] = r
         self._pos[slot] = plen
         self._last_tok[slot] = first
+        if self.multi_step and not self.ngram:
+            self._mtemp[slot] = r.temperature
+            self._mkeys[slot] = (np.uint32(r.seed >> 32),
+                                 np.uint32(r.seed & 0xFFFFFFFF))
 
     def _lookup_proposal(self, r: _Request) -> List[int]:
         """Prompt-lookup: continue the most recent earlier occurrence of
@@ -371,11 +387,168 @@ class SpeculativeServer(_ServerBase):
                 if done:
                     break
 
+    def _get_draft_multi_fn(self):
+        """R whole DRAFT-MODEL speculation rounds in ONE dispatch: the
+        k-1 draft decode steps, the final draft KV write, the target
+        chunk verify, and per-slot acceptance — greedy token-match or
+        device rejection sampling (Leviathan) — inside a lax.scan over
+        rounds. Both engines' params are arguments of the one jitted
+        function, so a round costs zero host round-trips (the host-loop
+        path pays k dispatches per round; PERF.md 'Speculative serving').
+
+        Device rejection sampling: draft tokens x_j ~ q_j at the slot's
+        temperature, accepted with prob min(1, p_j(x)/q_j(x)); first
+        rejection emits a draw from normalize(max(p-q, 0)); full
+        acceptance emits a bonus draw from p_{k-1}. Randomness is keyed
+        on (per-slot seed key, cache position, draw index): deterministic
+        per request, independent of co-resident traffic (the same
+        contract as _device_select). Greedy lanes (temp 0) reduce to the
+        exact token-match rule, so mixed traffic rides one program."""
+        if self._draft_multi_fn is not None:
+            return self._draft_multi_fn
+        verify_fn = self.t_verify.jitted
+        draft_fn = self.d_decode.jitted
+        t_present = {n: n.replace("past_", "present_", 1)
+                     for n in self._t_cache}
+        d_present = {n: n.replace("past_", "present_", 1)
+                     for n in self._d_cache}
+        k, L, B, R = self.k, self.max_len, self.B, self.multi_step
+
+        def cat(keys, pos, draw_idx, logits):
+            """Per-slot categorical draw keyed (slot key, pos, draw)."""
+            def one(kd, p, row):
+                return jax.random.categorical(
+                    jax.random.fold_in(jax.random.fold_in(kd, p),
+                                       draw_idx), row)
+            return jax.vmap(one)(keys, pos, logits)
+
+        def multi(t_params, d_params, last, pos, t_cache, d_cache,
+                  temp, keys):
+            tcol = temp[:, None]
+            safe_t = jnp.where(temp > 0, temp, 1.0)[:, None]
+
+            def body(carry, _):
+                last, pos, t_cache, d_cache = carry
+                # -- draft k-1 steps (sampled lanes draw from q) --------
+                d_tok = last
+                chunk_cols, qs = [last], []
+                for j in range(k - 1):
+                    out = draft_fn(d_params,
+                                   {"input_ids": d_tok[:, None],
+                                    "pos": pos + j, **d_cache})
+                    d_cache = {n: out[p] for n, p in d_present.items()}
+                    dl = out["logits"][:, -1, :]            # [B, V]
+                    ql = jax.nn.log_softmax(dl / safe_t, axis=-1)
+                    qs.append(ql)
+                    samp = cat(keys, pos, j, ql)
+                    d_tok = jnp.where(temp > 0, samp,
+                                      jnp.argmax(dl, axis=-1)
+                                      ).astype(last.dtype)
+                    chunk_cols.append(d_tok)
+                # last draft token's KV row: a full-acceptance round
+                # jumps pos past it and later steps would attend an
+                # unwritten row (same fix as the host path)
+                out = draft_fn(d_params, {"input_ids": d_tok[:, None],
+                                          "pos": pos + k - 1, **d_cache})
+                d_cache = {n: out[p] for n, p in d_present.items()}
+                chunk = jnp.stack(chunk_cols, axis=1)       # [B, k]
+                qlog = jnp.stack(qs, axis=1)                # [B, k-1, V]
+
+                # -- target verify (one chunk call) ---------------------
+                vout = verify_fn(t_params, {"input_ids": chunk,
+                                            "pos": pos, **t_cache})
+                t_cache = {n: vout[p] for n, p in t_present.items()}
+                tl = vout["logits"]                         # [B, k, V]
+                tpred = jnp.argmax(tl, axis=-1).astype(last.dtype)
+                plog = jax.nn.log_softmax(tl / safe_t[..., None], axis=-1)
+
+                # -- acceptance ----------------------------------------
+                x = chunk[:, 1:]                            # [B, k-1]
+                px = jnp.take_along_axis(
+                    plog[:, : k - 1], x[..., None], axis=-1)[..., 0]
+                qx = jnp.take_along_axis(qlog, x[..., None],
+                                         axis=-1)[..., 0]
+                # draw-index map (all disjoint for k >= 2): draft draws
+                # 0..k-2, residuals 2k..3k-2, bonus 3k, uniforms 4k+1
+                u = jax.vmap(lambda kd, p: jax.random.uniform(
+                    jax.random.fold_in(jax.random.fold_in(kd, p),
+                                       4 * k + 1),
+                    (k - 1,)))(keys, pos)                   # [B, k-1]
+                acc_s = jnp.log(u) < (px - qx)   # min(1, p/q) via logs
+                acc_g = x == tpred[:, : k - 1]
+                acc = jnp.where(tcol > 0, acc_s, acc_g)
+                m = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1),
+                            axis=1)                         # [B]
+                # corrections: per-j residual draw max(p-q, 0) (falls
+                # back to p when q covers p exactly), bonus draw from
+                # p_{k-1} for full acceptance — greedy lanes use tpred
+                res = jnp.maximum(jnp.exp(plog[:, : k - 1])
+                                  - jnp.exp(qlog), 0.0)
+                res_ok = jnp.sum(res, axis=-1, keepdims=True) > 1e-9
+                rl = jnp.where(res_ok, jnp.log(jnp.maximum(res, 1e-30)),
+                               plog[:, : k - 1])
+                corr_cols = [cat(keys, pos, 2 * k + j, rl[:, j])
+                             for j in range(k - 1)]
+                corr_cols.append(cat(keys, pos, 3 * k, plog[:, k - 1]))
+                corr_s = jnp.stack(corr_cols, 1).astype(last.dtype)
+                corr = jnp.where(tcol > 0, corr_s, tpred)
+                emit = jnp.where(jnp.arange(k)[None, :] < m[:, None],
+                                 chunk[:, list(range(1, k)) + [0]], corr)
+                last = jnp.take_along_axis(emit, m[:, None],
+                                           axis=1)[:, 0]
+                # parking clamp: see _get_ngram_multi_fn (active lanes
+                # can never exceed L-k by the submit invariant)
+                pos = jnp.minimum(pos + m + 1, L - k)
+                return (last, pos, t_cache, d_cache), (emit, m)
+
+            carry, (emits, ms) = jax.lax.scan(
+                body, (last, pos, t_cache, d_cache), None, length=R)
+            _, _, t_cache, d_cache = carry
+            return t_cache, d_cache, jnp.moveaxis(emits, 0, 1), ms.T
+
+        self._draft_multi_fn = jax.jit(multi)
+        return self._draft_multi_fn
+
+    def _step_draft_multi(self) -> None:
+        R, k = self.multi_step, self.k
+        multi = self._get_draft_multi_fn()
+        self._t_cache, self._d_cache, emits, ms = multi(
+            self.t_verify.params, self.d_decode.params,
+            jnp.asarray(self._last_tok.astype(np.int32)),
+            jnp.asarray(self._pos.astype(np.int32)),
+            self._t_cache, self._d_cache,
+            jnp.asarray(self._mtemp), jnp.asarray(self._mkeys))
+        emits = _fetch(emits)                      # [B, R, k]
+        ms = _fetch(ms)                            # [B, R]
+        self.steps += 1
+        self._occupancy_sum += len(self._active())
+        for s in self._active():
+            r = self._req[s]
+            done = False
+            for rd in range(R):
+                m = int(ms[s, rd])
+                self.accepted_total += m
+                self.proposed_total += k - 1
+                self._pos[s] += m + 1
+                self._last_tok[s] = int(emits[s, rd, m])
+                for t in emits[s, rd, : m + 1]:
+                    r.emit(int(t))
+                    self.tokens_out += 1
+                    if (len(r.tokens) >= r.max_new or t == r.eos_id
+                            or _hits_stop(r)):
+                        self._finish(s, r)   # overshoot discarded
+                        done = True
+                        break
+                if done:
+                    break
+
     def _step(self) -> None:
         if self.ngram:
             if self.multi_step:
                 return self._step_ngram_multi()
             return self._step_ngram()
+        if self.multi_step:
+            return self._step_draft_multi()
         k = self.k
         pos = self._pos.copy()
         # sampled slots draft by sampling from q (their own temperature,

@@ -203,7 +203,9 @@ def _prompt(n=6):
     return rng.integers(0, TINY.vocab_size, (n,)).astype(np.int64)
 
 
-def test_ngram_multi_step_rejects_sampling_and_draft_mode():
+def test_ngram_multi_step_rejects_sampling():
+    # (draft-model multi_step is now a supported mode — see the
+    # test_draft_multi_step_* family; only ngram stays greedy-only)
     with pytest.raises(ValueError, match="greedy only"):
         srv = SpeculativeServer(TINY, slots=2, prompt_len=8, max_len=64,
                                 k=3, ngram=2, multi_step=2)
@@ -211,9 +213,6 @@ def test_ngram_multi_step_rejects_sampling_and_draft_mode():
             srv.submit(_prompt(), 4, temperature=1.0)
         finally:
             srv.stop()
-    with pytest.raises(ValueError, match="ngram"):
-        SpeculativeServer(TINY, slots=2, prompt_len=8, max_len=64,
-                          k=3, multi_step=2)
 
 
 def test_ngram_multi_step_eos_and_slot_reuse():
@@ -262,3 +261,141 @@ def test_ngram_multi_step_parked_lane_cache_stays_finite():
         srv.stop()
     want = [_reference(p, 12, 64) for p in prompts]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# device-resident DRAFT-MODEL rounds (multi_step=R without ngram)
+# ---------------------------------------------------------------------------
+def test_draft_multi_step_matches_isolated_greedy():
+    """R draft-model speculation rounds per dispatch: greedy verification
+    stays LOSSLESS — served tokens equal the target's isolated greedy
+    decode exactly, with staggered slot reuse."""
+    srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=8,
+                            max_len=48, k=3, draft_seed=1, multi_step=3)
+    try:
+        reqs = []
+        for i in range(5):
+            plen = int(rng.integers(2, 9))
+            n_new = int(rng.integers(3, 9))
+            p = rng.integers(0, TINY.vocab_size, (plen,)).astype(np.int64)
+            reqs.append((p, n_new, srv.submit(p, n_new)))
+        for p, n_new, fut in reqs:
+            got = fut.result(timeout=300)
+            want = _reference(p, n_new, 48)
+            assert got == want, (p, got, want)
+        st = srv.stats()
+    finally:
+        srv.stop()
+    assert st["requests"] == 5
+    assert 0.0 <= st["acceptance_rate"] <= 1.0
+
+
+def test_draft_multi_step_matches_host_rounds_greedy():
+    """The device-resident rounds must emit exactly what the host-loop
+    path emits (same target/draft/k): the scan is a pure batching of the
+    same math."""
+    prompts = [rng.integers(0, TINY.vocab_size, (int(rng.integers(2, 7)),)
+                            ).astype(np.int64) for _ in range(3)]
+    outs = []
+    for ms in (0, 2):
+        srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=8,
+                                max_len=48, k=3, draft_seed=1,
+                                multi_step=ms)
+        try:
+            futs = [srv.submit(p, 7) for p in prompts]
+            outs.append([f.result(timeout=300) for f in futs])
+        finally:
+            srv.stop()
+    assert outs[0] == outs[1]
+
+
+def test_draft_multi_step_sampled_rejection():
+    """Device rejection sampling: reproducible per (seed, prompt),
+    greedy co-slots stay lossless, q == p accepts (nearly) everything."""
+    srv = SpeculativeServer(TINY, DRAFT, slots=2, prompt_len=6,
+                            max_len=48, k=3, multi_step=2)
+    try:
+        pg = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+        ps = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+        fg = srv.submit(pg, 6)
+        fs = srv.submit(ps, 6, temperature=1.0, seed=9)
+        greedy, s1 = fg.result(timeout=300), fs.result(timeout=300)
+        s2 = srv.submit(ps, 6, temperature=1.0, seed=9).result(timeout=300)
+    finally:
+        srv.stop()
+    assert greedy == _reference(pg, 6, 48)   # greedy slot stays lossless
+    assert len(s1) == 6 and all(0 <= t < TINY.vocab_size for t in s1)
+    # per-slot draws key on (seed, position): the stream reproduces
+    # whatever the co-batch state was
+    assert s1 == s2
+
+    srv2 = SpeculativeServer(TINY, TINY, slots=2, prompt_len=6,
+                             max_len=48, k=3, draft_seed=0, multi_step=2)
+    try:
+        out = srv2.submit(ps, 12, temperature=0.7, seed=3).result(
+            timeout=300)
+        st = srv2.stats()
+    finally:
+        srv2.stop()
+    assert len(out) == 12
+    # q == p: acceptance prob is 1 up to chunk-vs-step float noise
+    assert st["acceptance_rate"] >= 0.9, st["acceptance_rate"]
+
+
+def test_draft_multi_step_sampled_distribution():
+    """Distributional losslessness of the device rejection sampler: the
+    first sampled token's empirical distribution over many seeds tracks
+    plain target sampling at the same temperature (Leviathan identity)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(TINY, vocab_size=32)
+    dcfg = dc.replace(cfg, n_layer=1)
+    p = rng.integers(0, cfg.vocab_size, (4,)).astype(np.int64)
+    n_seeds = 60
+    srv = SpeculativeServer(cfg, dcfg, slots=4, prompt_len=6, max_len=32,
+                            k=3, multi_step=2)
+    try:
+        futs = [srv.submit(p, 2, temperature=1.0, seed=s)
+                for s in range(n_seeds)]
+        # token index 1: the first token produced by the DEVICE sampler
+        # (index 0 comes from host _select_token at admission)
+        spec_first = [f.result(timeout=600)[1] for f in futs]
+    finally:
+        srv.stop()
+    gen = Generator(cfg, batch=1, prompt_len=4, max_len=32)
+    ref_first = []
+    for s in range(n_seeds):
+        toks, _ = gen.generate(p[None], 2, temperature=1.0,
+                               sample_seed=s)
+        ref_first.append(int(toks[0][1]))
+    # coarse two-sample check: the two empirical distributions share
+    # most mass (V=32, n=60 -> allow generous slack)
+    import collections
+
+    cs = collections.Counter(spec_first)
+    cr = collections.Counter(ref_first)
+    l1 = sum(abs(cs[t] - cr[t]) for t in set(cs) | set(cr)) / n_seeds
+    assert l1 < 0.8, (l1, cs, cr)
+
+
+def test_draft_multi_step_eos_and_slot_reuse():
+    """EOS mid-scan finishes the request (overshoot discarded) and the
+    freed slot serves the next prompt losslessly."""
+    for _ in range(20):  # need an eos whose FIRST occurrence is index 3
+        p1 = rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64)
+        ref = _reference(p1, 8, 48)
+        if ref[3] not in ref[:3]:
+            break
+    else:
+        pytest.skip("no prompt with a distinct 4th greedy token")
+    eos = ref[3]
+    srv = SpeculativeServer(TINY, DRAFT, slots=1, prompt_len=8,
+                            max_len=48, k=3, draft_seed=1, multi_step=3)
+    try:
+        got = srv.submit(p1, 8, eos_id=eos).result(timeout=300)
+        assert got == ref[:4]
+        p2 = rng.integers(0, TINY.vocab_size, (5,)).astype(np.int64)
+        got2 = srv.submit(p2, 6).result(timeout=300)
+        assert got2 == _reference(p2, 6, 48)
+    finally:
+        srv.stop()
