@@ -62,10 +62,10 @@ class Generator:
         from .models import decoder_family
 
         build_prefill, build_decode, int8_kv_ok = decoder_family(family)
-        if self._int4_kv and family not in ("gpt2", "llama"):
+        if self._int4_kv and family not in ("gpt2", "llama", "moe"):
             raise NotImplementedError(
                 f"{family}: int4 KV cache needs a nibble-packing decode "
-                "graph (gpt2/llama only)")
+                "graph (gpt2/llama/moe only)")
         if self._kv_q and not int8_kv_ok:
             raise NotImplementedError(
                 f"{family}: in-graph quantized KV cache not implemented")
@@ -112,9 +112,6 @@ class Generator:
         if self._lora:
             from .lora import attach_lora
 
-            if pipeline_axis is not None:
-                raise NotImplementedError(
-                    "lora_bank with pipeline_axis is not supported yet")
             prefill_graph = attach_lora(prefill_graph, lora_bank,
                                         alpha=lora_alpha)
             decode_graph = attach_lora(decode_graph, lora_bank,
@@ -139,13 +136,14 @@ class Generator:
 
             if mesh is None:
                 raise ValueError("pipeline_axis requires a mesh")
-            if scan_layers or fused_attention or device_loop:
+            if scan_layers or fused_attention:
                 raise NotImplementedError(
                     "pipeline_axis is incompatible with scan_layers/"
-                    "fused_attention/device_loop")
-            if prefill_dtype != "float32":
+                    "fused_attention")
+            if w8a8_prefill:
                 raise NotImplementedError(
-                    "pipelined prefill runs fp32 (no bf16 cast path)")
+                    "pipelined prefill supports float32/bfloat16; the "
+                    "w8a8 dynamic-quant rewrite is not pipelined")
             # the repo's decoder graphs carry batch at dim 0 on every
             # input except the per-head kv_scale_* quantization scales —
             # declare that so microbatching never relies on the dim == B
@@ -156,7 +154,8 @@ class Generator:
 
             self.prefill = PipelinedDecoder(
                 prefill_graph, mesh, axis=pipeline_axis,
-                batch_inputs=_batch_inputs(prefill_graph))
+                batch_inputs=_batch_inputs(prefill_graph),
+                dtype=prefill_dtype)
             self.decode = PipelinedDecoder(
                 decode_graph, mesh, axis=pipeline_axis,
                 batch_inputs=_batch_inputs(decode_graph))
@@ -244,8 +243,56 @@ class Generator:
         if key_cfg in self._multi_cache:
             return self._multi_cache[key_cfg]
         K = self.device_loop
-        decode_fn = self.decode.jitted          # f(params, feed) -> out
         use_pen = repetition_penalty != 1.0
+        if self._pipelined:
+            # the GPipe forward composes under scan: shard_map with an
+            # explicit mesh traces inside the outer jit, the stacked
+            # presents keep their pipe sharding through the carry, so
+            # each stage's KV stays on its own devices across all K
+            # steps — pipelining (capacity) and device residency
+            # (dispatch economics) stack (round-4 verdict item 4)
+            pipe_fn = self.decode.jitted  # f(params, feed, stacked)->(o,e)
+            select = self._select
+            lora_idx_p = jnp.asarray(self._lora_idx) if self._lora else None
+
+            def multi_p(params, tok, pos, cache, scales, key, done, seen):
+                def body(carry, _):
+                    tok, pos, cache, key, done, seen = carry
+                    feed = {"input_ids": tok[:, None], "pos": pos}
+                    if lora_idx_p is not None:
+                        feed["lora_idx"] = lora_idx_p
+                    out, ext = pipe_fn(params, feed, {**cache, **scales})
+                    logits = out["logits"][:, -1, :]
+                    key, sub = jax.random.split(key)
+                    if use_pen:
+                        seen_ = seen.at[jnp.arange(tok.shape[0]),
+                                        tok].set(True)
+                    else:
+                        seen_ = seen
+                    nxt = select(logits, sub, temperature, top_k, top_p,
+                                 seen_ if use_pen else None,
+                                 repetition_penalty, min_p)
+                    nxt = nxt.astype(tok.dtype)
+                    if eos_id is not None:
+                        nxt = jnp.where(done, eos_id, nxt)
+                        done_ = done | (nxt == eos_id)
+                    else:
+                        done_ = done
+                    new_cache = {f"past_{kind}_0": ext[f"present_{kind}_0"]
+                                 for kind in ("key", "value")}
+                    return (nxt, pos + 1, new_cache, key, done_,
+                            seen_), nxt
+
+                carry, toks = jax.lax.scan(
+                    body, (tok, pos, cache, key, done, seen), None,
+                    length=K)
+                nxt, pos, cache, key, done, seen = carry
+                return toks.T, pos, cache, key, done, seen
+
+            fn = jax.jit(multi_p)
+            self._multi_cache[key_cfg] = fn
+            return fn
+        decode_fn = self.decode.jitted          # f(params, feed) -> out
         present_of = {
             name: name.replace("past_", "present_", 1)
             for name in (spec.name for spec in self.decode.graph.inputs)
@@ -391,15 +438,25 @@ class Generator:
             multi = self._multi_step_fn(temperature, top_k, top_p,
                                         eos_id, repetition_penalty,
                                         min_p)
-            scales = ({k: jnp.asarray(v)
-                       for k, v in self._kv_scales.items()}
-                      if self.kv_dtype == np.int8 else {})
+            if self._pipelined:
+                # shard the stacked cache/scales over the pipe axis ONCE;
+                # the scan carry keeps that sharding, so each stage's KV
+                # never leaves its devices across the K steps
+                put = lambda d: {k: jax.device_put(  # noqa: E731
+                    jnp.asarray(v), self.decode._stage_shard)
+                    for k, v in d.items()}
+                scales = put(pipe_scales)  # canonical stacked names
+                cache_d = put(pipe_cache)
+            else:
+                scales = ({k: jnp.asarray(v)
+                           for k, v in self._kv_scales.items()}
+                          if self.kv_dtype == np.int8 else {})
+                cache_d = {k: jnp.asarray(v) for k, v in cache.items()}
             tok_d = jnp.asarray(next_tok)
             pos_d = jnp.full((B,), P, dtype=jnp.int32)
             done_d = jnp.asarray(done)
             seen_d = (seen if use_pen
                       else jnp.zeros((B, 1), bool))  # placeholder carry
-            cache_d = {k: jnp.asarray(v) for k, v in cache.items()}
             remaining = n_new - 1
             while remaining > 0:
                 if eos_id is not None and bool(np.asarray(done_d).all()):
@@ -427,6 +484,8 @@ class Generator:
             feed = {"input_ids": np.asarray(next_tok)[:, None].astype(np.int64),
                     "pos": pos}
             if self._pipelined:
+                if self._lora:
+                    feed["lora_idx"] = self._lora_idx
                 step, ext = self.decode.stacked_call(
                     feed, {**pipe_cache, **pipe_scales})
                 pipe_cache = {f"past_{k}_0": ext[f"present_{k}_0"]

@@ -323,56 +323,10 @@ def build_gpt2_decode(
     shape_merge = b.init("shape_btd", np.array([B, T, D], np.int64))
 
     if int4_kv:
-        # int4 pack/unpack constants: p = (q0+8) + 16*q1 with q in
-        # [-8, 7] spans exactly [-128, 127]; unpack inverts with
-        # q1 = floor((p+128)/16) - 8, q0 = p - 16*q1 - 8. All arithmetic
-        # runs in f32 (small ints are exact) — no sub-byte dtypes needed.
-        q4_lo = b.init("q4_lo", np.float32(-8.0))
-        q4_hi = b.init("q4_hi", np.float32(7.0))
-        q4_16 = b.init("q4_16", np.float32(16.0))
-        q4_8 = b.init("q4_8", np.float32(8.0))
-        q4_128 = b.init("q4_128", np.float32(128.0))
-        q4_s0 = b.init("q4_s0", np.array([0], np.int64))
-        q4_s1 = b.init("q4_s1", np.array([1], np.int64))
-        q4_send = b.init("q4_send", np.array([hd], np.int64))
-        q4_ax3 = b.init("q4_ax3", np.array([3], np.int64))
-        q4_step2 = b.init("q4_step2", np.array([2], np.int64))
-        q4_ax4 = b.init("q4_ax4", np.array([4], np.int64))
-        q4_sshape = b.init("q4_sshape", np.array([1, H, 1, 1], np.int64))
-        q4_full = b.init("q4_full",
-                         np.array([B, H, max_len, hd], np.int64))
+        from .q4 import q4_helpers
 
-    def _q4_pack(t: str, s4: str, tag: str) -> str:
-        """[B,H,T,hd] f32 -> [B,H,T,hd/2] int8 (two nibbles per byte)."""
-        (d,) = b.node("Div", [t, s4], [f"{tag}_q4d"])
-        (r,) = b.node("Round", [d], [f"{tag}_q4r"])
-        (c,) = b.node("Clip", [r, q4_lo, q4_hi], [f"{tag}_q4c"])
-        (q0,) = b.node("Slice", [c, q4_s0, q4_send, q4_ax3, q4_step2],
-                       [f"{tag}_q4q0"])
-        (q1,) = b.node("Slice", [c, q4_s1, q4_send, q4_ax3, q4_step2],
-                       [f"{tag}_q4q1"])
-        (q0b,) = b.node("Add", [q0, q4_8], [f"{tag}_q4q0b"])
-        (m,) = b.node("Mul", [q1, q4_16], [f"{tag}_q4m"])
-        (p,) = b.node("Add", [q0b, m], [f"{tag}_q4p"])
-        (p8,) = b.node("Cast", [p], [f"{tag}_q4p8"], to=3)
-        return p8
-
-    def _q4_unpack(t8: str, s4: str, tag: str) -> str:
-        """[B,H,L,hd/2] int8 -> dequantized [B,H,L,hd] f32."""
-        (pf,) = b.node("Cast", [t8], [f"{tag}_q4pf"], to=1)
-        (t1,) = b.node("Add", [pf, q4_128], [f"{tag}_q4t1"])
-        (t2,) = b.node("Div", [t1, q4_16], [f"{tag}_q4t2"])
-        (q1p,) = b.node("Floor", [t2], [f"{tag}_q4q1p"])
-        (q1,) = b.node("Sub", [q1p, q4_8], [f"{tag}_q4uq1"])
-        (m,) = b.node("Mul", [q1, q4_16], [f"{tag}_q4um"])
-        (q0b,) = b.node("Sub", [pf, m], [f"{tag}_q4uq0b"])
-        (q0,) = b.node("Sub", [q0b, q4_8], [f"{tag}_q4uq0"])
-        (u0,) = b.node("Unsqueeze", [q0, q4_ax4], [f"{tag}_q4u0"])
-        (u1,) = b.node("Unsqueeze", [q1, q4_ax4], [f"{tag}_q4u1"])
-        (cat,) = b.node("Concat", [u0, u1], [f"{tag}_q4cat"], axis=4)
-        (fl,) = b.node("Reshape", [cat, q4_full], [f"{tag}_q4fl"])
-        (dq,) = b.node("Mul", [fl, s4], [f"{tag}_q4dq"])
-        return dq
+        _q4_pack, _q4_unpack, q4_sshape = q4_helpers(
+            b, heads=H, hd=hd, batch=B, max_len=max_len)
 
     for i in range(cfg.n_layer):
         ln1 = _layernorm(b, x, f"blk{i}_ln1", D)

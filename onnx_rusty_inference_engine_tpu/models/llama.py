@@ -359,53 +359,10 @@ def build_llama_decode(
     merge_shape = b.init("ctx_merge_shape", np.array([B, T, D], np.int64))
 
     if int4_kv:
-        # int4 pack/unpack constants (see gpt2._q4_pack: p = (q0+8) +
-        # 16*q1 spans [-128,127]; f32 arithmetic, small ints exact)
-        q4_lo = b.init("q4_lo", np.float32(-8.0))
-        q4_hi = b.init("q4_hi", np.float32(7.0))
-        q4_16 = b.init("q4_16", np.float32(16.0))
-        q4_8 = b.init("q4_8", np.float32(8.0))
-        q4_128 = b.init("q4_128", np.float32(128.0))
-        q4_s0 = b.init("q4_s0", np.array([0], np.int64))
-        q4_s1 = b.init("q4_s1", np.array([1], np.int64))
-        q4_send = b.init("q4_send", np.array([hd], np.int64))
-        q4_ax3 = b.init("q4_ax3", np.array([3], np.int64))
-        q4_step2 = b.init("q4_step2", np.array([2], np.int64))
-        q4_ax4 = b.init("q4_ax4", np.array([4], np.int64))
-        q4_sshape = b.init("q4_sshape", np.array([1, Hkv, 1, 1], np.int64))
-        q4_full = b.init("q4_full", np.array([B, Hkv, L, hd], np.int64))
+        from .q4 import q4_helpers
 
-    def _q4_pack(t: str, s4: str, tag: str) -> str:
-        """[B,Hkv,T,hd] f32 -> [B,Hkv,T,hd/2] int8 (two nibbles/byte)."""
-        (d,) = b.node("Div", [t, s4], [f"{tag}_q4d"])
-        (r,) = b.node("Round", [d], [f"{tag}_q4r"])
-        (c,) = b.node("Clip", [r, q4_lo, q4_hi], [f"{tag}_q4c"])
-        (q0,) = b.node("Slice", [c, q4_s0, q4_send, q4_ax3, q4_step2],
-                       [f"{tag}_q4q0"])
-        (q1,) = b.node("Slice", [c, q4_s1, q4_send, q4_ax3, q4_step2],
-                       [f"{tag}_q4q1"])
-        (q0b,) = b.node("Add", [q0, q4_8], [f"{tag}_q4q0b"])
-        (m,) = b.node("Mul", [q1, q4_16], [f"{tag}_q4m"])
-        (pp,) = b.node("Add", [q0b, m], [f"{tag}_q4p"])
-        (p8,) = b.node("Cast", [pp], [f"{tag}_q4p8"], to=3)
-        return p8
-
-    def _q4_unpack(t8: str, s4: str, tag: str) -> str:
-        """[B,Hkv,L,hd/2] int8 -> dequantized [B,Hkv,L,hd] f32."""
-        (pf,) = b.node("Cast", [t8], [f"{tag}_q4pf"], to=1)
-        (t1,) = b.node("Add", [pf, q4_128], [f"{tag}_q4t1"])
-        (t2,) = b.node("Div", [t1, q4_16], [f"{tag}_q4t2"])
-        (q1p,) = b.node("Floor", [t2], [f"{tag}_q4q1p"])
-        (q1,) = b.node("Sub", [q1p, q4_8], [f"{tag}_q4uq1"])
-        (m,) = b.node("Mul", [q1, q4_16], [f"{tag}_q4um"])
-        (q0b,) = b.node("Sub", [pf, m], [f"{tag}_q4uq0b"])
-        (q0,) = b.node("Sub", [q0b, q4_8], [f"{tag}_q4uq0"])
-        (u0,) = b.node("Unsqueeze", [q0, q4_ax4], [f"{tag}_q4u0"])
-        (u1,) = b.node("Unsqueeze", [q1, q4_ax4], [f"{tag}_q4u1"])
-        (cat,) = b.node("Concat", [u0, u1], [f"{tag}_q4cat"], axis=4)
-        (fl,) = b.node("Reshape", [cat, q4_full], [f"{tag}_q4fl"])
-        (dq,) = b.node("Mul", [fl, s4], [f"{tag}_q4dq"])
-        return dq
+        _q4_pack, _q4_unpack, q4_sshape = q4_helpers(
+            b, heads=Hkv, hd=hd, batch=B, max_len=L)
 
     for i in range(cfg.n_layer):
         xn = _rmsnorm(b, x, f"l{i}_attn_norm", D)

@@ -218,17 +218,25 @@ def build_moe_decode(
     E, F = cfg.n_expert, cfg.d_ff
     L = max_len
     N = B * T
-    int8_kv = np.dtype(kv_dtype) == np.int8
-    cache_np = np.int8 if int8_kv else np.float32
+    int4_kv = kv_dtype == "int4"
+    int8_kv = (not int4_kv) and np.dtype(kv_dtype) == np.int8
+    if int4_kv and cfg.head_dim % 2:
+        raise ValueError("int4 KV packs hd pairs: head_dim must be even")
+    cache_np = np.int8 if (int8_kv or int4_kv) else np.float32
+    # int4: two nibbles pack into one int8 byte along hd (models/q4.py)
+    cache_hd = hd // 2 if int4_kv else hd
 
     ids = b.input("input_ids", [B, T], dtype=np.int64)
     pos = b.input("pos", [B], dtype=np.int64)
-    pasts = [(b.input(f"past_key_{i}", [B, H, L, hd], dtype=cache_np),
-              b.input(f"past_value_{i}", [B, H, L, hd], dtype=cache_np))
+    pasts = [(b.input(f"past_key_{i}", [B, H, L, cache_hd],
+                      dtype=cache_np),
+              b.input(f"past_value_{i}", [B, H, L, cache_hd],
+                      dtype=cache_np))
              for i in range(cfg.n_layer)]
     kv_scales = [(b.input(f"kv_scale_key_{i}", [H]),
                   b.input(f"kv_scale_value_{i}", [H]))
-                 for i in range(cfg.n_layer)] if int8_kv else None
+                 for i in range(cfg.n_layer)] if (int8_kv or int4_kv) \
+        else None
     zp8 = b.init("kv_zp8", np.int8(0)) if int8_kv else None
 
     wte = b.init("wte", (b.rng.standard_normal((cfg.vocab_size, D))
@@ -299,6 +307,12 @@ def build_moe_decode(
     b.init("oh_vals", np.array([0.0, 1.0], np.float32))
     b.init("sum_axes", np.array([1], np.int64))
 
+    if int4_kv:
+        from .q4 import q4_helpers
+
+        _q4_pack, _q4_unpack, q4_sshape = q4_helpers(
+            b, heads=H, hd=hd, batch=B, max_len=L)
+
     for i in range(cfg.n_layer):
         ln1 = _layernorm(b, x, f"blk{i}_ln1", D)
         qkv = _linear(b, ln1, f"blk{i}_attn_qkv", D, 3 * D)
@@ -319,11 +333,11 @@ def build_moe_decode(
             if T == 1:
                 return t
             src = t
-            if int8_kv:
+            if cache_np == np.int8:
                 (src,) = b.node("Cast", [t], [f"blk{i}_{tag}_f"], to=1)
             (sp,) = b.node("MatMul", ["scatter_oh4", src],
                            [f"blk{i}_{tag}_spread_f"])
-            if int8_kv:
+            if cache_np == np.int8:
                 (sp,) = b.node("Cast", [sp], [f"blk{i}_{tag}_spread"],
                                to=3)
             return sp
@@ -343,6 +357,21 @@ def build_moe_decode(
                            [f"blk{i}_k_dq"], axis=1)
             (vc,) = b.node("DequantizeLinear", [vc8, sv, zp8],
                            [f"blk{i}_v_dq"], axis=1)
+        elif int4_kv:
+            # quantize + nibble-pack the new k/v, update the cache in the
+            # packed int8 domain, unpack + dequantize for the attention
+            # (identical machinery to gpt2/llama, shared via models/q4.py)
+            sk, sv = kv_scales[i]
+            (sk4,) = b.node("Reshape", [sk, q4_sshape], [f"blk{i}_sk4"])
+            (sv4,) = b.node("Reshape", [sv, q4_sshape], [f"blk{i}_sv4"])
+            kq = _q4_pack(kh, sk4, f"blk{i}_k")
+            vq = _q4_pack(vh, sv4, f"blk{i}_v")
+            (kc8,) = b.node("Where", [is_now4, _spread(kq, "k8"), pk],
+                            [f"present_key_{i}"])
+            (vc8,) = b.node("Where", [is_now4, _spread(vq, "v8"), pv],
+                            [f"present_value_{i}"])
+            kc = _q4_unpack(kc8, sk4, f"blk{i}_k")
+            vc = _q4_unpack(vc8, sv4, f"blk{i}_v")
         else:
             (kc,) = b.node("Where", [is_now4, _spread(kh, "k"), pk],
                            [f"present_key_{i}"])

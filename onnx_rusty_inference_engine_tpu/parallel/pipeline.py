@@ -561,8 +561,16 @@ class PipelinedDecoder:
     def __init__(self, graph, mesh: Mesh, *, axis: str = "pipe",
                  boundaries: Optional[Sequence[str]] = None,
                  microbatches: Optional[int] = None,
-                 batch_inputs: Optional[Sequence[str]] = None):
+                 batch_inputs: Optional[Sequence[str]] = None,
+                 dtype: str = "float32"):
         from ..engine import lower
+
+        # compute dtype policy, same contract as Engine(dtype=...): float
+        # params cast once at init, float inputs cast at entry, float
+        # outputs cast back to fp32 — the bf16 prefill lever works
+        # pipelined too (round-4 verdict item 4: the fp32-only guard)
+        self._cast = None if np.dtype(dtype) == np.float32 \
+            else jnp.dtype(dtype)
 
         if axis not in mesh.axis_names:
             raise PipelineError(f"mesh has no '{axis}' axis: {mesh.axis_names}")
@@ -749,7 +757,33 @@ class PipelinedDecoder:
                       for k, v in extras.items()}
             return out, extras
 
+        cast = self._cast
+        if cast is not None:
+            raw_forward = forward
+
+            def forward(params, inputs, stacked_ins):  # noqa: F811
+                def c(d):
+                    return {k: (v.astype(cast)
+                                if v.dtype == jnp.float32 else v)
+                            for k, v in d.items()}
+
+                out, extras = raw_forward(params, c(inputs),
+                                          c(stacked_ins))
+
+                def u(d):
+                    return {k: (v.astype(jnp.float32)
+                                if v.dtype == cast else v)
+                            for k, v in d.items()}
+
+                return u(out), u(extras)
+
         self._fn = jax.jit(forward)
+
+        def _put(arr, sharding):
+            a = jnp.asarray(arr)
+            if cast is not None and a.dtype == jnp.float32:
+                a = a.astype(cast)
+            return jax.device_put(a, sharding)
 
         # params live as jit ARGUMENTS (design invariant): stage weights
         # sharded on their stacked leading axis, prefix/suffix replicated
@@ -757,16 +791,14 @@ class PipelinedDecoder:
         stage_shard = NamedSharding(mesh, P(axis))
         self._stage_shard = stage_shard
         self.params = {
-            "prefix": {k: jax.device_put(
-                jnp.asarray(plan.prefix.constants[k]), rep)
-                for k in plan.prefix.weight_names},
+            "prefix": {k: _put(plan.prefix.constants[k], rep)
+                       for k in plan.prefix.weight_names},
             # [n_layers, ...] stacked, leading axis over `pipe`: device s
             # holds rows [s*lps, (s+1)*lps) — its stage's layers only
-            "layers": {k: jax.device_put(jnp.asarray(v), stage_shard)
+            "layers": {k: _put(v, stage_shard)
                        for k, v in al.stacked.items()},
-            "suffix": {k: jax.device_put(
-                jnp.asarray(plan.suffix.constants[k]), rep)
-                for k in plan.suffix.weight_names},
+            "suffix": {k: _put(plan.suffix.constants[k], rep)
+                       for k in plan.suffix.weight_names},
         }
 
     # -- call styles ----------------------------------------------------

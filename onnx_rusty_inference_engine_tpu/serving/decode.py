@@ -84,14 +84,10 @@ class DecodeServer(_MultiStepMixin, _ServerBase):
         self._int4_kv = kv_dtype == "int4"
         self.kv_dtype = np.dtype(np.int8 if self._int4_kv else kv_dtype)
         self._kv_qmax = 7.0 if self._int4_kv else 127.0
-        if self._int4_kv and family not in ("gpt2", "llama"):
+        if self._int4_kv and family not in ("gpt2", "llama", "moe"):
             raise NotImplementedError(
                 "int4 KV serving needs a nibble-packing decode graph "
-                "(gpt2/llama only)")
-        if self._int4_kv and chunked_prefill:
-            raise NotImplementedError(
-                "int4 KV with chunked_prefill (shadow calibration) is "
-                "not implemented; use bucketed prefill")
+                "(gpt2/llama/moe only)")
         # prompts pad to the smallest compiled bucket >= their length:
         # one XLA program per bucket (compiled lazily on first use), so
         # short prompts don't pay full-length prefill FLOPs.
@@ -167,13 +163,13 @@ class DecodeServer(_MultiStepMixin, _ServerBase):
             bks = tuple(sorted(int(b) for b in len_buckets))
             if not bks or bks[-1] != max_len:
                 raise ValueError("len_buckets must end at max_len")
-            if chunked_prefill and kv_dtype == "int8":
-                raise NotImplementedError(
-                    "len_buckets with the chunked int8 shadow-calibration "
-                    "phase is not supported; use bucketed prefill")
             self._len_buckets = bks
-        self._cur_len = self._len_buckets[0] if self._len_buckets \
-            else max_len
+        # chunked int8/int4: the shadow-calibration phase runs at
+        # max_len (the shadow graph's only length); buckets engage at
+        # the first step after the calibration flip (_calibrating)
+        self._cur_len = max_len if (
+            self.chunked and self.kv_dtype == np.int8
+            or self._len_buckets is None) else self._len_buckets[0]
         self.cache_resizes = 0
 
         def make_decode_graph(L: int):
@@ -249,11 +245,15 @@ class DecodeServer(_MultiStepMixin, _ServerBase):
         cache_np = np.int8 if self.kv_dtype == np.int8 else np.float32
         # cache shapes come from the decode graph itself (GQA families carry
         # n_kv_head heads, not n_head); the shadow-calibration phase keeps
-        # the cache fp32 regardless
+        # the cache fp32 regardless — and takes the SHADOW graph's shapes
+        # (int4's packed cache halves the hd axis; the fp32 phase is
+        # unpacked)
         boot_np = np.float32 if self._shadow is not None else cache_np
+        shape_src = (self._shadow.graph if self._shadow is not None
+                     else self.decode.graph)
         self._cache: Dict[str, jax.Array] = {
             spec.name: jnp.zeros(spec.concrete_shape(batch=slots), boot_np)
-            for spec in self.decode.graph.inputs
+            for spec in shape_src.inputs
             if spec.name.startswith("past_")}
         self._kv_scales: Optional[Dict[str, np.ndarray]] = None
 
@@ -322,8 +322,15 @@ class DecodeServer(_MultiStepMixin, _ServerBase):
         self._cur_len = target
         self.cache_resizes += 1
 
+    @property
+    def _calibrating(self) -> bool:
+        """Chunked int8/int4 serving before the first prompt finishes:
+        the fp32 shadow graph (built at max_len) is stepping, so the
+        cache is pinned to max_len until the quantization flip."""
+        return self._shadow is not None and self._kv_scales is None
+
     def _fit_cache(self, admit_need: int = 0) -> None:
-        if self._len_buckets is None:
+        if self._len_buckets is None or self._calibrating:
             return
         self._resize_cache(self._bucket_for(
             max(self._required_len(), admit_need)))
@@ -659,17 +666,17 @@ class DecodeServer(_MultiStepMixin, _ServerBase):
         return fn
 
     def _step(self) -> None:
-        if self._len_buckets is not None:
+        if self._len_buckets is not None and not self._calibrating:
             # shrink opportunistically: growth happened at admission, so
             # only a finished long request can lower the requirement here
+            # (the calibration phase is pinned to the shadow's max_len)
             t = self._bucket_for(self._required_len())
             if t < self._cur_len:
                 self._resize_cache(t)
         if self.chunked:
             # chunked × multi_step runs the device block once int8 KV
             # calibration (shadow fp32 phase) is out of the way
-            if self.multi_step > 0 and not (
-                    self._shadow is not None and self._kv_scales is None):
+            if self.multi_step > 0 and not self._calibrating:
                 return self._step_chunked_multi()
             return self._step_chunked()
         if self.multi_step > 0:
@@ -716,8 +723,7 @@ class DecodeServer(_MultiStepMixin, _ServerBase):
             else:
                 ids[s, 0] = self._last_tok[s]
 
-        calibrating = (self._shadow is not None
-                       and self._kv_scales is None)
+        calibrating = self._calibrating
         eng = self._shadow if calibrating else self.decode
         feed = {"input_ids": jnp.asarray(ids),
                 "pos": jnp.asarray(self._pos), **self._cache}
@@ -766,7 +772,7 @@ class DecodeServer(_MultiStepMixin, _ServerBase):
                     kv = _fetch(self._cache[f"past_{kind}_{i}"])
                     amax = np.maximum(np.abs(kv).max(axis=(0, 2, 3)), 1e-6)
                     self._kv_scales[f"kv_scale_{kind}_{i}"] = (
-                        amax / 127.0).astype(np.float32)
+                        amax / self._kv_qmax).astype(np.float32)
             for name in list(self._cache):
                 kind = "key" if "_key_" in name else "value"
                 self._cache[name] = jnp.asarray(self._quant_kv(

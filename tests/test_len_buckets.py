@@ -98,3 +98,39 @@ def test_buckets_validation():
     with pytest.raises(ValueError, match="max_len"):
         DecodeServer(TINY, slots=1, prompt_len=4, max_len=32,
                      len_buckets=(8, 16))
+
+
+def test_buckets_chunked_int8_shadow_calibration():
+    """len_buckets x chunked int8 (round-4 verdict item 4): the shadow
+    fp32 calibration phase pins the cache to max_len; buckets engage
+    after the flip and the tokens match the bucket-free chunked-int8
+    server exactly (same calibration prompt => same scales)."""
+    p1, p2 = _p(5), _p(9)
+    outs = []
+    for lb in (None, (16, 48)):
+        srv = DecodeServer(TINY, slots=2, max_len=48, kv_dtype="int8",
+                           chunked_prefill=True, chunk=4, len_buckets=lb)
+        try:
+            f1 = srv.submit(p1, 6)
+            f2 = srv.submit(p2, 6)
+            outs.append((f1.result(timeout=300), f2.result(timeout=300)))
+            stats = srv.stats()
+        finally:
+            srv.stop()
+    assert outs[0] == outs[1]
+    assert stats["cache_len"] == 16          # shrank after the flip
+
+
+def test_buckets_chunked_int4():
+    """len_buckets x chunked x int4: same calibration pinning, packed
+    cache resizes across buckets without changing served tokens."""
+    p = _p(6)
+    outs = []
+    for lb in (None, (16, 48)):
+        srv = DecodeServer(TINY, slots=2, max_len=48, kv_dtype="int4",
+                           chunked_prefill=True, chunk=4, len_buckets=lb)
+        try:
+            outs.append(srv.generate(p, 6, timeout=300))
+        finally:
+            srv.stop()
+    assert outs[0] == outs[1]

@@ -378,3 +378,66 @@ def test_structural_inference_rejects_nonrepeating():
         boundaries = infer_boundaries_structural(g)
         # if a cut IS found it must at least validate; force full check
         PipelinedDecoder(g, make_mesh({"pipe": 4}), boundaries=boundaries)
+
+
+@pytest.mark.parametrize("kv", ["float32", "int8"])
+def test_generator_pipeline_device_loop(kv):
+    """pipeline_axis x device_loop (round-4 verdict item 4): K decode
+    steps per dispatch with the trunk GPipe-sharded — the scan carry
+    keeps each stage's stacked KV pipe-resident — emits exactly the
+    plain Generator's greedy tokens."""
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+
+    kw = dict(batch=4, prompt_len=4, max_len=16, kv_dtype=kv)
+    ids = _ids(batch=4, seq=4)
+    want, _ = Generator(CFG4, **kw).generate(ids, 8)
+
+    mesh = make_mesh({"pipe": 4})
+    gen = Generator(CFG4, mesh=mesh, pipeline_axis="pipe",
+                    device_loop=4, **kw)
+    got, _ = gen.generate(ids, 8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_generator_pipeline_device_loop_sampled_and_eos():
+    """Sampled decoding and eos freezing ride the pipelined K-step scan:
+    device_loop=K matches the pipelined host loop draw-for-draw (same
+    per-step PRNG schedule)."""
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+
+    kw = dict(batch=4, prompt_len=4, max_len=16)
+    ids = _ids(batch=4, seq=4, seed=3)
+    mesh = make_mesh({"pipe": 4})
+    g1 = Generator(CFG4, mesh=mesh, pipeline_axis="pipe", **kw)
+    want, _ = g1.generate(ids, 8, temperature=0.8, top_k=20,
+                          sample_seed=11)
+    g2 = Generator(CFG4, mesh=mesh, pipeline_axis="pipe",
+                   device_loop=3, **kw)
+    got, _ = g2.generate(ids, 8, temperature=0.8, top_k=20,
+                         sample_seed=11)
+    np.testing.assert_array_equal(got, want)
+
+    ref, _ = g1.generate(ids, 8)
+    eos = int(ref[0][2])
+    got_eos, _ = g2.generate(ids, 8, eos_id=eos)
+    want_eos, _ = g1.generate(ids, 8, eos_id=eos)
+    np.testing.assert_array_equal(got_eos, want_eos)
+
+
+def test_generator_pipeline_bf16_prefill():
+    """Pipelined bf16 prefill (round-4 verdict item 4: the fp32-only
+    guard): PipelinedDecoder(dtype=) follows the Engine dtype contract —
+    params cast once, inputs at entry, outputs back to fp32. Tokens
+    match the unpipelined bf16-prefill Generator exactly (slicing batch
+    rows into microbatches does not change within-row math)."""
+    from onnx_rusty_inference_engine_tpu.generate import Generator
+
+    kw = dict(batch=4, prompt_len=4, max_len=16,
+              prefill_dtype="bfloat16")
+    ids = _ids(batch=4, seq=4)
+    want, _ = Generator(CFG4, **kw).generate(ids, 6)
+
+    mesh = make_mesh({"pipe": 4})
+    got, _ = Generator(CFG4, mesh=mesh, pipeline_axis="pipe",
+                       **kw).generate(ids, 6)
+    np.testing.assert_array_equal(got, want)
