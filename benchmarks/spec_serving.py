@@ -62,8 +62,22 @@ def main() -> None:
     ap.add_argument("--ngram", type=int, default=2)
     ap.add_argument("--multi-step", dest="multi_step", type=int, default=0,
                     help="R speculation rounds per dispatch (device "
-                         "prompt-lookup)")
+                         "prompt-lookup OR draft-model)")
+    ap.add_argument("--draft-layers", dest="draft_layers", type=int,
+                    default=0,
+                    help="> 0: draft-MODEL speculation with an N-layer "
+                         "draft (disables ngram). Acceptance on random "
+                         "weights is near zero — this brackets the "
+                         "dispatch economics from below.")
+    ap.add_argument("--draft-same", dest="draft_same", action="store_true",
+                    help="draft = the target itself (same seed): "
+                         "acceptance ~1, the economics' upper bound")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cfg = GPT2Config(vocab_size=args.vocab, n_positions=args.max_len,
                      n_embd=args.d, n_layer=args.layers,
                      n_head=args.heads)
@@ -71,13 +85,25 @@ def main() -> None:
     prompts = repetitive_prompts(rng, args.requests, args.plen, args.vocab)
     kw = dict(slots=args.slots, prompt_len=args.plen, max_len=args.max_len)
 
+    skw = dict(k=args.k, multi_step=args.multi_step)
+    if args.draft_same:
+        skw.update(draft_cfg=cfg, draft_seed=0, target_seed=0)
+        workload = "draft-same(acc~1)"
+    elif args.draft_layers:
+        skw["draft_cfg"] = GPT2Config(
+            vocab_size=args.vocab, n_positions=args.max_len,
+            n_embd=args.d, n_layer=args.draft_layers, n_head=args.heads)
+        workload = f"draft-{args.draft_layers}L"
+    else:
+        skw["ngram"] = args.ngram
+        workload = "repetitive-ngram"
+
     base = DecodeServer(cfg, **kw)
     base_out, _ = serve_all(base, prompts[:2], 4)       # warm compiles
     base_out, base_dt = serve_all(base, prompts, args.new)
     base.stop()
 
-    spec = SpeculativeServer(cfg, **kw, k=args.k, ngram=args.ngram,
-                             multi_step=args.multi_step)
+    spec = SpeculativeServer(cfg, **kw, **skw)
     _ = serve_all(spec, prompts[:2], 4)                 # warm compiles
     spec_out, spec_dt = serve_all(spec, prompts, args.new)
     acc = spec.stats().get("acceptance_rate")
@@ -86,12 +112,13 @@ def main() -> None:
     assert spec_out == base_out, "speculative serving must be lossless"
     total = args.requests * args.new
     print(json.dumps({
-        "workload": "repetitive-ngram",
+        "workload": workload,
         "baseline_tok_s": round(total / base_dt, 1),
         "spec_tok_s": round(total / spec_dt, 1),
         "speedup": round(base_dt / spec_dt, 3),
         "acceptance_rate": acc,
-        "k": args.k, "ngram": args.ngram, "multi_step": args.multi_step,
+        "k": args.k, "ngram": skw.get("ngram", 0),
+        "multi_step": args.multi_step,
         "requests": args.requests, "new": args.new,
     }))
 

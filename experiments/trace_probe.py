@@ -6,7 +6,7 @@ from onnx_rusty_inference_engine_tpu.graph import import_model
 from onnx_rusty_inference_engine_tpu.models import build_squeezenet
 from onnx_rusty_inference_engine_tpu.quant import quantize_graph
 
-batch=64
+batch=int(sys.argv[1]) if len(sys.argv)>1 else 64
 rng=np.random.default_rng(0)
 x=rng.standard_normal((batch,3,224,224)).astype(np.float32)
 graph=import_model(build_squeezenet())

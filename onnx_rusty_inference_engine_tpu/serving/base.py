@@ -123,6 +123,19 @@ class _ServerBase:
         self.requests_done = 0
         self._occupancy_sum = 0
         self._latencies: List[float] = []
+        # failure detection (opt-in): step_timeout > 0 arms a watchdog
+        # that converts a stuck decode step — e.g. survivors blocked in a
+        # collective after a peer process died mid-serve — into clean
+        # RuntimeError futures instead of hanging every client. Set it
+        # BEFORE start() (autostart=False). The FIRST dispatch is exempt
+        # (it includes XLA compilation, minutes on a remote-compile
+        # tunnel); pre-warm if first-step coverage matters. (SURVEY §5
+        # failure detection: the reference has no multi-process analog.)
+        self.step_timeout: Optional[float] = getattr(
+            self, "step_timeout", None)
+        self._step_started: Optional[float] = None
+        self._step_compiled = False   # first _step returned at least once
+        self._watchdog_fired = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         if autostart:
             self._thread.start()
@@ -210,6 +223,8 @@ class _ServerBase:
         self._pos[slot] = self.max_len - 1      # park
 
     def _finish(self, slot_or_none, r: _Request) -> None:
+        if r.future.done():        # watchdog already failed it (stuck
+            return                 # step that later unblocked)
         r.future.set_result(r.tokens)
         self._by_future.pop(r.future, None)
         self.requests_done += 1
@@ -228,9 +243,38 @@ class _ServerBase:
         return [i for i, r in enumerate(self._req) if r is not None]
 
     # -- dispatcher -------------------------------------------------------
+    def _watchdog(self) -> None:
+        """Fail-fast monitor for the opt-in step_timeout: a _step that
+        exceeds the deadline (peer death leaves SPMD survivors blocked in
+        a collective; a wedged device tunnel does the same) fails every
+        in-flight and queued future with a clean RuntimeError and marks
+        the server dead. Slot state is NOT mutated — the dispatcher
+        thread may still be inside the stuck dispatch."""
+        assert self.step_timeout
+        poll = min(0.2, self.step_timeout / 4)
+        while self._running and not self._watchdog_fired:
+            time.sleep(poll)
+            t0 = self._step_started
+            if (t0 is None or not self._step_compiled
+                    or time.perf_counter() - t0 <= self.step_timeout):
+                continue
+            self._watchdog_fired = True
+            with self._submit_lock:
+                self._running = False
+            exc = RuntimeError(
+                f"decode step exceeded step_timeout={self.step_timeout}s "
+                "— peer/device failure suspected; server stopped")
+            for r in list(self._req):
+                if r is not None:
+                    self._fail(None, r, exc)
+            self._drain_queue(str(exc))
+            return
+
     def _loop(self) -> None:
         from concurrent.futures import CancelledError
 
+        if self.step_timeout:
+            threading.Thread(target=self._watchdog, daemon=True).start()
         while True:
             if not self._running:
                 # drain mode keeps stepping until all work completes;
@@ -264,11 +308,17 @@ class _ServerBase:
                 if self._req[s].cancelled:
                     self._fail(s, self._req[s], CancelledError())
             if self._active():
+                self._step_started = time.perf_counter()
                 try:
                     self._step()
+                    self._step_compiled = True
                 except Exception as e:
                     for s in self._active():
                         self._fail(s, self._req[s], e)
+                finally:
+                    self._step_started = None
+                if self._watchdog_fired:
+                    break   # futures already failed; state untrusted
         # stopped without drain: no caller may hang on a dead server
         for s in self._active():
             self._fail(s, self._req[s],

@@ -12,6 +12,17 @@ must equal a process-local single-device server's.
 
 mode "cnn": the same recipe for the CNN InferenceServer (batched
 dispatch of single-example submissions over a sharded MNIST engine).
+
+mode "decode_dm": the 4-process variant on a {data: 2, model: G/2} mesh
+— the model groups span processes, so per-step collectives cross the
+process boundary in BOTH axes' layouts (VERDICT r4 #8).
+
+mode "fail": failure injection — process 1 (a non-coordinator) kills
+itself mid-serve after the decode loop has demonstrably stepped; the
+survivors' next collective either raises or blocks, and the opt-in
+step_timeout watchdog must fail every pending future with a clean
+RuntimeError instead of hanging the clients (SURVEY §5 failure
+detection, VERDICT r4 #8).
 """
 
 import os
@@ -39,6 +50,64 @@ def main() -> None:
     n_global = len(jax.devices())
     assert jax.process_count() == num_procs
     mesh = make_mesh({"model": n_global})
+
+    if mode == "decode_dm":
+        # re-shape the mesh: model groups of G/2 devices span processes,
+        # data groups pair the remaining axis (4 procs x 2 local = 8)
+        mesh = make_mesh({"data": 2, "model": n_global // 2})
+        mode = "decode"
+
+    if mode == "fail":
+        from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY
+        from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
+
+        rng = np.random.default_rng(7)
+        reqs = [(rng.integers(0, TINY.vocab_size, (4,)).astype(np.int64), 64)
+                for _ in range(3)]
+        srv = DecodeServer(TINY, mesh=mesh,
+                           param_sharding_fn=cnn_param_sharding(mesh),
+                           autostart=False, slots=2, prompt_len=4,
+                           max_len=96)
+        seen = []
+
+        def _on_tok(_t):
+            # die only after the decode graph has compiled AND stepped:
+            # token 1 is the admission prefill's, 3+ proves decode steps
+            seen.append(1)
+            if proc_id == 1 and len(seen) >= 3:
+                import os as _os
+                _os._exit(3)
+
+        # small enough to beat jax's coordination-service fatal-error
+        # propagation (it hard-kills tasks ~10s+ after a peer death);
+        # a premature fire still exercises the exact no-hang contract
+        srv.step_timeout = 6.0
+        futs = [srv.submit(p, n, on_token=_on_tok) for p, n in reqs]
+        srv.start()
+        import concurrent.futures as _cf
+
+        failed = 0
+        for f in futs:
+            try:
+                f.result(timeout=420)
+            except _cf.TimeoutError:
+                raise AssertionError("future HUNG despite peer death")
+            except Exception:
+                # the watchdog's RuntimeError (collective blocked), or
+                # whatever gloo raises on peer reset — any exception is a
+                # clean failure; only a hang is a bug
+                failed += 1
+        assert failed == len(futs), (
+            f"only {failed}/{len(futs)} futures failed cleanly")
+        print(f"SERVE_FAIL_OK proc={proc_id} global_devices={n_global}",
+              flush=True)
+        import os as _os
+        import time as _time
+        if proc_id == 0:
+            _time.sleep(5)         # coordinator exits LAST: its death
+                                   # fatally tears down the other tasks
+        _os._exit(0)               # dispatcher may be wedged in gloo; don't
+                                   # wait on runtime threads at exit
 
     if mode == "decode":
         from onnx_rusty_inference_engine_tpu.models.gpt2 import TINY

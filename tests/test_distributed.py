@@ -59,7 +59,8 @@ SERVE_WORKER = os.path.join(os.path.dirname(__file__),
                             "distributed_serve_worker.py")
 
 
-def _run_serve_workers(mode: str, marker: str, timeout: int = 600):
+def _run_serve_workers(mode: str, marker: str, timeout: int = 600,
+                       nprocs: int = 2, expect_rc=None):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -67,10 +68,10 @@ def _run_serve_workers(mode: str, marker: str, timeout: int = 600):
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, SERVE_WORKER, coord, "2", str(i), mode],
+            [sys.executable, SERVE_WORKER, coord, str(nprocs), str(i), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env)
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = []
     try:
@@ -81,10 +82,22 @@ def _run_serve_workers(mode: str, marker: str, timeout: int = 600):
         for p in procs:
             p.kill()
         pytest.fail(f"{mode} serve workers timed out:\n" + "\n".join(outs))
+    expect_rc = expect_rc or {}
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out}"
-        assert marker in out, f"proc {i} output:\n{out}"
-        assert "global_devices=4" in out
+        want_rc = expect_rc.get(i, 0)
+        if want_rc == "marker-only":
+            # survivor of a peer-death test: the marker proves every
+            # pending future failed cleanly (printed before teardown);
+            # the rc is jax's business — its coordination service may
+            # fatally terminate tasks AFTER the marker when it notices
+            # the dead peer, and that teardown is not what's under test
+            assert marker in out, f"proc {i} output:\n{out}"
+            continue
+        assert p.returncode == want_rc, \
+            f"proc {i} rc={p.returncode} (want {want_rc}):\n{out}"
+        if want_rc == 0:
+            assert marker in out, f"proc {i} output:\n{out}"
+            assert f"global_devices={2 * nprocs}" in out
 
 
 def test_two_process_decode_server():
@@ -102,3 +115,28 @@ def test_two_process_cnn_inference_server():
     mesh: deterministic packing via pre-queued requests, outputs equal
     the process-local engine."""
     _run_serve_workers("cnn", "SERVE_CNN_OK")
+
+
+def test_four_process_decode_server_data_model():
+    """4 processes x 2 virtual devices on a {data: 2, model: 4} mesh —
+    the model groups span process boundaries, so every decode step's
+    collectives ride the DCN path in a two-axis layout. Served tokens
+    must equal the process-local single-device server's (VERDICT r4 #8:
+    multi-host breadth beyond two processes)."""
+    _run_serve_workers("decode_dm", "SERVE_DECODE_OK", nprocs=4,
+                       timeout=900)
+
+
+def test_worker_death_fails_futures_cleanly():
+    """Failure injection: process 1 (non-coordinator) kills itself after
+    the decode loop has emitted tokens. The survivors must NOT hang —
+    every pending future fails (gloo's peer error or the step_timeout
+    watchdog's RuntimeError) — proven by each survivor printing its
+    marker, which only happens after ALL its futures raised. Survivor
+    return codes are deliberately not asserted: jax's coordination
+    service fatally terminates tasks once it notices the dead peer,
+    and that post-marker teardown is not what's under test (VERDICT
+    r4 #8; SURVEY §5 failure detection)."""
+    _run_serve_workers("fail", "SERVE_FAIL_OK", nprocs=4, timeout=900,
+                       expect_rc={0: "marker-only", 1: 3,
+                                  2: "marker-only", 3: "marker-only"})
