@@ -406,6 +406,8 @@ def cmd_serve_llm(args) -> int:
                            prompt_cache=args.prompt_cache,
                            prefill_dtype=args.prefill_dtype,
                            len_buckets=lb)
+    if args.step_timeout > 0:
+        srv.step_timeout = args.step_timeout   # read at dispatcher start
     print(f"serving on :{args.port} (POST /v1/generate)", file=sys.stderr)
     serve_generate_http(srv, port=args.port)
     return 0
@@ -652,6 +654,12 @@ def main(argv: Optional[list] = None) -> int:
                      help="cache up to N prompts' KV (LRU): exact-match "
                           "replay skips the prefill; with chunked prefill, "
                           "shared prefixes stream only their suffix")
+    psl.add_argument("--step-timeout", dest="step_timeout", type=float,
+                     default=0.0, metavar="SECS",
+                     help="failure-detection watchdog: a decode step stuck "
+                          "past SECS fails pending requests with a clean "
+                          "error instead of hanging clients (first "
+                          "dispatch/compile exempt; docs/SERVING.md)")
     psl.set_defaults(fn=cmd_serve_llm)
 
     pe = sub.add_parser("export",

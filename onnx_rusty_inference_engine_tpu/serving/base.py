@@ -273,9 +273,13 @@ class _ServerBase:
     def _loop(self) -> None:
         from concurrent.futures import CancelledError
 
-        if self.step_timeout:
-            threading.Thread(target=self._watchdog, daemon=True).start()
+        wd_armed = False
         while True:
+            # lazy arming: step_timeout may be set after __init__ (even
+            # after an autostart dispatcher is already looping)
+            if self.step_timeout and not wd_armed:
+                threading.Thread(target=self._watchdog, daemon=True).start()
+                wd_armed = True
             if not self._running:
                 # drain mode keeps stepping until all work completes;
                 # otherwise exit now (leftovers failed below)
