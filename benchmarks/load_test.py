@@ -48,6 +48,10 @@ def main() -> None:
     p.add_argument("--fp32", action="store_true",
                    help="fp32 weights/KV instead of int4+int8kv")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--warm-timeout", dest="warm_timeout", type=float,
+                   default=900.0,
+                   help="first-compile budget: 48L-class chunked multi "
+                        "graphs exceed 15 min through the remote tunnel")
     args = p.parse_args()
 
     import jax
@@ -59,7 +63,7 @@ def main() -> None:
     from onnx_rusty_inference_engine_tpu.serve_llm import DecodeServer
 
     cfg = GPT2Config(n_positions=args.max_len, n_embd=args.dim,
-                     n_layer=args.layers)
+                     n_layer=args.layers, n_head=max(1, args.dim // 64))
     server = DecodeServer(
         cfg, slots=args.slots, max_len=args.max_len,
         kv_dtype="float32" if args.fp32 else "int8",
@@ -126,7 +130,7 @@ def main() -> None:
     warm = server.submit(
         rng.integers(0, cfg.vocab_size, (args.prompt_min,)).astype(np.int64),
         args.multi_step or 2)
-    warm.result(timeout=900)
+    warm.result(timeout=args.warm_timeout)
 
     for rate in (float(r) for r in args.rates.split(",")):
         print(json.dumps(run_point(rate)), flush=True)
