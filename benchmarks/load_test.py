@@ -45,6 +45,9 @@ def main() -> None:
                    help="offered arrival rates (req/s), comma-separated")
     p.add_argument("--multi-step", dest="multi_step", type=int, default=8)
     p.add_argument("--chunk", type=int, default=8)
+    p.add_argument("--no-chunked", dest="chunked", action="store_false",
+                   help="bucketed prefill instead of chunked (prompt pads "
+                        "to --prompt-max; the XL-class sizing comparison)")
     p.add_argument("--fp32", action="store_true",
                    help="fp32 weights/KV instead of int4+int8kv")
     p.add_argument("--cpu", action="store_true")
@@ -68,7 +71,8 @@ def main() -> None:
         cfg, slots=args.slots, max_len=args.max_len,
         kv_dtype="float32" if args.fp32 else "int8",
         int4_weights=not args.fp32,
-        chunked_prefill=True, chunk=args.chunk,
+        prompt_len=args.prompt_max,
+        chunked_prefill=args.chunked, chunk=args.chunk,
         multi_step=args.multi_step)
     rng = np.random.default_rng(0)
 
